@@ -1,0 +1,186 @@
+"""CDC consolidation + merge — the engine's flagship operator (Q23).
+
+Spark-first restatement of the reference's binlog merge pipeline
+(Parquet Export/consolidate.cpp).  The reference consumes a keyed
+I/U/D changelog, consolidates it per (day, pk) in hash maps
+(consolidate.cpp:56-109), then merges into the per-day base files with
+apply order delete → update-if-exists → insert-as-upsert
+(consolidate.cpp:184-214).
+
+Semantics proved from the reference's map algebra (each rule unit-tested):
+
+* within-batch last-event-wins per (day, pk) ordered by ``seq``;
+* an I *after* the last D makes the key an upsert whose payload is the
+  **last** event's row (a later U folds into the pending insert,
+  consolidate.cpp's insert-map fold);
+* any D after the last I kills the key — even if Us follow the D,
+  because those Us land in the update map and "update" only applies to
+  keys that still exist after the delete phase (consolidate.cpp:194);
+* a batch with only Us updates the key iff it exists in the base
+  (update-to-missing-pk is a silent no-op, consolidate.cpp:194);
+* a day whose merged result is empty disappears
+  (consolidate.cpp:226-238) — handled by sources.writer.remove_empty_days.
+
+So the consolidated effective op per (day, pk) is::
+
+    'I'  if last_I_seq > last_D_seq        (payload = overall last row)
+    'D'  elif any D                         (payload irrelevant)
+    'U'  otherwise (only Us)                (payload = overall last row)
+
+Scale notes: consolidation is ONE hash aggregation on the natural key
+(day, pk) — no window sort needed (``max_by`` keeps the last payload).
+The merge is a single shuffle-on-key full-outer join; with AQE on, a
+small consolidated changelog against a huge base becomes a broadcast
+join automatically, and only touched day-partitions are rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.datetime import DT_FORMAT, day_key, utc2_render
+
+#: FIXTURES.md §2.1 — deterministic event_type → changelog op mapping
+OP_MAPPING = {"signup": "I", "view": "U", "click": "U",
+              "purchase": "U", "error": "D"}
+
+
+def _op_col(event_type: Column) -> Column:
+    expr = None
+    for etype, op in OP_MAPPING.items():
+        cond = event_type == F.lit(etype)
+        expr = F.when(cond, F.lit(op)) if expr is None else expr.when(cond, F.lit(op))
+    return expr
+
+
+def derive_changelog(events: DataFrame) -> DataFrame:
+    """``events`` fixture → the reference's changelog shape.
+
+    Output: ``seq BIGINT, pk BIGINT, op STRING('I'|'U'|'D'),
+    date_time STRING(19), value DOUBLE nullable, ts_epoch BIGINT,
+    day STRING(10)`` — mirroring consolidate.cpp's ``struct Change``
+    (consolidate.cpp:29-35) with FIXTURES.md §2.1's exact derivation.
+    """
+    dt = F.date_format("ts", DT_FORMAT)
+    return events.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("pk"),
+        _op_col(F.col("event_type")).alias("op"),
+        dt.alias("date_time"),
+        F.when(F.col("event_type") == "purchase", F.lit(None).cast("double"))
+         .otherwise(F.col("value")).alias("value"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        day_key(dt).alias("day"),
+    )
+
+
+def consolidate(changelog: DataFrame) -> DataFrame:
+    """Within-batch last-event-wins consolidation per (day, pk).
+
+    One hash aggregation (map-side partial combine, single shuffle on
+    the merge key) — replaces consolidate.cpp:56-109's three
+    unordered_maps.  ``seq`` must be unique within the batch (binlog
+    position in the reference; ``event_id`` in the fixture).
+
+    Output: ``day, pk, op('I'|'U'|'D'), date_time, value, ts_epoch``.
+    """
+    agg = changelog.groupBy("day", "pk").agg(
+        F.max(F.when(F.col("op") == "I", F.col("seq"))).alias("_last_i"),
+        F.max(F.when(F.col("op") == "D", F.col("seq"))).alias("_last_d"),
+        F.max_by(F.struct("date_time", "value", "ts_epoch"), "seq").alias("_last"),
+    )
+    eff_op = (
+        F.when(F.col("_last_i") > F.coalesce(F.col("_last_d"), F.lit(-1)), F.lit("I"))
+         .when(F.col("_last_d").isNotNull(), F.lit("D"))
+         .otherwise(F.lit("U"))
+    )
+    return agg.select(
+        "day", "pk", eff_op.alias("op"),
+        F.col("_last.date_time").alias("date_time"),
+        F.col("_last.value").alias("value"),
+        F.col("_last.ts_epoch").alias("ts_epoch"),
+    )
+
+
+def snapshot_from_inserts(changelog: DataFrame, upto_seq) -> DataFrame:
+    """Base snapshot = replay of all 'I' rows with seq <= upto_seq,
+    insert-as-upsert (last I wins per (day, pk)) — FIXTURES.md §2.1.
+
+    ``upto_seq`` may be a literal or a Column (e.g. a scalar subquery).
+    """
+    inserts = changelog.filter((F.col("op") == "I") & (F.col("seq") <= upto_seq))
+    return (
+        inserts.groupBy("day", "pk")
+        .agg(F.max_by(F.struct("date_time", "value", "ts_epoch"), "seq").alias("_r"))
+        .select("day", "pk",
+                F.col("_r.date_time").alias("date_time"),
+                F.col("_r.value").alias("value"),
+                F.col("_r.ts_epoch").alias("ts_epoch"))
+    )
+
+
+def apply_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """Merge consolidated changes into the base: the reference's
+    delete → update-if-exists → insert-as-upsert (consolidate.cpp:184-214)
+    as a single keyed full-outer join + CASE.
+
+    ``base``    : day, pk, date_time, value, ts_epoch
+    ``changes`` : day, pk, op, date_time, value, ts_epoch (consolidated —
+                  exactly one row per (day, pk))
+
+    Per key:  op='D' → drop;  op='U' → new payload iff base row exists;
+    op='I' → new payload unconditionally; no change row → keep base row.
+    """
+    b = base.select(
+        "day", "pk", F.lit(True).alias("_in_base"),
+        F.col("date_time").alias("_b_dt"), F.col("value").alias("_b_val"),
+        F.col("ts_epoch").alias("_b_ts"),
+    )
+    c = changes.select(
+        "day", "pk", F.col("op").alias("_op"),
+        F.col("date_time").alias("_c_dt"), F.col("value").alias("_c_val"),
+        F.col("ts_epoch").alias("_c_ts"),
+    )
+    joined = b.join(c, on=["day", "pk"], how="full_outer")
+    in_base = F.col("_in_base").isNotNull()
+    op = F.col("_op")
+
+    keep = (
+        op.isNull()                      # untouched base row
+        | (op == "I")                    # upsert always survives
+        | ((op == "U") & in_base)        # update only if key exists
+    )
+    # after the keep-filter, any surviving I/U row takes the change payload
+    take_change = op.isin("I", "U")
+    return (
+        joined.filter(keep)
+        .select(
+            "day", "pk",
+            F.when(take_change, F.col("_c_dt")).otherwise(F.col("_b_dt")).alias("date_time"),
+            F.when(take_change, F.col("_c_val")).otherwise(F.col("_b_val")).alias("value"),
+            F.when(take_change, F.col("_c_ts")).otherwise(F.col("_b_ts")).alias("ts_epoch"),
+        )
+    )
+
+
+def cdc_merge(events: DataFrame, split_seq=None) -> DataFrame:
+    """End-to-end Q23: derive changelog → snapshot base at the median
+    seq → consolidate the tail → merge.  Returns the final mirror with
+    the reference's output rendering: ``id``=pk, 19-char ``date_time``,
+    nullable ``value``, ``ts`` rendered at fixed UTC+2
+    (consolidate.cpp:45-53).
+    """
+    log = derive_changelog(events)
+    if split_seq is None:
+        split_seq = log.agg(F.median("seq")).collect()[0][0]  # scalar, tiny
+    base = snapshot_from_inserts(log, F.lit(split_seq))
+    tail = consolidate(log.filter(F.col("seq") > split_seq))
+    merged = apply_changes(base, tail)
+    return merged.select(
+        F.col("day"),
+        F.col("pk").alias("id"),
+        "date_time",
+        "value",
+        utc2_render(F.col("ts_epoch")).alias("ts"),
+    )

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Exact brute-force cosine top-k as the declared baseline, blocked by a
+candidate key (``label``) so the pair space is bounded; an LSH-bucketed
+approximate variant as the 100 TB scale path (random-hyperplane
+signatures, deterministic planes derived from portable md5 hashing so
+the result is engine-reproducible).
+
+All vector math is built-in ``aggregate``/``zip_with`` over
+``array<double>`` — JVM-side, no Python UDF.  Both Spark's
+``aggregate`` and DuckDB's ``list_dot_product`` fold left-to-right in
+double precision, so cosines are bit-identical across engines and a
+DECIMAL(18,6) cast hashes stably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return emb.select("vec_id", "label", v.alias("v")) \
+              .withColumn("nrm", _norm(F.col("v")))
+
+
+def cosine_topk_blocked(emb: DataFrame, *, k: int = 3,
+                        block_col: str = "label") -> DataFrame:
+    """Exact top-k cosine neighbours within each block.
+
+    Block-local self-join: pair count is Σ_block n_b², bounded by the
+    blocking key's cardinality design.  For unblocked corpora use
+    :func:`ann_lsh_topk` (bucketed candidates) instead.
+    """
+    n = with_norm(emb)
+    a = n.select(F.col("vec_id"), F.col(block_col).alias("_blk"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("nbr_id"), F.col(block_col).alias("_blkb"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (a.join(b, (F.col("_blk") == F.col("_blkb"))
+                    & (F.col("vec_id") != F.col("nbr_id")))
+             .withColumn("cos", _dot(F.col("va"), F.col("vb"))
+                         / (F.col("na") * F.col("nb"))))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+                 .filter(F.col("rnk") <= k)
+                 .select("vec_id", "nbr_id",
+                         F.col("cos").cast("decimal(18,6)").alias("cos_sim"),
+                         "rnk"))
+
+
+def ann_lsh_topk(emb: DataFrame, *, k: int = 3, n_planes: int = 12,
+                 dim: int = 64, vec_col: str = "embedding") -> DataFrame:
+    """Approximate NN: random-hyperplane LSH bucketing + exact rerank.
+
+    Buckets = sign pattern of ``n_planes`` deterministic hyperplanes
+    (plane coefficients derived from md5 of (plane, dim) — reproducible
+    anywhere, no RNG state).  Candidates share a bucket; exact cosine
+    reranks within the bucket.  Scale path: bucket count ~2^n_planes
+    keeps each bucket's self-join tiny; tune n_planes to corpus size.
+    """
+    # deterministic plane matrix as a literal array-of-arrays column
+    import hashlib
+
+    def coeff(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    planes = [[coeff(p, d) for d in range(dim)] for p in range(n_planes)]
+    planes_lit = F.lit(planes)  # array<array<double>>
+
+    v = F.col(vec_col).cast("array<double>")
+    sig = F.transform(
+        planes_lit,
+        lambda plane: (F.aggregate(F.zip_with(plane, v, lambda x, y: x * y),
+                                   F.lit(0.0), lambda acc, x: acc + x)
+                       >= 0).cast("int"))
+    keyed = (emb.select("vec_id", "label", v.alias("v"))
+                .withColumn("bucket", F.concat_ws("", sig))
+                .withColumn("nrm", _norm(F.col("v"))))
+    a = keyed.select("vec_id", F.col("bucket"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    b = keyed.select(F.col("vec_id").alias("nbr_id"), F.col("bucket").alias("bucketb"),
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (a.join(b, (F.col("bucket") == F.col("bucketb"))
+                    & (F.col("vec_id") != F.col("nbr_id")))
+             .withColumn("cos", _dot(F.col("va"), F.col("vb"))
+                         / (F.col("na") * F.col("nb"))))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+                 .filter(F.col("rnk") <= k)
+                 .select("vec_id", "nbr_id",
+                         F.col("cos").cast("decimal(18,6)").alias("cos_sim"),
+                         "rnk"))

@@ -1,0 +1,730 @@
+"""Declared query inventory (SURVEY.md §2.2) — Spark + DuckDB oracle.
+
+Each entry is a pair: a PySpark DataFrame program (the engine under
+test) and an ANSI-SQL string the DuckDB oracle runs over the identical
+parquet fixtures.  Determinism rules (SURVEY.md §2.2):
+
+- every query ends in a total ORDER BY;
+- computed floats are CAST to DECIMAL (never ``round()`` — the two
+  engines' ``round`` disagree on doubles like 2.675);
+- aggregates over doubles are computed in exact DECIMAL domain
+  (cast-then-sum), so parallel summation order cannot matter;
+- computed integers are cast to BIGINT on both sides;
+- every computed column is aliased identically on both sides;
+- raw TIMESTAMP columns are never returned (the fixtures store nanos;
+  Spark reads µs) — timestamps are rendered as 19-char strings.
+
+Reference anchors cited per query (PE/ = ``Parquet Export/`` in
+/root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.datetime import DT_PATTERN, SENTINEL_DT, normalize_datetime, utc2_render
+from .operators import cdc
+from .operators.asof import asof_join
+from .operators.range_join import banded_prior_count
+from .sources.tables import load_table
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def declared(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.derive_changelog(_t(spark, sf_dir, "events"))
+
+
+#: FIXTURES.md §2.1 derivation, DuckDB dialect — shared CTE body.
+CHANGELOG_CTE = """
+changelog AS (
+  SELECT event_id AS seq,
+         user_id  AS pk,
+         CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS date_time,
+         CASE WHEN event_type = 'purchase' THEN NULL ELSE value END AS value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         strftime(ts, '%Y-%m-%d') AS day
+  FROM events
+)"""
+
+DT_RE_SQL = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$"
+
+
+# --------------------------------------------------------------------------
+# Q01 scan + projection (O2: PE/db_extractor.py:225-226)
+# --------------------------------------------------------------------------
+@declared("q01_scan_project", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+def q01(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+# --------------------------------------------------------------------------
+# Q02 half-open range filter with pushdown (O3: PE/db_extractor.py:225-230)
+# --------------------------------------------------------------------------
+@declared("q02_filter_range", """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+ORDER BY o_orderkey""")
+def q02(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    return (o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+             .select("o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+                     "o_totalprice")
+             .orderBy("o_orderkey"))
+
+
+def _corrupt_dt_spark(log: DataFrame) -> DataFrame:
+    """Deterministic malformed-datetime injection (clean fixture →
+    non-trivial validity classes; cf. FIXTURES.md §2.2)."""
+    return log.withColumn(
+        "dt_raw",
+        F.when(F.col("seq") % 13 == 0, F.lit("not-a-datetime"))
+         .when(F.col("seq") % 17 == 0, F.substring("date_time", 1, 10))
+         .otherwise(F.col("date_time")))
+
+
+_CORRUPT_DT_SQL = """
+corrupted AS (
+  SELECT *,
+         CASE WHEN seq % 13 = 0 THEN 'not-a-datetime'
+              WHEN seq % 17 = 0 THEN substr(date_time, 1, 10)
+              ELSE date_time END AS dt_raw
+  FROM changelog)"""
+
+
+# --------------------------------------------------------------------------
+# Q03 pattern-validity filter + count (O6/O17: PE/db_extractor.py:14,
+# PE/parse_binlogs.sh:125-140)
+# --------------------------------------------------------------------------
+@declared("q03_filter_pattern", f"""
+WITH {CHANGELOG_CTE}, {_CORRUPT_DT_SQL}
+SELECT regexp_matches(dt_raw, '{DT_RE_SQL}') AS is_valid,
+       count(*) AS cnt
+FROM corrupted GROUP BY 1 ORDER BY is_valid""")
+def q03(spark, sf_dir):
+    df = _corrupt_dt_spark(_log(spark, sf_dir))
+    return (df.select(F.col("dt_raw").rlike(DT_PATTERN).alias("is_valid"))
+              .groupBy("is_valid").agg(F.count("*").alias("cnt"))
+              .orderBy("is_valid"))
+
+
+# --------------------------------------------------------------------------
+# Q04 datetime normalization with sentinel (O7: PE/db_extractor.py:242-245)
+# --------------------------------------------------------------------------
+@declared("q04_dt_normalize", f"""
+WITH {CHANGELOG_CTE}, {_CORRUPT_DT_SQL}
+SELECT seq, dt_raw,
+       coalesce(strftime(try_strptime(dt_raw, '%Y-%m-%d %H:%M:%S'),
+                         '%Y-%m-%d %H:%M:%S'),
+                '{SENTINEL_DT}') AS dt_norm
+FROM corrupted ORDER BY seq""")
+def q04(spark, sf_dir):
+    df = _corrupt_dt_spark(_log(spark, sf_dir))
+    return (df.select("seq", "dt_raw",
+                      normalize_datetime(F.col("dt_raw")).alias("dt_norm"))
+              .orderBy("seq"))
+
+
+# --------------------------------------------------------------------------
+# Q05 fixed UTC+2 render of epochs (ts_to_utc2, PE/consolidate.cpp:45-53)
+# --------------------------------------------------------------------------
+@declared("q05_tz_shift", f"""
+WITH {CHANGELOG_CTE}
+SELECT seq, ts_epoch,
+       strftime(make_timestamp((ts_epoch + 7200) * CAST(1000000 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS ts_utc2
+FROM changelog ORDER BY seq""")
+def q05(spark, sf_dir):
+    return (_log(spark, sf_dir)
+            .select("seq", "ts_epoch",
+                    utc2_render(F.col("ts_epoch")).alias("ts_utc2"))
+            .orderBy("seq"))
+
+
+# --------------------------------------------------------------------------
+# Q06 string scalar battery (O8 day key; trim PE/consolidate.cpp:37-43)
+# --------------------------------------------------------------------------
+@declared("q06_string_battery", f"""
+WITH {CHANGELOG_CTE}
+SELECT seq,
+       substr(date_time, 1, 10) AS day_key,
+       CAST(length(date_time) AS BIGINT) AS dt_len,
+       substr(date_time, 1, 7) AS ym,
+       reverse(substr(date_time, 1, 10)) AS day_rev,
+       upper(op) AS op_up,
+       concat(substr(date_time, 1, 10), 'T', substr(date_time, 12, 8)) AS iso_ish
+FROM changelog ORDER BY seq""")
+def q06(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    return (log.select(
+                "seq",
+                F.substring("date_time", 1, 10).alias("day_key"),
+                F.length("date_time").cast("bigint").alias("dt_len"),
+                F.substring("date_time", 1, 7).alias("ym"),
+                F.reverse(F.substring("date_time", 1, 10)).alias("day_rev"),
+                F.upper("op").alias("op_up"),
+                F.concat(F.substring("date_time", 1, 10), F.lit("T"),
+                         F.substring("date_time", 12, 8)).alias("iso_ish"))
+            .orderBy("seq"))
+
+
+# --------------------------------------------------------------------------
+# Q07 math / null-handling battery (nullable value, O13)
+# --------------------------------------------------------------------------
+@declared("q07_math_null", f"""
+WITH {CHANGELOG_CTE}
+SELECT seq,
+       (value IS NULL) AS v_null,
+       coalesce(value, 0.0) AS v0,
+       abs(value - 100.0) AS v_abs,
+       CAST(coalesce(value, 0.0) AS DECIMAL(18,2)) AS v_dec,
+       CAST(floor(value) AS BIGINT) AS v_floor,
+       CAST(ceil(value) AS BIGINT) AS v_ceil,
+       sqrt(abs(value)) AS v_sqrt,
+       greatest(value, 50.0) AS v_hi,
+       least(value, 50.0) AS v_lo
+FROM changelog ORDER BY seq""")
+def q07(spark, sf_dir):
+    v = F.col("value")
+    return (_log(spark, sf_dir)
+            .select("seq",
+                    v.isNull().alias("v_null"),
+                    F.coalesce(v, F.lit(0.0)).alias("v0"),
+                    F.abs(v - 100.0).alias("v_abs"),
+                    F.coalesce(v, F.lit(0.0)).cast("decimal(18,2)").alias("v_dec"),
+                    F.floor(v).cast("bigint").alias("v_floor"),
+                    F.ceil(v).cast("bigint").alias("v_ceil"),
+                    F.sqrt(F.abs(v)).alias("v_sqrt"),
+                    F.greatest(v, F.lit(50.0)).alias("v_hi"),
+                    F.least(v, F.lit(50.0)).alias("v_lo"))
+            .orderBy("seq"))
+
+
+# --------------------------------------------------------------------------
+# Q08 MAX/MIN with sentinel anti-filter (O4/O5: PE/db_extractor.py:29-76)
+# --------------------------------------------------------------------------
+@declared("q08_agg_max_min", f"""
+WITH {CHANGELOG_CTE},
+clean AS (SELECT * FROM changelog WHERE date_time <> '{SENTINEL_DT}')
+SELECT day, max(date_time) AS max_dt, min(date_time) AS min_dt FROM clean GROUP BY day
+UNION ALL
+SELECT 'ALL' AS day, max(date_time), min(date_time) FROM clean
+ORDER BY day""")
+def q08(spark, sf_dir):
+    clean = _log(spark, sf_dir).filter(F.col("date_time") != SENTINEL_DT)
+    per_day = clean.groupBy("day").agg(F.max("date_time").alias("max_dt"),
+                                       F.min("date_time").alias("min_dt"))
+    total = clean.agg(F.max("date_time").alias("max_dt"),
+                      F.min("date_time").alias("min_dt")) \
+                 .select(F.lit("ALL").alias("day"), "max_dt", "min_dt")
+    return per_day.unionByName(total).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Q09 COUNT reconciliation, per-day + total (O18: PE/row_integrity.py:48-82)
+# --------------------------------------------------------------------------
+@declared("q09_agg_count_reconcile", f"""
+WITH {CHANGELOG_CTE}
+SELECT day, count(*) AS cnt FROM changelog GROUP BY day
+UNION ALL
+SELECT 'ALL' AS day, count(*) FROM changelog
+ORDER BY day""")
+def q09(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    per_day = log.groupBy("day").agg(F.count("*").alias("cnt"))
+    total = log.agg(F.count("*").alias("cnt")).select(F.lit("ALL").alias("day"), "cnt")
+    return per_day.unionByName(total).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Q10 hash aggregate, TPC-H Q1 shape (O22 analog) — decimal-domain sums
+# --------------------------------------------------------------------------
+@declared("q10_agg_hash_tpch1", """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       count(*) AS count_order,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            AS DECIMAL(18,4)) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")
+def q10(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    return (li.filter(F.col("l_shipdate") <= cutoff)
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(qty).alias("sum_qty"),
+                   F.sum(price).alias("sum_base_price"),
+                   F.sum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+                   F.count("*").alias("count_order"))
+              .withColumn("avg_qty",
+                          (F.col("sum_qty").cast("double") / F.col("count_order"))
+                          .cast("decimal(18,4)"))
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
+# --------------------------------------------------------------------------
+# Q11 distinct aggregation (O15: PE/consolidate.cpp:379-383)
+# --------------------------------------------------------------------------
+@declared("q11_agg_count_distinct", f"""
+WITH {CHANGELOG_CTE}
+SELECT day, count(DISTINCT pk) AS users FROM changelog
+GROUP BY day ORDER BY day""")
+def q11(spark, sf_dir):
+    return (_log(spark, sf_dir).groupBy("day")
+            .agg(F.countDistinct("pk").alias("users")).orderBy("day"))
+
+
+# --------------------------------------------------------------------------
+# Q12 grouping sets: rollup day → month (Spark built-in; extension)
+# --------------------------------------------------------------------------
+@declared("q12_rollup_day_month", f"""
+WITH {CHANGELOG_CTE},
+keyed AS (SELECT substr(day, 1, 7) AS month, day FROM changelog)
+SELECT coalesce(month, 'ALL') AS month, coalesce(day, 'ALL') AS day,
+       count(*) AS cnt
+FROM keyed GROUP BY ROLLUP (month, day)
+ORDER BY month, day""")
+def q12(spark, sf_dir):
+    keyed = _log(spark, sf_dir).select(
+        F.substring("day", 1, 7).alias("month"), "day")
+    return (keyed.rollup("month", "day").agg(F.count("*").alias("cnt"))
+                 .select(F.coalesce("month", F.lit("ALL")).alias("month"),
+                         F.coalesce("day", F.lit("ALL")).alias("day"), "cnt")
+                 .orderBy("month", "day"))
+
+
+# --------------------------------------------------------------------------
+# Q13 inner equi-join, broadcast dimension (O14: PE/consolidate.cpp:164-214)
+# --------------------------------------------------------------------------
+@declared("q13_join_inner", """
+SELECT c_mktsegment, count(*) AS order_cnt,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+def q13(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+             .groupBy("c_mktsegment")
+             .agg(F.count("*").alias("order_cnt"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"))
+             .orderBy("c_mktsegment"))
+
+
+# --------------------------------------------------------------------------
+# Q14 left outer join with zero-fill (O13 update-drop analog)
+# --------------------------------------------------------------------------
+@declared("q14_join_left", """
+SELECT o_orderkey, coalesce(b.cnt, 0) AS big_items
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, count(*) AS cnt FROM lineitem
+  WHERE l_quantity > 45 GROUP BY l_orderkey) b
+ON o_orderkey = b.l_orderkey
+ORDER BY o_orderkey""")
+def q14(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b = (_t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+         .groupBy("l_orderkey").agg(F.count("*").alias("cnt")))
+    return (o.join(b, o.o_orderkey == b.l_orderkey, "left")
+             .select("o_orderkey", F.coalesce("cnt", F.lit(0)).alias("big_items"))
+             .orderBy("o_orderkey"))
+
+
+# --------------------------------------------------------------------------
+# Q15 anti join (orders with NO heavy lineitem)
+# --------------------------------------------------------------------------
+@declared("q15_join_anti", """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+ORDER BY o_orderkey""")
+def q15(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    heavy = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45) \
+                                         .select("l_orderkey")
+    return (o.join(heavy, o.o_orderkey == heavy.l_orderkey, "left_anti")
+             .select("o_orderkey").orderBy("o_orderkey"))
+
+
+# --------------------------------------------------------------------------
+# Q16 semi join (O23 existence-check analog)
+# --------------------------------------------------------------------------
+@declared("q16_join_semi", """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate <  TIMESTAMP '1998-01-01')
+ORDER BY c_custkey""")
+def q16(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+# --------------------------------------------------------------------------
+# Q17 range join: events in the hour before each error event (O16 analog).
+# Spark side uses hour-banding so pair count stays bounded at scale.
+# --------------------------------------------------------------------------
+@declared("q17_join_range", """
+SELECT e.event_id, count(f.event_id) AS prior_cnt
+FROM events e LEFT JOIN events f
+  ON e.user_id = f.user_id
+ AND f.ts >= e.ts - INTERVAL 1 HOUR AND f.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id ORDER BY e.event_id""")
+def q17(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return banded_prior_count(ev, window_seconds=3600).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Q18 as-of join: latest event per user at-or-before probe times
+# (O5 resume-point analog; DuckDB models it with a ranked left join)
+# --------------------------------------------------------------------------
+_PROBES = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+
+
+@declared("q18_join_asof", f"""
+WITH probes(probe) AS (VALUES (TIMESTAMP '{_PROBES[0]}'), (TIMESTAMP '{_PROBES[1]}')),
+users AS (SELECT DISTINCT user_id FROM events),
+cand AS (
+  SELECT u.user_id, p.probe, e.event_id, e.value,
+         row_number() OVER (PARTITION BY u.user_id, p.probe
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM users u CROSS JOIN probes p
+  LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= p.probe)
+SELECT user_id, strftime(probe, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+       event_id AS asof_event, value AS asof_value
+FROM cand WHERE rn = 1 ORDER BY user_id, probe_ts""")
+def q18(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    probes = users.crossJoin(
+        spark.createDataFrame([(p,) for p in _PROBES], "probe_str string")
+             .select(F.to_timestamp("probe_str").alias("probe")))
+    res = asof_join(probes, ev, key="user_id", probe_time="probe",
+                    event_time="ts", seq="event_id",
+                    payload_cols=("event_id", "value"))
+    return res.select(
+        "user_id",
+        F.date_format("probe", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
+        F.col("event_id").alias("asof_event"),
+        F.col("value").alias("asof_value"),
+    ).orderBy("user_id", "probe_ts")
+
+
+# --------------------------------------------------------------------------
+# Q19 ranking window: last-event-wins per (day, pk)
+# (O12: PE/consolidate.cpp:56-109)
+# --------------------------------------------------------------------------
+@declared("q19_window_rank_lastwins", f"""
+WITH {CHANGELOG_CTE}
+SELECT day, pk, seq, op FROM (
+  SELECT day, pk, seq, op,
+         row_number() OVER (PARTITION BY day, pk ORDER BY seq DESC) AS rn
+  FROM changelog) t
+WHERE rn = 1 ORDER BY day, pk""")
+def q19(spark, sf_dir):
+    w = Window.partitionBy("day", "pk").orderBy(F.col("seq").desc())
+    return (_log(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("day", "pk", "seq", "op")
+            .orderBy("day", "pk"))
+
+
+# --------------------------------------------------------------------------
+# Q20 analytic window: lag()-based change detection
+# (O21: Email Node Status/watcher.py:234-266)
+# --------------------------------------------------------------------------
+@declared("q20_window_lag_changes", """
+SELECT user_id, event_id, prev_type, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+  FROM events) t
+WHERE prev_type IS NOT NULL AND prev_type <> event_type
+ORDER BY user_id, event_id""")
+def q20(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (_t(spark, sf_dir, "events")
+            .withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(F.col("prev_type").isNotNull()
+                    & (F.col("prev_type") != F.col("event_type")))
+            .select("user_id", "event_id", "prev_type", "event_type")
+            .orderBy("user_id", "event_id"))
+
+
+# --------------------------------------------------------------------------
+# Q21 frame window: moving sum rowsBetween(-2, 0), decimal domain
+# --------------------------------------------------------------------------
+@declared("q21_window_frame_movsum", """
+SELECT event_id, user_id,
+       sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_sum
+FROM events ORDER BY event_id""")
+def q21(spark, sf_dir):
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+               .rowsBetween(-2, Window.currentRow))
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+                     .alias("mov_sum"))
+            .orderBy("event_id"))
+
+
+# --------------------------------------------------------------------------
+# Q22 global top-k (O5 newest-first short-circuit analog)
+# --------------------------------------------------------------------------
+@declared("q22_topk", """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""")
+def q22(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+            .limit(100))
+
+
+# --------------------------------------------------------------------------
+# Q23 set operations on two day-slices (O10/O15)
+# --------------------------------------------------------------------------
+@declared("q23_setops", """
+WITH w96 AS (SELECT DISTINCT o_custkey AS k FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+     w97 AS (SELECT DISTINCT o_custkey AS k FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT 'both' AS tag, k FROM (SELECT k FROM w96 INTERSECT SELECT k FROM w97)
+UNION ALL
+SELECT 'only96' AS tag, k FROM (SELECT k FROM w96 EXCEPT SELECT k FROM w97)
+UNION ALL
+SELECT 'only97' AS tag, k FROM (SELECT k FROM w97 EXCEPT SELECT k FROM w96)
+ORDER BY tag, k""")
+def q23(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def window(year):
+        lo = F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz")
+        hi = F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp_ntz")
+        return (o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+                 .select(F.col("o_custkey").alias("k")).distinct())
+
+    w96, w97 = window(1996), window(1997)
+    both = w96.intersect(w97).select(F.lit("both").alias("tag"), "k")
+    only96 = w96.exceptAll(w97.distinct()).select(F.lit("only96").alias("tag"), "k")
+    only97 = w97.exceptAll(w96.distinct()).select(F.lit("only97").alias("tag"), "k")
+    return both.unionByName(only96).unionByName(only97).orderBy("tag", "k")
+
+
+# --------------------------------------------------------------------------
+# Q24 CDC merge — THE FLAGSHIP (O12+O13: PE/consolidate.cpp:56-109,184-214)
+# --------------------------------------------------------------------------
+@declared("q24_cdc_merge", f"""
+WITH {CHANGELOG_CTE},
+s0 AS (SELECT median(seq) AS v FROM changelog),
+base AS (
+  SELECT day, pk, date_time, value, ts_epoch FROM (
+    SELECT day, pk, date_time, value, ts_epoch,
+           row_number() OVER (PARTITION BY day, pk ORDER BY seq DESC) AS rn
+    FROM changelog WHERE op = 'I' AND seq <= (SELECT v FROM s0)) t
+  WHERE rn = 1),
+tail AS (SELECT * FROM changelog WHERE seq > (SELECT v FROM s0)),
+flags AS (
+  SELECT day, pk,
+         max(CASE WHEN op = 'I' THEN seq END) AS last_i,
+         max(CASE WHEN op = 'D' THEN seq END) AS last_d
+  FROM tail GROUP BY day, pk),
+lastrow AS (
+  SELECT day, pk, date_time, value, ts_epoch FROM (
+    SELECT day, pk, date_time, value, ts_epoch,
+           row_number() OVER (PARTITION BY day, pk ORDER BY seq DESC) AS rn
+    FROM tail) t WHERE rn = 1),
+consolidated AS (
+  SELECT f.day, f.pk,
+         CASE WHEN coalesce(f.last_i, -1) > coalesce(f.last_d, -1) THEN 'I'
+              WHEN f.last_d IS NOT NULL THEN 'D'
+              ELSE 'U' END AS op,
+         l.date_time, l.value, l.ts_epoch
+  FROM flags f JOIN lastrow l ON f.day = l.day AND f.pk = l.pk),
+merged AS (
+  SELECT coalesce(b.day, c.day) AS day, coalesce(b.pk, c.pk) AS pk,
+         CASE WHEN c.op IN ('I', 'U') THEN c.date_time ELSE b.date_time END AS date_time,
+         CASE WHEN c.op IN ('I', 'U') THEN c.value ELSE b.value END AS value,
+         CASE WHEN c.op IN ('I', 'U') THEN c.ts_epoch ELSE b.ts_epoch END AS ts_epoch,
+         c.op AS op, (b.pk IS NOT NULL) AS in_base
+  FROM base b FULL OUTER JOIN consolidated c ON b.day = c.day AND b.pk = c.pk)
+SELECT day, pk AS id, date_time, value,
+       strftime(make_timestamp((ts_epoch + 7200) * CAST(1000000 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS ts
+FROM merged
+WHERE op IS NULL OR op = 'I' OR (op = 'U' AND in_base)
+ORDER BY day, id""")
+def q24(spark, sf_dir):
+    return cdc.cdc_merge(_t(spark, sf_dir, "events")).orderBy("day", "id")
+
+
+# --------------------------------------------------------------------------
+# Q25 row-constraint validation relation (O6: PE/db_extractor.py:78-149)
+# --------------------------------------------------------------------------
+@declared("q25_validation", f"""
+WITH {CHANGELOG_CTE},
+injected AS (
+  SELECT seq,
+         CASE WHEN seq % 101 = 0 THEN -pk - 1 ELSE pk END AS id,
+         CASE WHEN pk % 97 = 0 THEN '{SENTINEL_DT}' ELSE date_time END AS dt,
+         value
+  FROM changelog),
+flagged AS (
+  SELECT seq, id, dt,
+         (id >= 0) AS id_ok,
+         (regexp_matches(dt, '{DT_RE_SQL}') AND length(dt) = 19
+          AND dt <> '{SENTINEL_DT}') AS dt_ok,
+         (value IS NULL OR NOT isnan(value)) AS value_ok
+  FROM injected)
+SELECT seq, id, dt, id_ok, dt_ok, value_ok FROM flagged
+WHERE NOT (id_ok AND dt_ok AND value_ok)
+ORDER BY seq""")
+def q25(spark, sf_dir):
+    log = _log(spark, sf_dir)
+    injected = log.select(
+        "seq",
+        F.when(F.col("seq") % 101 == 0, -F.col("pk") - 1)
+         .otherwise(F.col("pk")).alias("id"),
+        F.when(F.col("pk") % 97 == 0, F.lit(SENTINEL_DT))
+         .otherwise(F.col("date_time")).alias("dt"),
+        "value")
+    flagged = injected.select(
+        "seq", "id", "dt",
+        (F.col("id") >= 0).alias("id_ok"),
+        (F.col("dt").rlike(DT_PATTERN) & (F.length("dt") == 19)
+         & (F.col("dt") != SENTINEL_DT)).alias("dt_ok"),
+        (F.col("value").isNull() | ~F.isnan("value")).alias("value_ok"))
+    return (flagged
+            .filter(~(F.col("id_ok") & F.col("dt_ok") & F.col("value_ok")))
+            .orderBy("seq"))
+
+
+# --------------------------------------------------------------------------
+# Q26 set-containment maximum analog (O20: HA/orchestrator.py:584-633 —
+# GTID subset partial order, restated over per-user event-type sets)
+# --------------------------------------------------------------------------
+@declared("q26_set_containment", """
+WITH sets AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY user_id)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       list_has_all(b.types, a.types) AS a_subset_b
+FROM sets a JOIN sets b
+  ON a.user_id < b.user_id AND a.user_id % 10 = 0
+ORDER BY user_a, user_b""")
+def q26(spark, sf_dir):
+    sets = (_t(spark, sf_dir, "events").groupBy("user_id")
+            .agg(F.collect_set("event_type").alias("types")))
+    a = sets.select(F.col("user_id").alias("user_a"), F.col("types").alias("ta"))
+    b = sets.select(F.col("user_id").alias("user_b"), F.col("types").alias("tb"))
+    return (a.filter(F.col("user_a") % 10 == 0)
+             .join(b, F.col("user_a") < F.col("user_b"))
+             .select("user_a", "user_b",
+                     (F.size(F.array_except("ta", "tb")) == 0).alias("a_subset_b"))
+             .orderBy("user_a", "user_b"))
+
+
+# --------------------------------------------------------------------------
+# Q27 exact dedup keep-first (north star: dedup; O12 keyed-dedup analog)
+# --------------------------------------------------------------------------
+@declared("q27_dedup_exact", """
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS group_sz
+FROM documents GROUP BY lang, text ORDER BY keep_id""")
+def q27(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("lang", "text")
+            .agg(F.min("doc_id").cast("bigint").alias("keep_id"),
+                 F.count("*").alias("group_sz"))
+            .select("keep_id", "group_sz")
+            .orderBy("keep_id"))
+
+
+# --------------------------------------------------------------------------
+# Q28 text analysis: tokenize + stats (north star: text analysis)
+# --------------------------------------------------------------------------
+@declared("q28_text_stats", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS max_tok_len
+FROM toks ORDER BY doc_id""")
+def q28(spark, sf_dir):
+    toks = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t")))
+    return (toks.select(
+                "doc_id",
+                F.size("t").cast("bigint").alias("n_tokens"),
+                F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+                F.array_max(F.transform("t", lambda x: F.length(x)))
+                 .cast("bigint").alias("max_tok_len"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# Q29 exact similarity top-k: cosine within label blocks
+# (north star: similarity search; brute-force baseline)
+# --------------------------------------------------------------------------
+@declared("q29_similarity_topk", """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nbr_id) AS rn
+      FROM p)
+SELECT vec_id, nbr_id, CAST(cos AS DECIMAL(18,6)) AS cos_sim,
+       CAST(rn AS BIGINT) AS rnk
+FROM r WHERE rn <= 3 ORDER BY vec_id, rnk""")
+def q29(spark, sf_dir):
+    from .operators.similarity import cosine_topk_blocked
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_blocked(emb, k=3).orderBy("vec_id", "rnk")

@@ -1,0 +1,93 @@
+"""SparkSession construction and runtime configuration pinning.
+
+The engine depends on a handful of session-level settings for
+determinism and scale; ``configure()`` applies the runtime-settable
+ones to *any* session (including one we did not build), and
+``get_spark()`` builds a local session with the full set.
+
+Determinism notes (SURVEY.md §2.2 rules):
+- session timezone pinned to UTC — the reference renders its ``ts``
+  column at a *fixed* UTC+2 offset (Parquet Export/consolidate.cpp:45-53),
+  which we express as explicit ``+ INTERVAL 2 HOURS`` on top of UTC,
+  never via a named zone.
+- the driver-generated fixtures store ``events.ts`` as parquet
+  TIMESTAMP(NANOS), which Spark only reads with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (sources.tables then
+  rescales to a proper microsecond timestamp).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf that must hold for correctness; all runtime-settable.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # fixtures use TIMESTAMP(NANOS); read as long then rescale (sources.tables)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime coalescing, skew-join splitting, broadcast demotion
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # per-day idempotent overwrite == the reference's whole-partition
+    # rewrite primitive (Parquet Export/db_extractor.py:247-248)
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # metadata-only MIN/MAX/COUNT from parquet footers (row_integrity.py:68)
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+}
+
+#: Conf only honored at session build time.
+STATIC_CONFS: dict[str, str] = {
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs on an existing session (idempotent, cheap).
+
+    Called at the top of every public entry point so the engine works
+    inside a session it did not create (e.g. the verify driver's).
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-settable on this build — best effort
+    return spark
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "enexory-parquet-export-spark",
+              master: str | None = None) -> SparkSession:
+    """Build (or fetch) a session tuned for this engine.
+
+    Local default is ``local[$SPARK_GRAFT_CPUS]``; on a real cluster
+    pass ``master=None`` with an external cluster manager and the same
+    confs apply unchanged — nothing here is local-mode specific.
+    """
+    par = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{par}]")
+    for key, value in STATIC_CONFS.items():
+        builder = builder.config(key, value)
+    builder = builder.config("spark.sql.shuffle.partitions", str(par))
+    builder = builder.config("spark.driver.memory",
+                             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return configure(builder.getOrCreate())

@@ -1,0 +1,67 @@
+"""Parquet table loaders for the canonical fixture tables.
+
+Replaces the reference's chunked JDBC scan (O1,
+Parquet Export/db_extractor.py:13,198,230) for the offline harness:
+the source snapshot is parquet, read with Spark's vectorized reader so
+predicate pushdown and column pruning apply (SURVEY.md §4).
+
+Fixture quirk: the driver-generated files store some timestamp columns
+as parquet TIMESTAMP(NANOS), which Spark cannot map natively.  With
+``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as long
+nanoseconds; we sniff the parquet footer (metadata-only, via pyarrow)
+and rescale to microsecond timestamps so downstream code sees a plain
+``TimestampType``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure
+
+CANONICAL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@functools.lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as TIMESTAMP(NANOS) — footer-only sniff."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+        schema = ds.dataset(path, format="parquet").schema
+        return tuple(
+            field.name for field in schema
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+        )
+    except Exception:
+        return ()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    flat = os.path.join(sf_dir, f"{name}.parquet")
+    return flat if os.path.exists(flat) else os.path.join(sf_dir, name)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one canonical table with timestamps normalized to µs."""
+    configure(spark)
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_cols(path):
+        # integer div: ns → µs, exact, stays in whole-stage codegen
+        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = CANONICAL_TABLES) -> None:
+    """Register every canonical table as a temp view for spark.sql."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
