@@ -1,0 +1,64 @@
+"""Benchmark harness — declared query set on Spark, one JSON line out.
+
+Runs every declared query from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) inside ONE
+SparkSession on ``local[$SPARK_GRAFT_CPUS]``, amortizing JVM startup
+(BASELINE.md: startup must not be billed per-query).  Each query is
+fully executed via a ``noop``-format write (materializes every row
+through the physical plan, including sorts, without driver collection
+— the honest engine-throughput measure at scale).
+
+Output: one JSON line
+``{"metric": "declared_set_wall", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": <sf>}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = None
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    import __spark_entry__ as entrymod
+    from enexory_parquet_export_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warmup: touch every table + JIT the whole pipeline once
+    warm = sorted(qs)[0]
+    qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).write.format("noop") \
+                                   .mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record failures as negative sentinel
+            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({"metric": "declared_set_wall", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,93 @@
+"""Text-analysis scalar battery (north-star extension).
+
+Language-ID (marker-set scorer), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document
+fingerprinting.  Everything is built-in expression trees (codegen'd,
+no Python UDFs) and every formula has an exact DuckDB twin so the
+declared queries hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import MERSENNE_P
+
+#: deterministic marker-word profiles for the language scorer.
+#: Real-world deployments would load per-language stopword lists; the
+#: fixture corpus shares one synthetic vocabulary across langs, so the
+#: profiles are fixed marker sets — the *operator* (score + argmax with
+#: deterministic tie-break) is what matters.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("table", "row", "window", "group"),
+    "es": ("data", "value", "part", "key"),
+    "fr": ("query", "join", "merge", "filter"),
+    "zh": ("spark", "stream", "batch", "column"),
+}
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+PUNCT = ".,!?;:"
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def lang_scores(toks_distinct: Column) -> dict[str, Column]:
+    """Marker-hit count per language profile."""
+    return {
+        lang: F.size(F.array_intersect(
+            toks_distinct, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_PROFILES.items()
+    }
+
+
+def lang_predict(toks_distinct: Column) -> Column:
+    """argmax of marker hits; ties broken by profile-declaration order
+    (the CASE-chain order — identical in the oracle SQL)."""
+    scores = lang_scores(toks_distinct)
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang, s in scores.items():
+        cond = s == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr
+
+
+def quality_score(text: Column, toks: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, stopword ratio,
+    mean token length — the standard cheap pre-filter for training
+    corpora.  Pure double math (deterministic IEEE on both engines),
+    decimal-cast at the boundary by the caller."""
+    n_tok = F.size(toks)
+    stop_ratio = (F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+                  * 1.0 / n_tok)
+    avg_len = (F.length(text) * 1.0) / n_tok
+    return (F.lit(0.4) * F.least(n_tok * 1.0 / 100.0, F.lit(1.0))
+            + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+            + F.lit(0.3) * F.least(avg_len / 8.0, F.lit(1.0)))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_RE), 0))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.translate(text, PUNCT, ""))
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive rolling polynomial hash over token hashes,
+    mod 2^31−1 — a document fingerprint that distinguishes
+    permutations (unlike set-based MinHash)."""
+    return F.aggregate(
+        F.transform(
+            toks,
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10)
+                       .cast("bigint") % F.lit(MERSENNE_P)),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * F.lit(31) + h) % F.lit(MERSENNE_P))

@@ -59,34 +59,38 @@ def cosine_topk_blocked(emb: DataFrame, *, k: int = 3,
                          "rnk"))
 
 
-def ann_lsh_topk(emb: DataFrame, *, k: int = 3, n_planes: int = 12,
-                 dim: int = 64, vec_col: str = "embedding") -> DataFrame:
-    """Approximate NN: random-hyperplane LSH bucketing + exact rerank.
-
-    Buckets = sign pattern of ``n_planes`` deterministic hyperplanes
-    (plane coefficients derived from md5 of (plane, dim) — reproducible
-    anywhere, no RNG state).  Candidates share a bucket; exact cosine
-    reranks within the bucket.  Scale path: bucket count ~2^n_planes
-    keeps each bucket's self-join tiny; tune n_planes to corpus size.
-    """
-    # deterministic plane matrix as a literal array-of-arrays column
+def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random-hyperplane coefficients in [−1, 1],
+    derived from md5(plane_dim) — reproducible in any engine with no
+    RNG state (the oracle embeds the same literals)."""
     import hashlib
 
     def coeff(p: int, d: int) -> float:
         h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
         return (h % 2001 - 1000) / 1000.0
 
-    planes = [[coeff(p, d) for d in range(dim)] for p in range(n_planes)]
-    planes_lit = F.lit(planes)  # array<array<double>>
+    return [[coeff(p, d) for d in range(dim)] for p in range(n_planes)]
 
-    v = F.col(vec_col).cast("array<double>")
-    sig = F.transform(
-        planes_lit,
-        lambda plane: (F.aggregate(F.zip_with(plane, v, lambda x, y: x * y),
-                                   F.lit(0.0), lambda acc, x: acc + x)
-                       >= 0).cast("int"))
-    keyed = (emb.select("vec_id", "label", v.alias("v"))
-                .withColumn("bucket", F.concat_ws("", sig))
+
+def ann_lsh_topk(emb: DataFrame, *, k: int = 3, n_planes: int = 4,
+                 dim: int = 64, vec_col: str = "embedding") -> DataFrame:
+    """Approximate NN: random-hyperplane LSH bucketing + exact rerank.
+
+    Buckets = sign pattern of ``n_planes`` deterministic hyperplanes.
+    Candidates share a bucket; exact cosine reranks within the bucket.
+    Scale path: bucket count ~2^n_planes keeps each bucket's self-join
+    tiny; tune n_planes to corpus size (4 for the small fixture).
+    """
+    planes = lsh_planes(n_planes, dim)
+    vv = F.col("v")  # resolved against the select below, not the input
+    sign_bits = [
+        F.when(_dot(F.array(*[F.lit(c) for c in plane]), vv) >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    keyed = (emb.select("vec_id", "label",
+                        F.col(vec_col).cast("array<double>").alias("v"))
+                .withColumn("bucket", F.concat(*sign_bits))
                 .withColumn("nrm", _norm(F.col("v"))))
     a = keyed.select("vec_id", F.col("bucket"), F.col("v").alias("va"),
                      F.col("nrm").alias("na"))

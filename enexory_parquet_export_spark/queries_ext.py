@@ -1,9 +1,18 @@
 """Extension query inventory — training-data-pipeline operators.
 
-Dedup family (MinHash/SimHash/n-gram Jaccard/embedding near-dup),
-text analysis (language-ID, quality score, token counting,
-fingerprinting), ANN, multimodal plumbing.  Registered separately so
-the core relational battery stays readable.
+Dedup family (exact is q27; here MinHash+LSH, SimHash, n-gram
+Jaccard, embedding near-dup), text analysis (language-ID, quality
+score, token counting, fingerprinting), ANN (brute-force is q29; here
+the LSH-bucketed variant), and multimodal binary-column plumbing.
+
+Near-dup fixtures: the synthetic corpus has no natural near-dups, so
+dedup queries build a *derived corpus* = documents ∪ (doc_id+10⁶,
+text ⊕ " zz0 zz1 zz2") — deterministic high-Jaccard twins both
+engines construct identically (same idea for embeddings with a
+scale-perturbed copy: cosine is scale-invariant → cos = 1).
+
+All hashing is the portable md5 family (functions.hashing) so the
+DuckDB oracle reproduces signatures bit-for-bit.
 """
 
 from __future__ import annotations
@@ -11,6 +20,13 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions.hashing import MERSENNE_P, hash_family_sql, portable_hash60_sql
+from .operators import dedup as D
+from .operators.similarity import ann_lsh_topk, lsh_planes
+from .sources.tables import load_table
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -23,3 +39,321 @@ def declared(name: str, oracle: str | None = None):
             ORACLE_SQL[name] = oracle
         return fn
     return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"))
+    return docs.unionByName(twins)
+
+
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1 zz2' AS text
+  FROM documents)"""
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+#: DuckDB 3-token shingles over 1-based list indexing (Spark mirrors
+#: with 1-based element_at)
+_SHINGLES = (r"list_transform(range(1, len(t) - 1), "
+             r"i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
+
+
+# --------------------------------------------------------------------------
+# X30 MinHash + LSH near-dup pairs
+# --------------------------------------------------------------------------
+_MINHASH_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(s, x -> {h}))"
+    for h in hash_family_sql("x", 8)) + "]"
+
+@declared("x30_minhash_lsh_dup", f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3 THEN {_SHINGLES}
+                   ELSE [] END AS s
+       FROM toks),
+sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM sh),
+bands AS (
+  SELECT doc_id,
+         concat(b, ':', sig[2*b + 1], ':', sig[2*b + 2]) AS band_key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(list_sum(list_transform(range(1, 9),
+                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+              / 8.0 AS DECIMAL(18,6)) AS est_sim
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, est_sim FROM est
+WHERE est_sim >= 0.5 ORDER BY id_a, id_b""")
+def x30(spark, sf_dir):
+    return (D.minhash_dup_pairs(_doc_corpus(spark, sf_dir),
+                                threshold=0.5, k=8, bands=4)
+            .orderBy("id_a", "id_b"))
+
+
+# --------------------------------------------------------------------------
+# X31 SimHash signatures (60-bit majority-vote fingerprint)
+# --------------------------------------------------------------------------
+@declared("x31_simhash", f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+th AS (SELECT doc_id, len(t) AS n,
+              list_transform(t, x -> {portable_hash60_sql('x')}) AS hs
+       FROM toks)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 60), b ->
+         CASE WHEN 2 * list_sum(list_transform(hs,
+                      hh -> (hh >> b) & CAST(1 AS BIGINT))) >= n
+              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS simhash
+FROM th ORDER BY doc_id""")
+def x31(spark, sf_dir):
+    return (D.simhash_signatures(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X32 n-gram Jaccard near-dup pairs (exact, shared-shingle candidates)
+# --------------------------------------------------------------------------
+@declared("x32_ngram_jaccard_dup", f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(t) >= 3 THEN {_SHINGLES}
+                                 ELSE [] END) AS s
+       FROM toks),
+ex AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS sh FROM sh),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb,
+         count(*) AS shared
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       CAST(shared * 1.0 / (na + nb - shared) AS DECIMAL(18,6)) AS jac
+FROM shared
+WHERE CAST(shared * 1.0 / (na + nb - shared) AS DECIMAL(18,6)) >= 0.6
+ORDER BY id_a, id_b""")
+def x32(spark, sf_dir):
+    return (D.ngram_jaccard_pairs(_doc_corpus(spark, sf_dir), threshold=0.6)
+            .orderBy("id_a", "id_b"))
+
+
+# --------------------------------------------------------------------------
+# X33 embedding-cosine near-dup (scale-perturbed twins, cos ≥ 0.999)
+# --------------------------------------------------------------------------
+@declared("x33_embedding_neardup", """
+WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+corpus AS (
+  SELECT vec_id, label, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(v, x -> x * 1.1) AS v
+  FROM base),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+      FROM corpus),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, CAST(cos AS DECIMAL(18,6)) AS cos_sim
+FROM p WHERE cos >= 0.999 ORDER BY id_a, id_b""")
+def x33(spark, sf_dir):
+    from .operators.similarity import _dot, _norm
+    base = (_t(spark, sf_dir, "embeddings")
+            .select("vec_id", "label",
+                    F.col("embedding").cast("array<double>").alias("v")))
+    twins = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                        "label",
+                        F.transform("v", lambda x: x * 1.1).alias("v"))
+    n = base.unionByName(twins).withColumn("nrm", _norm(F.col("v")))
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("label").alias("_la"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("label").alias("_lb"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (a.join(b, (F.col("_la") == F.col("_lb"))
+                   & (F.col("id_a") < F.col("id_b")))
+             .withColumn("cos", _dot(F.col("va"), F.col("vb"))
+                         / (F.col("na") * F.col("nb")))
+             .filter(F.col("cos") >= 0.999)
+             .select("id_a", "id_b",
+                     F.col("cos").cast("decimal(18,6)").alias("cos_sim"))
+             .orderBy("id_a", "id_b"))
+
+
+# --------------------------------------------------------------------------
+# X34 language-ID: marker-profile scorer with deterministic tie-break
+# --------------------------------------------------------------------------
+def _lang_sql() -> str:
+    scores = ", ".join(
+        f"len(list_intersect(td, {list(m)!r})) AS s_{lang}"
+        for lang, m in T.LANG_PROFILES.items())
+    best = "greatest(" + ", ".join(f"s_{l}" for l in T.LANG_PROFILES) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in T.LANG_PROFILES) + " END"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, list_distinct({_TOKS}) AS td
+              FROM documents),
+scored AS (SELECT doc_id, lang, {scores} FROM toks),
+best AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, {case} AS pred_lang, lang,
+       ({case}) = lang AS lang_match
+FROM best ORDER BY doc_id"""
+
+
+@declared("x34_lang_id", _lang_sql())
+def x34(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    td = F.array_distinct(T.whitespace_tokens(F.col("text")))
+    pred = T.lang_predict(td)
+    return (docs.select("doc_id", pred.alias("pred_lang"), "lang",
+                        (pred == F.col("lang")).alias("lang_match"))
+                .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X35 quality score (length / stopword-ratio / token-length composite)
+# --------------------------------------------------------------------------
+# quality is emitted as floor(micro-units): both engines compute the
+# identical IEEE double, and floor(x*1e6) of the same double is
+# bit-stable, unlike a double→DECIMAL cast whose half-rounding rules
+# differ (Spark expands the exact double; DuckDB rounds via *1e6).
+@declared("x35_quality_score", f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(floor((
+         0.4 * least(len(t) * 1.0 / 100.0, 1.0)
+         + 0.3 * (1.0 - len(list_filter(t, x -> x IN ('the', 'a')))
+                  * 1.0 / len(t))
+         + 0.3 * least((length(text) * 1.0) / len(t) / 8.0, 1.0)
+       ) * 1000000.0) AS BIGINT) AS quality_micro
+FROM toks ORDER BY doc_id""")
+def x35(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.whitespace_tokens(F.col("text"))
+    df = docs.select("doc_id", "text", toks.alias("t"))
+    return (df.select("doc_id",
+                      F.size("t").cast("bigint").alias("n_tokens"),
+                      F.floor(T.quality_score(F.col("text"), F.col("t"))
+                              * F.lit(1000000.0))
+                       .cast("bigint").alias("quality_micro"))
+              .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X36 token counting: whitespace + BPE-ish regex pre-tokenizer
+# --------------------------------------------------------------------------
+@declared("x36_token_count", f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+                '{T.BPE_RE}')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(replace(replace(replace(replace(replace(text,
+            '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', ''))
+            AS BIGINT) AS punct_cnt
+FROM toks ORDER BY doc_id""")
+def x36(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(
+                "doc_id",
+                F.size(T.whitespace_tokens(F.col("text")))
+                 .cast("bigint").alias("ws_tokens"),
+                T.bpe_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
+                F.length("text").cast("bigint").alias("n_chars"),
+                T.punct_count(F.col("text")).cast("bigint").alias("punct_cnt"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X37 rolling-hash document fingerprint (order-sensitive)
+# --------------------------------------------------------------------------
+@declared("x37_fingerprint", f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(t, x -> {portable_hash60_sql('x')} % {MERSENNE_P})),
+         (a, h) -> (a * 31 + h) % {MERSENNE_P}) AS fingerprint
+FROM toks ORDER BY doc_id""")
+def x37(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(
+                "doc_id",
+                T.rolling_fingerprint(T.whitespace_tokens(F.col("text")))
+                 .alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X38 ANN via random-hyperplane LSH buckets + exact rerank
+# --------------------------------------------------------------------------
+def _ann_sql(n_planes: int = 4, dim: int = 64) -> str:
+    planes = lsh_planes(n_planes, dim)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST("
+        + repr(plane).replace("(", "[").replace(")", "]")
+        + " AS DOUBLE[]), v) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes)
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+keyed AS (SELECT vec_id, v, {bits} AS bucket,
+                 sqrt(list_dot_product(v, v)) AS nrm
+          FROM e),
+p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      FROM keyed a JOIN keyed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nbr_id) AS rn
+      FROM p)
+SELECT vec_id, nbr_id, CAST(cos AS DECIMAL(18,6)) AS cos_sim,
+       CAST(rn AS BIGINT) AS rnk
+FROM r WHERE rn <= 3 ORDER BY vec_id, rnk"""
+
+
+@declared("x38_ann_lsh", _ann_sql())
+def x38(spark, sf_dir):
+    return (ann_lsh_topk(_t(spark, sf_dir, "embeddings"),
+                         k=3, n_planes=4)
+            .orderBy("vec_id", "rnk"))
+
+
+# --------------------------------------------------------------------------
+# X39 multimodal binary-column plumbing: opaque payload + typed metadata
+# --------------------------------------------------------------------------
+@declared("x39_multimodal_meta", """
+WITH blobs AS (SELECT doc_id, encode(text) AS payload, source FROM documents)
+SELECT doc_id,
+       CAST(octet_length(payload) AS BIGINT) AS byte_len,
+       lower(substr(hex(payload), 1, 32)) AS header_hex,
+       md5(lower(hex(payload))) AS content_md5,
+       source AS media_source
+FROM blobs ORDER BY doc_id""")
+def x39(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (docs.select(
+                "doc_id",
+                F.octet_length(payload).cast("bigint").alias("byte_len"),
+                F.lower(F.substring(F.hex(payload), 1, 32)).alias("header_hex"),
+                F.md5(F.lower(F.hex(payload))).alias("content_md5"),
+                F.col("source").alias("media_source"))
+            .orderBy("doc_id"))

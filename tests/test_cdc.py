@@ -1,0 +1,172 @@
+"""CDC merge semantics — the flagship's nontrivial rules, unit-tested
+against the reference's map algebra (consolidate.cpp:56-109,184-214)
+plus a randomized replay-oracle differential test (the reference's own
+strongest test pattern, HA_test2.py:158-256, restated for the engine).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from enexory_parquet_export_spark.operators.cdc import (
+    apply_changes,
+    consolidate,
+    derive_changelog,
+)
+
+SCHEMA = "seq bigint, pk bigint, op string, date_time string, value double, ts_epoch bigint, day string"
+BASE_SCHEMA = "day string, pk bigint, date_time string, value double, ts_epoch bigint"
+
+D = "2024-01-01"
+
+
+def ev(seq, pk, op, value=1.0):
+    return (seq, pk, op, f"{D} 00:00:{seq % 60:02d}", value, 1700000000 + seq, D)
+
+
+def chg(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def base_df(spark, rows):
+    return spark.createDataFrame(
+        [(D, pk, f"{D} 00:00:00", v, 1700000000) for pk, v in rows], BASE_SCHEMA)
+
+
+def merged_dict(df):
+    return {(r["day"], r["pk"]): r["value"] for r in df.collect()}
+
+
+class TestConsolidate:
+    def test_last_event_wins(self, spark):
+        out = consolidate(chg(spark, [ev(1, 10, "I", 1.0), ev(2, 10, "U", 2.0),
+                                      ev(3, 10, "U", 3.0)])).collect()
+        assert len(out) == 1
+        assert out[0]["op"] == "I"          # I then Us → still an insert fold
+        assert out[0]["value"] == 3.0       # ... with the LAST payload
+
+    def test_insert_then_delete_kills(self, spark):
+        out = consolidate(chg(spark, [ev(1, 10, "I"), ev(2, 10, "D")])).collect()
+        assert out[0]["op"] == "D"
+
+    def test_delete_then_insert_revives(self, spark):
+        out = consolidate(chg(spark, [ev(1, 10, "D"), ev(2, 10, "I", 9.0)])).collect()
+        assert out[0]["op"] == "I" and out[0]["value"] == 9.0
+
+    def test_update_after_delete_stays_dead(self, spark):
+        # consolidate.cpp:194 — the U lands in the update map, but the key
+        # no longer exists after the delete phase, so it must not revive.
+        out = consolidate(chg(spark, [ev(1, 10, "I"), ev(2, 10, "D"),
+                                      ev(3, 10, "U", 7.0)])).collect()
+        assert out[0]["op"] == "D"
+
+    def test_only_updates(self, spark):
+        out = consolidate(chg(spark, [ev(1, 10, "U", 5.0), ev(2, 10, "U", 6.0)])).collect()
+        assert out[0]["op"] == "U" and out[0]["value"] == 6.0
+
+    def test_per_day_per_pk_keys(self, spark):
+        rows = [ev(1, 10, "I"), ev(2, 11, "I"),
+                (3, 10, "I", "2024-01-02 00:00:03", 1.0, 1700000003, "2024-01-02")]
+        assert consolidate(chg(spark, rows)).count() == 3
+
+
+class TestApplyChanges:
+    def test_delete_update_insert_order(self, spark):
+        base = base_df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)])
+        changes = chg(spark, [ev(10, 1, "D"),           # delete existing
+                              ev(11, 2, "U", 20.0),     # update existing
+                              ev(12, 4, "I", 40.0)])    # insert new
+        changes = consolidate(changes)
+        out = merged_dict(apply_changes(base, changes))
+        assert out == {(D, 2): 20.0, (D, 3): 3.0, (D, 4): 40.0}
+
+    def test_update_missing_pk_is_noop(self, spark):
+        base = base_df(spark, [(1, 1.0)])
+        changes = consolidate(chg(spark, [ev(10, 99, "U", 9.0)]))
+        out = merged_dict(apply_changes(base, changes))
+        assert out == {(D, 1): 1.0}
+
+    def test_insert_upserts_existing(self, spark):
+        base = base_df(spark, [(1, 1.0)])
+        changes = consolidate(chg(spark, [ev(10, 1, "I", 11.0)]))
+        out = merged_dict(apply_changes(base, changes))
+        assert out == {(D, 1): 11.0}
+
+    def test_delete_missing_pk_is_noop(self, spark):
+        base = base_df(spark, [(1, 1.0)])
+        changes = consolidate(chg(spark, [ev(10, 99, "D")]))
+        assert merged_dict(apply_changes(base, changes)) == {(D, 1): 1.0}
+
+    def test_merge_to_empty(self, spark):
+        base = base_df(spark, [(1, 1.0)])
+        changes = consolidate(chg(spark, [ev(10, 1, "D")]))
+        assert apply_changes(base, changes).count() == 0
+
+
+def replay_oracle(base: dict, events: list) -> dict:
+    """Single-threaded dict reimplementation of consolidate.cpp's
+    consolidate+merge semantics (the reference's EXPECTED_TABLE
+    pattern, HA_test2.py:36)."""
+    state = dict(base)
+    # within-batch consolidation: effective op per key
+    by_key: dict = {}
+    for seq, pk, op, value in sorted(events):
+        k = by_key.setdefault(pk, {"last_i": -1, "last_d": -1, "last": None})
+        if op == "I":
+            k["last_i"] = seq
+        elif op == "D":
+            k["last_d"] = seq
+        k["last"] = value
+    for pk, k in by_key.items():
+        if k["last_i"] > k["last_d"]:
+            state[pk] = k["last"]                      # insert-as-upsert
+        elif k["last_d"] >= 0:
+            state.pop(pk, None)                        # delete wins
+        elif pk in state:
+            state[pk] = k["last"]                      # update-if-exists
+    return state
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_randomized_replay_differential(spark, seed):
+    rng = random.Random(seed)
+    base_rows = [(pk, float(rng.randint(0, 50))) for pk in rng.sample(range(30), 12)]
+    events = []
+    for seq in range(200):
+        op = rng.choices("IUD", weights=[0.4, 0.4, 0.2])[0]
+        events.append((seq, rng.randrange(30), op, float(rng.randint(0, 99))))
+
+    expected = replay_oracle(dict(base_rows), events)
+
+    base = base_df(spark, base_rows)
+    changes = consolidate(chg(
+        spark, [ev(seq, pk, op, v) for seq, pk, op, v in events]))
+    actual = {pk: v for (_, pk), v in merged_dict(apply_changes(base, changes)).items()}
+    assert actual == expected
+
+
+def test_count_parity_invariant(spark):
+    """#rows_after = #rows_before − applied_deletes + net_new_inserts
+    (the reference's log accounting, consolidate.cpp:216-224)."""
+    base = base_df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)])
+    changes = consolidate(chg(spark, [
+        ev(10, 1, "D"), ev(11, 2, "U", 5.0), ev(12, 9, "I", 6.0),
+        ev(13, 8, "U", 7.0)]))  # update-to-missing: no-op
+    merged = apply_changes(base, changes)
+    assert merged.count() == 3 - 1 + 1
+
+
+def test_derive_changelog_shape(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from enexory_parquet_export_spark.sources.tables import load_table
+    events = load_table(spark, sf_dir, "events")
+    log = derive_changelog(events)
+    assert log.columns == ["seq", "pk", "op", "date_time", "value", "ts_epoch", "day"]
+    ops = {r["op"] for r in log.select("op").distinct().collect()}
+    assert ops <= {"I", "U", "D"}
+    n19 = log.filter(F.length("date_time") != 19).count()
+    assert n19 == 0

@@ -1,0 +1,86 @@
+"""Dedup family + similarity search operators (north-star extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enexory_parquet_export_spark.operators import dedup as D
+from enexory_parquet_export_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk_blocked,
+)
+from enexory_parquet_export_spark.sources.tables import load_table
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_shingles_short_doc_empty(spark):
+    df = docs_df(spark, [(1, "a b"), (2, "a b c d")])
+    out = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", D.shingles(D.tokens(F.col("text"))).alias("s")).collect()}
+    assert out[1] == []
+    assert out[2] == ["a b c", "b c d"]
+
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "x", 1.0), (3, "y", 2.0)],
+        "id bigint, k string, v double")
+    out = {(r["k"], r["v"]): (r["id"], r["group_sz"])
+           for r in D.exact_dedup(df, ["k", "v"], "id").collect()}
+    assert out == {("x", 1.0): (1, 2), ("y", 2.0): (3, 1)}
+
+
+def test_minhash_identical_docs_perfect_sim(spark):
+    text = "the quick brown fox jumps over the lazy dog today"
+    df = docs_df(spark, [(1, text), (2, text), (3, "completely different words here entirely now")])
+    pairs = {(r["id_a"], r["id_b"]): float(r["est_sim"])
+             for r in D.minhash_dup_pairs(df, threshold=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_near_dup(spark):
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    b = a + " extra"            # high overlap
+    df = docs_df(spark, [(1, a), (2, b), (3, "x0 x1 x2 x3 x4")])
+    pairs = {(r["id_a"], r["id_b"]): float(r["jac"])
+             for r in D.ngram_jaccard_pairs(df, threshold=0.6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_stability_and_locality(spark):
+    df = docs_df(spark, [(1, "alpha beta gamma delta"),
+                         (2, "alpha beta gamma delta"),
+                         (3, "epsilon zeta eta theta")])
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(df).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+    assert all(0 <= s < 2 ** 60 for s in sig.values())
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    out = cosine_topk_blocked(emb, k=3)
+    rows = out.collect()
+    assert all(r["vec_id"] != r["nbr_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["vec_id"], []).append((r["rnk"], float(r["cos_sim"])))
+    for ranked in by_q.values():
+        ranked.sort()
+        assert len(ranked) <= 3
+        sims = [s for _, s in ranked]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_is_subset_of_bucket_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    out = ann_lsh_topk(emb, k=3, n_planes=4).collect()
+    # every neighbor pair must share the LSH bucket by construction;
+    # sanity: ranks are 1..k and cos within [-1, 1]
+    assert all(1 <= r["rnk"] <= 3 for r in out)
+    assert all(-1.0001 <= float(r["cos_sim"]) <= 1.0001 for r in out)

@@ -1,0 +1,63 @@
+"""Driver-contract tests for __spark_entry__ and the writer layer."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def test_entry_runs_and_has_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"day", "id", "date_time", "value", "ts"}
+
+
+def test_every_query_has_oracle_or_is_flagged(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 39
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle entries without queries: {missing}"
+    # every declared query should have an oracle (no weak rows-only checks)
+    weak = set(qs) - set(oracles)
+    assert not weak, f"queries without oracle SQL: {weak}"
+
+
+def test_queries_return_lazy_dataframes(spark, sf_dir):
+    # spot-check a fast pair: callable → DataFrame with named columns
+    qs = entrymod.queries()
+    df = qs["q01_scan_project"](spark, sf_dir)
+    assert df.columns  # analysis succeeded without execution
+
+
+def test_day_partitioned_roundtrip(spark, tmp_path):
+    from enexory_parquet_export_spark.sources.writer import (
+        list_days,
+        read_day_partitioned,
+        remove_empty_days,
+        write_day_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, "2024-01-01 00:00:01", 1.0, 100),
+         ("2024-01-02", 2, "2024-01-02 00:00:02", None, 200)],
+        "day string, pk bigint, date_time string, value double, ts_epoch bigint")
+    path = str(tmp_path / "mirror")
+    write_day_partitioned(df, path)
+    assert sorted(list_days(spark, path)) == ["2024-01-01", "2024-01-02"]
+
+    back = read_day_partitioned(spark, path)
+    assert back.count() == 2
+    # dynamic partition overwrite: rewriting one day leaves the other intact
+    upd = df.filter(F.col("day") == "2024-01-01").withColumn("value", F.lit(9.0))
+    write_day_partitioned(upd, path)
+    back2 = read_day_partitioned(spark, path)
+    assert back2.count() == 2
+    assert back2.filter(F.col("day") == "2024-01-01").collect()[0]["value"] == 9.0

@@ -1,0 +1,82 @@
+"""Scalar-function batteries: datetime normalization/sentinel,
+portable hashing, text analysis."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from enexory_parquet_export_spark.functions import text as T
+from enexory_parquet_export_spark.functions.datetime import (
+    SENTINEL_DT,
+    day_key,
+    normalize_datetime,
+    utc2_render,
+)
+from enexory_parquet_export_spark.functions.hashing import (
+    MERSENNE_P,
+    portable_hash60,
+)
+
+
+def one(spark, col, *rows_schema):
+    rows, schema = rows_schema if rows_schema else ([("x",)], "s string")
+    return spark.createDataFrame(rows, schema).select(col.alias("v")).collect()
+
+
+def test_normalize_datetime_valid_and_sentinel(spark):
+    rows = [("2024-03-05 10:20:30",), ("garbage",), (None,),
+            ("2024-13-99 00:00:00",)]
+    out = [r["v"] for r in one(spark, normalize_datetime(F.col("s")), rows, "s string")]
+    assert out == ["2024-03-05 10:20:30", SENTINEL_DT, SENTINEL_DT, SENTINEL_DT]
+
+
+def test_day_key_prefix(spark):
+    out = one(spark, day_key(F.col("s")), [("2024-03-05 10:20:30",)], "s string")
+    assert out[0]["v"] == "2024-03-05"
+
+
+def test_utc2_render_fixed_offset(spark):
+    # consolidate.cpp:45-53 — epoch + 2h, no DST. 2024-06-15 12:00:00Z → 14:00 wall.
+    out = one(spark, utc2_render(F.col("e")), [(1718452800,)], "e bigint")
+    assert out[0]["v"] == "2024-06-15 14:00:00"
+
+
+def test_portable_hash60_matches_md5(spark):
+    out = one(spark, portable_hash60(F.col("s")), [("hello",)], "s string")
+    expected = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    assert out[0]["v"] == expected
+    assert 0 <= out[0]["v"] < 2 ** 60
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",)], "s string")
+    out = [r["v"] for r in df.select(
+        T.rolling_fingerprint(T.whitespace_tokens(F.col("s"))).alias("v")).collect()]
+    assert out[0] == out[2] and out[0] != out[1]
+    assert all(0 <= v < MERSENNE_P for v in out)
+
+
+def test_lang_predict_tie_break_order(spark):
+    # zero marker hits everywhere → tie → first profile ('en') wins
+    out = one(spark, T.lang_predict(F.array(F.lit("nohit"))),
+              [("x",)], "s string")
+    assert out[0]["v"] == "en"
+
+
+def test_bpe_and_punct_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42",)], "s string")
+    row = df.select(T.bpe_token_count(F.col("s")).alias("b"),
+                    T.punct_count(F.col("s")).alias("p")).collect()[0]
+    # hello | , | world | ! | 42  → 5 BPE-ish tokens; ',' '!' → 2 punct
+    assert row["b"] == 5 and row["p"] == 2
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from enexory_parquet_export_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.whitespace_tokens(F.col("text"))
+    mm = docs.select(T.quality_score(F.col("text"), toks).alias("q")) \
+             .agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= mm[0] and mm[1] <= 1.0
