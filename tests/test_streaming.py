@@ -1,0 +1,181 @@
+"""Streaming surface: CDC merge replay-equivalence (SURVEY §2.2 —
+streaming is verified against the batch path, not DuckDB) and the
+stateful change detector vs its lag()-window batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from enexory_parquet_export_spark.operators.cdc import (
+    apply_changes,
+    consolidate,
+    derive_changelog,
+)
+from enexory_parquet_export_spark.sources.tables import load_table
+from enexory_parquet_export_spark.sources.writer import read_day_partitioned
+from enexory_parquet_export_spark.streaming.cdc_stream import (
+    CHANGELOG_SCHEMA,
+    start_cdc_merge_stream,
+    stream_changelog,
+)
+
+
+def _final_state(df):
+    return {(r["day"], r["pk"]): (r["date_time"], r["value"], r["ts_epoch"])
+            for r in df.collect()}
+
+
+@pytest.mark.slow
+def test_streaming_merge_equals_batch_replay(spark, sf_dir, tmp_path):
+    """Drain the full changelog through foreachBatch micro-batches
+    (several files per trigger) and compare the resulting mirror with a
+    single batch consolidate+merge of the same events."""
+    events = load_table(spark, sf_dir, "events").limit(4000)
+    log = derive_changelog(events).persist()
+
+    # batch oracle: empty base + one consolidated merge
+    empty = spark.createDataFrame(
+        [], "day string, pk bigint, date_time string, value double, ts_epoch bigint")
+    expected = _final_state(apply_changes(empty, consolidate(log)))
+    # D-only keys produce no row; drop them from comparison noise
+    src = str(tmp_path / "changelog")
+    mirror = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 4 changelog files == at least 2 micro-batches at 2 files/trigger.
+    # NB: split by pk hash, NOT by seq range — per-key event order must
+    # be preserved across micro-batches (binlog order per key), and
+    # consolidate() is order-correct within whatever batch sees the key.
+    (log.repartition(4, "pk").write.mode("overwrite").parquet(src))
+
+    stream = stream_changelog(spark, src, max_files_per_trigger=2)
+    q = start_cdc_merge_stream(stream, mirror, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = _final_state(
+        read_day_partitioned(spark, mirror)
+        .select("day", "pk", "date_time", "value", "ts_epoch"))
+    log.unpersist()
+    assert got == expected
+
+
+def test_streaming_merge_idempotent_restart(spark, tmp_path):
+    """Re-running the drained stream with the same checkpoint applies
+    nothing new (exactly-once via offsets + idempotent overwrite)."""
+    rows = [(1, 10, "I", "2024-01-01 00:00:01", 1.0, 100, "2024-01-01"),
+            (2, 10, "U", "2024-01-01 00:00:02", 2.0, 101, "2024-01-01"),
+            (3, 11, "I", "2024-01-02 00:00:03", 3.0, 102, "2024-01-02")]
+    log = spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+    src, mirror, ckpt = (str(tmp_path / d) for d in ("src", "mirror", "ckpt"))
+    log.write.mode("overwrite").parquet(src)
+
+    for _ in range(2):  # second run must be a no-op
+        q = start_cdc_merge_stream(stream_changelog(spark, src), mirror, ckpt)
+        q.awaitTermination(120)
+    out = _final_state(read_day_partitioned(spark, mirror)
+                       .select("day", "pk", "date_time", "value", "ts_epoch"))
+    assert out == {("2024-01-01", 10): ("2024-01-01 00:00:02", 2.0, 101),
+                   ("2024-01-02", 11): ("2024-01-02 00:00:03", 3.0, 102)}
+
+
+def test_sequential_micro_batches_equal_full_replay(spark, sf_dir, tmp_path):
+    """Cross-batch semantics: splitting the changelog into three
+    seq-ordered micro-batches and merging them one after another must
+    land on the same mirror as one full-replay merge — I-then-U,
+    I-then-D, D-then-I and U-to-missing interleavings all cross batch
+    boundaries here (unlike the per-key-partitioned stream test)."""
+    from enexory_parquet_export_spark.streaming.cdc_stream import merge_batch
+
+    events = load_table(spark, sf_dir, "events").limit(3000)
+    log = derive_changelog(events).persist()
+    empty = spark.createDataFrame(
+        [], "day string, pk bigint, date_time string, value double, ts_epoch bigint")
+    expected = _final_state(apply_changes(empty, consolidate(log)))
+
+    lo, hi = log.agg(
+        F.expr("percentile(seq, array(0.33, 0.66))")).collect()[0][0]
+    mirror = str(tmp_path / "mirror_seq")
+    for cond in [F.col("seq") <= lo,
+                 (F.col("seq") > lo) & (F.col("seq") <= hi),
+                 F.col("seq") > hi]:
+        merge_batch(spark, log.filter(cond), mirror)
+
+    got = _final_state(read_day_partitioned(spark, mirror)
+                       .select("day", "pk", "date_time", "value", "ts_epoch"))
+    log.unpersist()
+    assert got == expected
+
+
+def test_stream_merge_deletes_emptied_day(spark, tmp_path):
+    from enexory_parquet_export_spark.sources.writer import (
+        list_days,
+        write_day_partitioned,
+    )
+    from enexory_parquet_export_spark.streaming.cdc_stream import merge_batch
+
+    base = spark.createDataFrame(
+        [("2024-01-01", 10, "2024-01-01 00:00:00", 1.0, 99)],
+        "day string, pk bigint, date_time string, value double, ts_epoch bigint")
+    mirror = str(tmp_path / "mirror")
+    write_day_partitioned(base, mirror)
+    batch = spark.createDataFrame(
+        [(5, 10, "D", "2024-01-01 00:00:05", None, 105, "2024-01-01")],
+        CHANGELOG_SCHEMA)
+    merge_batch(spark, batch, mirror)
+    assert list_days(spark, mirror) == []
+
+
+POLLS = [
+    # node, seq, online, lag, err
+    ("a", 1, True, 0.0, None),
+    ("a", 2, True, 700.0, None),        # lag crosses 600 → alert on
+    ("a", 3, True, 10.0, None),         # alert off
+    ("a", 4, False, None, "io dead"),   # flip + new error
+    ("a", 5, False, None, "io dead"),   # same error → silent
+    ("b", 1, True, 5.0, None),
+    ("b", 2, True, 6.0, None),          # nothing
+    ("b", 3, True, 6.0, "sql stopped"),
+]
+
+
+def test_change_detect_batch_rules(spark):
+    from enexory_parquet_export_spark.streaming.change_detect import (
+        POLL_SCHEMA,
+        detect_changes_batch,
+    )
+    polls = spark.createDataFrame(POLLS, POLL_SCHEMA)
+    got = {(r["node"], r["poll_seq"], r["change_kind"])
+           for r in detect_changes_batch(polls).collect()}
+    # a-4: alert already off since a-3, so no lag_threshold transition
+    assert got == {("a", 2, "lag_threshold"), ("a", 3, "lag_threshold"),
+                   ("a", 4, "online_flip"),
+                   ("a", 4, "new_error"), ("b", 3, "new_error")}
+
+
+@pytest.mark.slow
+def test_change_detect_stream_equals_batch(spark, tmp_path):
+    from enexory_parquet_export_spark.streaming.change_detect import (
+        POLL_SCHEMA,
+        detect_changes_batch,
+        detect_changes_stream,
+    )
+    polls = spark.createDataFrame(POLLS, POLL_SCHEMA)
+    src = str(tmp_path / "polls")
+    # one file per poll_seq so micro-batches respect poll order per key
+    for seq in sorted({p[1] for p in POLLS}):
+        (spark.createDataFrame([p for p in POLLS if p[1] == seq], POLL_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(POLL_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "out")
+    q = (detect_changes_stream(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in detect_changes_batch(polls).collect()}
+    assert got == want
