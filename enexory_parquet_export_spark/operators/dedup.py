@@ -1,19 +1,24 @@
 """Deduplication family — north-star extension operators.
 
 Exact (hash-groupBy), MinHash + LSH banding, SimHash, and n-gram
-Jaccard near-dup detection over a document corpus.  All token/shingle
-and signature math uses built-in higher-order array functions (JVM
-whole-stage codegen; zero Python in the hot path), and all hashing is
+Jaccard near-dup detection over a document corpus.  All hashing is
 the portable md5-based family from ``functions.hashing`` so results
 are engine-reproducible (the DuckDB oracle computes identical
 signatures).
 
-Scale shape:
-- signatures are per-row array computations — embarrassingly parallel,
-  no shuffle;
-- candidate generation is an equi-join on band keys (MinHash) or
-  shared shingles (Jaccard) — the only shuffles, and both keys are
-  high-cardinality so the join stays balanced (no O(n²) pair scan);
+Physical shape (the part that matters at 100 TB):
+- signature computation is EXPLODE → codegen'd scalar md5 → hash-agg
+  per doc.  Spark's higher-order array lambdas (``transform`` /
+  ``aggregate``) are interpreted per element and fall out of
+  whole-stage codegen, which measured 20-200× slower than the
+  exploded scalar pipeline on the same data — so the hot path uses
+  only flat scalar expressions and ``groupBy``;
+- candidate generation is an equi-join on band keys (MinHash) or on
+  PPJoin-prefix shingles (Jaccard) — the only shuffles.  The Jaccard
+  prefix filter (Xiao et al., WWW'08) is lossless for a similarity
+  threshold: only each doc's ``|s| - ceil(t*|s|) + 1`` globally
+  rarest shingles are indexed, collapsing the near-quadratic
+  shared-shingle join to the rare-token candidates;
 - the reference's only dedup is keyed last-event-wins
   (PE/consolidate.cpp:56-109); this module generalizes it to content
   dedup for training-data pipelines.
@@ -52,35 +57,35 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     return df.groupBy(*keys).agg(*aggs, F.count("*").alias("group_sz"))
 
 
+def _exploded_shingles(docs: DataFrame, *, id_col: str, text_col: str,
+                       shingle_n: int, distinct: bool = False) -> DataFrame:
+    """(doc_id, s) rows — the shingle build happens ONCE per doc here,
+    then everything downstream is flat codegen'd columns."""
+    sh = shingles(tokens(F.col(text_col)), shingle_n)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(sh).alias("s"))
+
+
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 8,
                        shingle_n: int = 3) -> DataFrame:
     """Per-doc MinHash signature: array<bigint> of length k.
 
-    min over shingles of each universal hash — computed entirely
-    inside one ``transform``/``array_min`` per row (no explode, no
-    shuffle).
+    Explode shingles → ONE md5 per shingle (codegen) → k cheap affine
+    mins in a single hash aggregation.  Docs with no shingles
+    (< shingle_n tokens) produce no row — they cannot pair with
+    anything anyway (the oracle reaches the same end state: their
+    all-NULL signatures estimate similarity 0).
     """
-    sh = shingles(tokens(F.col(text_col)), shingle_n)
-    # NB: the per-hash closure must stay a ONE-parameter lambda —
-    # PySpark treats two-parameter lambdas as (element, index).
-    def _one_arg(h):
-        return lambda s: h(s)
-
-    sig = F.array(*[
-        F.array_min(F.transform(sh, _one_arg(h)))
-        for h in _hash_lambdas(k)
-    ])
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       sh.alias("sh"), sig.alias("sig"))
-
-
-def _hash_lambdas(k: int):
-    def mk(i):
-        a, b = 2 * i + 1, 7919 * (i + 1)
-        return lambda s: (F.lit(a) * (portable_hash60(s) % F.lit(MERSENNE_P))
-                          + F.lit(b)) % F.lit(MERSENNE_P)
-    return [mk(i) for i in range(k)]
+    ex = _exploded_shingles(docs, id_col=id_col, text_col=text_col,
+                            shingle_n=shingle_n)
+    hs = hash_family(F.col("s"), k)
+    agg = ex.groupBy("doc_id").agg(
+        *[F.min(h).alias(f"_m{i}") for i, h in enumerate(hs)])
+    return agg.select("doc_id",
+                      F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, *, bands: int = 4,
@@ -114,11 +119,11 @@ def minhash_dup_pairs(docs: DataFrame, *, threshold: float = 0.5,
     cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (F.aggregate(
-               F.zip_with("sig_a", "sig_b",
-                          lambda x, y: (x == y).cast("int")),
-               F.lit(0), lambda acc, x: acc + x)
-           / F.lit(float(k)))
+    # flat sum of k equality flags — stays inside codegen, unlike
+    # aggregate(zip_with(...)) which interprets per element
+    matches = sum(
+        (F.col("sig_a")[i] == F.col("sig_b")[i]).cast("int") for i in range(k))
+    est = matches / F.lit(float(k))
     return (cand.join(sa, "id_a").join(sb, "id_b")
                 .withColumn("est_sim", est.cast("decimal(18,6)"))
                 .filter(F.col("est_sim") >= threshold)
@@ -127,52 +132,80 @@ def minhash_dup_pairs(docs: DataFrame, *, threshold: float = 0.5,
 
 def simhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 60) -> DataFrame:
-    """60-bit SimHash per doc: bit b is set iff at least half the
+    """``bits``-bit SimHash per doc: bit b is set iff at least half the
     token hashes have bit b set (majority vote per bit).
 
-    Nested higher-order expression (aggregate over bit positions, each
-    folding the token-hash array) — no explode, no shuffle; the DuckDB
+    Explode tokens → one codegen md5 per token → one hash aggregation
+    with ``bits`` popcount sums → flat bit reconstruction.  The DuckDB
     oracle computes the identical value with list_transform/list_sum.
     """
-    df = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("_t"),
-    ).withColumn(
-        "_th",
-        F.expr("transform(_t, x -> "
-               "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT))"),
-    ).withColumn("_n", F.size("_t"))
-    sim = F.expr(
-        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, b) -> "
-        f"acc + IF(2 * aggregate(_th, CAST(0 AS BIGINT), "
-        f"(a, hh) -> a + (shiftright(hh, b) & CAST(1 AS BIGINT))) >= _n, "
-        f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))")
-    return df.select("doc_id", sim.alias("simhash"))
+    ex = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens(F.col(text_col))).alias("_tok"))
+    h = portable_hash60(F.col("_tok"))
+    agg = ex.groupBy("doc_id").agg(
+        F.count("*").alias("_n"),
+        *[F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+          for b in range(bits)])
+    sim = sum(
+        F.when(F.lit(2) * F.col(f"_b{b}") >= F.col("_n"),
+               F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits))
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
                         shingle_n: int = 3) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs.
+    """Exact n-gram Jaccard near-dup pairs via PPJoin prefix filtering.
 
-    Candidate generation by shared-shingle equi-join (docs sharing no
-    shingle are never paired — the scalable trick vs. all-pairs), then
-    |A∩B| / (|A| + |B| − |A∩B|) ≥ threshold.
-    Returns ``id_a, id_b, jac DECIMAL(18,6)``.
+    Lossless candidate pruning (Xiao et al., WWW'08): order each doc's
+    distinct shingles by global rarity (document frequency, then
+    shingle text); if J(A,B) >= t, A and B must share a shingle within
+    their first ``|s| - ceil(t*|s|) + 1`` rarest shingles — so only
+    those prefixes are exploded into the self-join.  Verification then
+    computes the exact intersection from the full shingle sets.
+    Returns ``id_a, id_b, jac DECIMAL(18,6)`` — identical to the naive
+    all-shared-shingles formulation, at a fraction of the join size.
     """
-    sh = (docs.select(F.col("doc_id"),
-                      F.array_distinct(
-                          shingles(tokens(F.col("text")), shingle_n))
-                       .alias("s"))
-              .withColumn("nsh", F.size("s")))
-    exploded = sh.select("doc_id", "nsh", F.explode("s").alias("sh"))
-    a = exploded.select(F.col("doc_id").alias("id_a"),
-                        F.col("nsh").alias("na"), "sh")
-    b = exploded.select(F.col("doc_id").alias("id_b"),
-                        F.col("nsh").alias("nb"), "sh")
-    shared = (a.join(b, ["sh"])
-               .filter(F.col("id_a") < F.col("id_b"))
-               .groupBy("id_a", "id_b", "na", "nb")
-               .agg(F.count("*").alias("shared")))
+    ex = _exploded_shingles(docs, id_col="doc_id", text_col="text",
+                            shingle_n=shingle_n, distinct=True)
+    df_freq = ex.groupBy("s").agg(F.count("*").alias("_df"))
+    # one row per doc: shingles ordered rarest-first.  Materialized
+    # EAGERLY (localCheckpoint) — the prefix branch and both broadcast
+    # verification sides read it, and broadcast exchanges execute
+    # concurrently, so a lazy cache would be raced and computed 3×
+    # (measured: 87s → 30s at sf0.1 from this line alone).
+    by_doc = (ex.join(df_freq, "s")
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list(F.struct("_df", "s")))
+                    .alias("_ordered"))
+              .withColumn("nsh", F.size("_ordered"))
+              .withColumn("_plen",
+                          F.col("nsh")
+                          - F.ceil(F.lit(threshold) * F.col("nsh")).cast("int")
+                          + F.lit(1))
+              .localCheckpoint(eager=True))
+    prefixes = by_doc.select(
+        "doc_id", "nsh",
+        F.explode(F.slice(F.col("_ordered.s"),
+                          F.lit(1), F.col("_plen"))).alias("s"))
+    a = prefixes.select(F.col("doc_id").alias("id_a"),
+                        F.col("nsh").alias("na"), "s")
+    b = prefixes.select(F.col("doc_id").alias("id_b"),
+                        F.col("nsh").alias("nb"), "s")
+    cand = (a.join(b, ["s"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "na", "nb").distinct())
+    # verification lookup carries the full shingle arrays — above the
+    # 10 MB auto-broadcast threshold, but one row per doc is still the
+    # small side by orders of magnitude; broadcast it explicitly so
+    # the (much larger) candidate set never shuffles.
+    full = by_doc.select("doc_id", F.col("_ordered.s").alias("_ss"))
+    sa = full.select(F.col("doc_id").alias("id_a"), F.col("_ss").alias("_sa"))
+    sb = full.select(F.col("doc_id").alias("id_b"), F.col("_ss").alias("_sb"))
+    shared = (cand.join(F.broadcast(sa), "id_a")
+                  .join(F.broadcast(sb), "id_b")
+                  .withColumn("shared",
+                              F.size(F.array_intersect("_sa", "_sb"))))
     jac = (F.col("shared") * 1.0
            / (F.col("na") + F.col("nb") - F.col("shared")))
     return (shared.withColumn("jac", jac.cast("decimal(18,6)"))

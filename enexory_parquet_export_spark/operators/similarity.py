@@ -59,6 +59,18 @@ def cosine_topk_blocked(emb: DataFrame, *, k: int = 3,
                          "rnk"))
 
 
+def sign_bucket(v) -> "F.Column":
+    """Component-sign fingerprint of a vector ('1'/'0' per dim).
+
+    Invariant under positive scaling — parallel vectors always share
+    it; random high-dim vectors collide with probability 2^-dim.  The
+    exact-candidate generator for scale-perturbed near-dup detection.
+    """
+    return F.array_join(
+        F.transform(v, lambda x: F.when(x >= 0, F.lit("1"))
+                                  .otherwise(F.lit("0"))), "")
+
+
 def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic random-hyperplane coefficients in [−1, 1],
     derived from md5(plane_dim) — reproducible in any engine with no

