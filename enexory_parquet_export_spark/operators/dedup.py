@@ -59,13 +59,26 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 def _exploded_shingles(docs: DataFrame, *, id_col: str, text_col: str,
                        shingle_n: int, distinct: bool = False) -> DataFrame:
-    """(doc_id, s) rows — the shingle build happens ONCE per doc here,
-    then everything downstream is flat codegen'd columns."""
-    sh = shingles(tokens(F.col(text_col)), shingle_n)
-    if distinct:
-        sh = F.array_distinct(sh)
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(sh).alias("s"))
+    """(doc_id, s) rows: posexplode tokens → ``lead()`` window — the
+    whole build is flat codegen'd expressions (the array-lambda
+    formulation in :func:`shingles` interprets 3 ``element_at`` per
+    shingle per row; this shape measured ~3× faster on the same
+    corpus).  Values are identical to the oracle's
+    ``concat_ws(' ', t[i], t[i+1], t[i+2])``."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"))
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.col("_tok").alias("_l0")] + [
+        F.lead("_tok", i).over(w).alias(f"_l{i}")
+        for i in range(1, shingle_n)]
+    parts = [F.col(f"_l{i}") for i in range(shingle_n)]
+    ex = (toks.select("doc_id", *leads)              # one Window operator
+              .filter(parts[-1].isNotNull())         # full shingles only
+              .select("doc_id", F.concat_ws(" ", *parts).alias("s")))
+    return ex.distinct() if distinct else ex
 
 
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
@@ -167,7 +180,8 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
     all-shared-shingles formulation, at a fraction of the join size.
     """
     ex = _exploded_shingles(docs, id_col="doc_id", text_col="text",
-                            shingle_n=shingle_n, distinct=True)
+                            shingle_n=shingle_n, distinct=True) \
+        .localCheckpoint(eager=True)   # read twice below: freq + rank
     df_freq = ex.groupBy("s").agg(F.count("*").alias("_df"))
     # one row per doc: shingles ordered rarest-first.  Materialized
     # EAGERLY (localCheckpoint) — the prefix branch and both broadcast

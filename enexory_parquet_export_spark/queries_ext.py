@@ -349,6 +349,118 @@ def x38(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X40 GTID election: argmax under the set-containment partial order
+# (HA/orchestrator.py:584-633 — the node whose GTID set contains all
+# others wins; fallback to largest set, then name — HA_test1.py:192-211)
+# --------------------------------------------------------------------------
+@declared("x40_gtid_election", """
+WITH sets AS (
+  SELECT event_type AS node,
+         list_sort(list_distinct(list(user_id))) AS gs
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT a.node, list_has_all(a.gs, b.gs) AS covers
+  FROM sets a JOIN sets b ON a.node <> b.node),
+dom AS (SELECT node, bool_and(covers) AS dominant FROM pairs GROUP BY node)
+SELECT s.node AS elected, CAST(len(s.gs) AS BIGINT) AS set_size,
+       d.dominant AS is_dominant
+FROM sets s JOIN dom d ON s.node = d.node
+ORDER BY d.dominant DESC, len(s.gs) DESC, s.node LIMIT 1""")
+def x40(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sets = (ev.groupBy(F.col("event_type").alias("node"))
+              .agg(F.collect_set("user_id").alias("gs")))
+    a = sets.select(F.col("node"), F.col("gs").alias("ga"))
+    b = sets.select(F.col("node").alias("_nb"), F.col("gs").alias("gb"))
+    dom = (a.join(b, F.col("node") != F.col("_nb"))
+            .withColumn("covers", F.size(F.array_except("gb", "ga")) == 0)
+            .groupBy("node").agg(F.bool_and("covers").alias("is_dominant")))
+    return (sets.join(dom, "node")
+                .select(F.col("node").alias("elected"),
+                        F.size("gs").cast("bigint").alias("set_size"),
+                        "is_dominant")
+                .orderBy(F.col("is_dominant").desc(),
+                         F.col("set_size").desc(), F.col("elected"))
+                .limit(1))
+
+
+# --------------------------------------------------------------------------
+# X41 quorum / exactly-one-writer guard (HA/orchestrator.py:262-281:
+# split-brain iff >1 writer; quorum = floor(n/2)+1 — HA_test1.py:19)
+# --------------------------------------------------------------------------
+@declared("x41_quorum_top1", """
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS d, user_id, count(*) AS n_ev
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT d, user_id, n_ev,
+         rank() OVER (PARTITION BY d ORDER BY n_ev DESC) AS rk,
+         count(*) OVER (PARTITION BY d) AS n_nodes
+  FROM per)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_top,
+       count(*) > 1 AS split_brain,
+       CAST(min(user_id) AS BIGINT) AS writer,
+       max(n_ev) >= n_nodes // 2 + 1 AS has_quorum
+FROM ranked WHERE rk = 1
+GROUP BY d, n_nodes ORDER BY day""")
+def x41(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per = (ev.groupBy(F.to_date("ts").alias("d"), "user_id")
+             .agg(F.count("*").alias("n_ev")))
+    w = Window.partitionBy("d")
+    ranked = (per.withColumn("rk", F.rank().over(
+                    w.orderBy(F.col("n_ev").desc())))
+                 .withColumn("n_nodes", F.count("*").over(w)))
+    return (ranked.filter(F.col("rk") == 1)
+            .groupBy("d", "n_nodes")
+            .agg(F.count("*").cast("bigint").alias("n_top"),
+                 (F.count("*") > 1).alias("split_brain"),
+                 F.min("user_id").cast("bigint").alias("writer"),
+                 (F.max("n_ev") >= F.floor(F.col("n_nodes") / 2) + 1)
+                 .alias("has_quorum"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                    "n_top", "split_brain", "writer", "has_quorum")
+            .orderBy("day"))
+
+
+# --------------------------------------------------------------------------
+# X42 scheduled per-node status report (EN/watcher.py:163-199 — daily
+# table: per node, last observed state + activity, sorted by node)
+# --------------------------------------------------------------------------
+@declared("x42_status_report", """
+WITH last AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1)
+SELECT CAST(e.user_id AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(max(e.ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       any_value(l.event_type) AS last_status,
+       CAST(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors
+FROM events e JOIN last l ON e.user_id = l.user_id
+GROUP BY e.user_id ORDER BY node""")
+def x42(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.col("user_id").cast("bigint").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+                  .alias("last_seen"),
+                 F.max_by("event_type", F.struct("ts", "event_id"))
+                  .alias("last_status"),
+                 F.sum(F.when(F.col("event_type") == "error", 1)
+                        .otherwise(0)).cast("bigint").alias("n_errors"))
+            .orderBy("node"))
+
+
+# --------------------------------------------------------------------------
 # X39 multimodal binary-column plumbing: opaque payload + typed metadata
 # --------------------------------------------------------------------------
 @declared("x39_multimodal_meta", """

@@ -30,6 +30,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # AQE: runtime coalescing, skew-join splitting, broadcast demotion
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # coalesce to advisory size, not to max parallelism — the Spark
+    # docs' recommended setting; avoids scheduling hundreds of
+    # near-empty post-shuffle tasks
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # per-day idempotent overwrite == the reference's whole-partition
     # rewrite primitive (Parquet Export/db_extractor.py:247-248)

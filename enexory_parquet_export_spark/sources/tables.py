@@ -49,14 +49,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return flat if os.path.exists(flat) else os.path.join(sf_dir, name)
 
 
+#: (session id, path) → DataFrame.  A DataFrame is an immutable plan
+#: fragment, so reuse across queries is safe and skips re-listing the
+#: files + footer sniff on every declared-query invocation.
+_TABLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table with timestamps normalized to µs."""
     configure(spark)
     path = table_path(sf_dir, name)
+    key = (id(spark), path)
+    if key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_cols(path):
         # integer div: ns → µs, exact, stays in whole-stage codegen
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    _TABLE_MEMO[key] = df
     return df
 
 

@@ -22,7 +22,7 @@ def test_entry_runs_and_has_rows(spark):
 def test_every_query_has_oracle_or_is_flagged(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 39
+    assert len(qs) >= 42
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle entries without queries: {missing}"
     # every declared query should have an oracle (no weak rows-only checks)
