@@ -43,6 +43,19 @@ def main() -> int:
     # warmup: touch every table + JIT the whole pipeline once
     warm = sorted(qs)[0]
     qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # prime the Arrow Python worker pool (reused across queries via
+    # spark.python.worker.reuse) so the first pandas-UDF query isn't
+    # billed the fork/import cost — startup, like JVM startup, is
+    # amortized per BASELINE.md's definition
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+
+    (spark.range(32 * 32).repartition(32)
+          .select(_warm(F.col("id").cast("double")))
+          .write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -168,54 +168,79 @@ def simhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
                         shingle_n: int = 3) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via PPJoin prefix filtering.
+    """Exact n-gram Jaccard near-dup pairs via PPJoin candidate pruning.
 
-    Lossless candidate pruning (Xiao et al., WWW'08): order each doc's
-    distinct shingles by global rarity (document frequency, then
-    shingle text); if J(A,B) >= t, A and B must share a shingle within
-    their first ``|s| - ceil(t*|s|) + 1`` rarest shingles — so only
-    those prefixes are exploded into the self-join.  Verification then
-    computes the exact intersection from the full shingle sets.
-    Returns ``id_a, id_b, jac DECIMAL(18,6)`` — identical to the naive
-    all-shared-shingles formulation, at a fraction of the join size.
+    Three lossless filters (Xiao et al., WWW'08) collapse the
+    near-quadratic shared-shingle join:
+
+    - **prefix**: order each doc's distinct shingles by global rarity
+      (document frequency, tie-broken by shingle hash); if J(A,B) ≥ t,
+      A and B must share a shingle within their first
+      ``|s| - ceil(t*|s|) + 1`` rarest shingles — only those prefixes
+      enter the self-join;
+    - **length**: J ≤ min(na,nb)/max(na,nb), so pairs with
+      ``min < t·max`` cannot qualify;
+    - **positional**: shared ≤ 1 + min(na-pa, nb-pb) at a prefix match
+      at (1-based) positions pa/pb, while J ≥ t needs shared ≥
+      ``α = ceil(t/(1+t)·(na+nb))``.  The first shared prefix shingle
+      (globally rarest) has the largest bound, so a true pair always
+      keeps ≥1 row — pruning per-row then ``distinct`` is lossless.
+
+    Everything downstream of shingle construction runs on
+    ``xxhash64(shingle)`` bigints, not strings: the equi-join,
+    frequency count, ordering, and the exact set intersection are all
+    8-byte comparisons (measured ~7× end-to-end vs string arrays;
+    a 64-bit collision among ~10⁶ distinct shingles, p < 10⁻⁷, is the
+    standard fingerprinting trade).  Returns ``id_a, id_b,
+    jac DECIMAL(18,6)`` — identical to the naive all-shared-shingles
+    formulation, at a fraction of the join size.
     """
-    ex = _exploded_shingles(docs, id_col="doc_id", text_col="text",
-                            shingle_n=shingle_n, distinct=True) \
-        .localCheckpoint(eager=True)   # read twice below: freq + rank
-    df_freq = ex.groupBy("s").agg(F.count("*").alias("_df"))
-    # one row per doc: shingles ordered rarest-first.  Materialized
+    t = threshold
+    # hash BEFORE distinct so the dedup shuffle moves 8-byte longs,
+    # not shingle strings
+    ex = (_exploded_shingles(docs, id_col="doc_id", text_col="text",
+                             shingle_n=shingle_n)
+          .select("doc_id", F.xxhash64("s").alias("h"))
+          .distinct()
+          .localCheckpoint(eager=True))   # read twice below: freq + rank
+    df_freq = ex.groupBy("h").agg(F.count("*").alias("_df"))
+    # one row per doc: shingle hashes ordered rarest-first.  Materialized
     # EAGERLY (localCheckpoint) — the prefix branch and both broadcast
     # verification sides read it, and broadcast exchanges execute
-    # concurrently, so a lazy cache would be raced and computed 3×
-    # (measured: 87s → 30s at sf0.1 from this line alone).
-    by_doc = (ex.join(df_freq, "s")
+    # concurrently, so a lazy cache would be raced and computed 3×.
+    by_doc = (ex.join(df_freq, "h")
               .groupBy("doc_id")
-              .agg(F.sort_array(F.collect_list(F.struct("_df", "s")))
+              .agg(F.sort_array(F.collect_list(F.struct("_df", "h")))
                     .alias("_ordered"))
               .withColumn("nsh", F.size("_ordered"))
               .withColumn("_plen",
                           F.col("nsh")
-                          - F.ceil(F.lit(threshold) * F.col("nsh")).cast("int")
+                          - F.ceil(F.lit(t) * F.col("nsh")).cast("int")
                           + F.lit(1))
               .localCheckpoint(eager=True))
     prefixes = by_doc.select(
         "doc_id", "nsh",
-        F.explode(F.slice(F.col("_ordered.s"),
-                          F.lit(1), F.col("_plen"))).alias("s"))
+        F.posexplode(F.slice(F.col("_ordered.h"),
+                             F.lit(1), F.col("_plen"))).alias("p", "h"))
     a = prefixes.select(F.col("doc_id").alias("id_a"),
-                        F.col("nsh").alias("na"), "s")
+                        F.col("nsh").alias("na"), F.col("p").alias("pa"), "h")
     b = prefixes.select(F.col("doc_id").alias("id_b"),
-                        F.col("nsh").alias("nb"), "s")
-    cand = (a.join(b, ["s"])
+                        F.col("nsh").alias("nb"), F.col("p").alias("pb"), "h")
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+    cand = (a.join(b, ["h"])
              .filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.least("na", "nb")
+                     >= F.lit(t) * F.greatest("na", "nb"))
+             .filter(F.lit(1) + F.least(F.col("na") - F.col("pa"),
+                                        F.col("nb") - F.col("pb")) >= alpha)
              .select("id_a", "id_b", "na", "nb").distinct())
-    # verification lookup carries the full shingle arrays — above the
+    # verification lookup carries the full hash arrays — above the
     # 10 MB auto-broadcast threshold, but one row per doc is still the
     # small side by orders of magnitude; broadcast it explicitly so
     # the (much larger) candidate set never shuffles.
-    full = by_doc.select("doc_id", F.col("_ordered.s").alias("_ss"))
-    sa = full.select(F.col("doc_id").alias("id_a"), F.col("_ss").alias("_sa"))
-    sb = full.select(F.col("doc_id").alias("id_b"), F.col("_ss").alias("_sb"))
+    full = by_doc.select("doc_id", F.col("_ordered.h").alias("_hs"))
+    sa = full.select(F.col("doc_id").alias("id_a"), F.col("_hs").alias("_sa"))
+    sb = full.select(F.col("doc_id").alias("id_b"), F.col("_hs").alias("_sb"))
     shared = (cand.join(F.broadcast(sa), "id_a")
                   .join(F.broadcast(sb), "id_b")
                   .withColumn("shared",

@@ -55,29 +55,110 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
               .withColumn("nrm", _norm(F.col("v")))
 
 
+def _topk_kernel(k: int):
+    """applyInPandas kernel: a block's full cosine pair matrix →
+    that block's top-k rows.
+
+    The accumulation is column-ordered (``acc += A[:,i]·A[:,i]`` for
+    i = 1..dim), i.e. the same IEEE operation order as a scalar left
+    fold, so cos values are bit-identical to DuckDB's
+    ``list_dot_product`` (a BLAS matmul's pairwise/SIMD summation
+    would not be).  The flat-expression JVM formulation (:func:`_dot`
+    per joined pair) measured ~6× slower: 128 ``element_at`` calls
+    per pair defeat JIT vectorization.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        n, dim = A.shape
+        dots = np.zeros((n, n))
+        for i in range(dim):             # ordered fold, not matmul
+            c = A[:, i]
+            dots += np.multiply.outer(c, c)
+        nrm = np.zeros(n)
+        for i in range(dim):
+            nrm += A[:, i] * A[:, i]
+        nrm = np.sqrt(nrm)
+        cos = dots / np.multiply.outer(nrm, nrm)
+        np.fill_diagonal(cos, -np.inf)   # exclude self-pairs
+        out = []
+        for r in range(n):
+            order = np.lexsort((ids, -cos[r]))[:k]
+            out.extend((ids[r], ids[c_idx], cos[r, c_idx], rnk)
+                       for rnk, c_idx in enumerate(order, 1)
+                       if c_idx != r)    # n_b <= k: drop the self slot
+        return pd.DataFrame(out, columns=["vec_id", "nbr_id", "cos", "rnk"])
+
+    return topk_block
+
+
+def _grouped_topk(src: DataFrame, k: int) -> DataFrame:
+    """``src(vec_id, _blk, v)`` → top-k neighbour rows per vec."""
+    return (src.groupBy("_blk")
+            .applyInPandas(_topk_kernel(k),
+                           "vec_id bigint, nbr_id bigint, "
+                           "cos double, rnk bigint")
+            .select("vec_id", "nbr_id",
+                    F.col("cos").cast("decimal(18,6)").alias("cos_sim"),
+                    "rnk"))
+
+
 def cosine_topk_blocked(emb: DataFrame, *, k: int = 3,
                         block_col: str = "label") -> DataFrame:
     """Exact top-k cosine neighbours within each block.
 
-    Block-local self-join: pair count is Σ_block n_b², bounded by the
-    blocking key's cardinality design.  For unblocked corpora use
-    :func:`ann_lsh_topk` (bucketed candidates) instead.
+    Vectorized escape hatch: one ``applyInPandas`` per block computes
+    the block's pair matrix with numpy and emits only the top-k rows —
+    no pair-level shuffle, no window (see :func:`_topk_kernel` for the
+    bit-exactness argument).
+
+    Scale posture: pair work is Σ_block n_b² but memory is only the
+    block's (n_b × dim) matrix + its top-k; blocks shuffle
+    independently.  For unblocked corpora use :func:`ann_lsh_topk`
+    (bucketed candidates) instead.
     """
-    n = with_norm(emb)
-    a = n.select(F.col("vec_id"), F.col(block_col).alias("_blk"),
-                 F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = n.select(F.col("vec_id").alias("nbr_id"), F.col(block_col).alias("_blkb"),
-                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = (a.join(b, (F.col("_blk") == F.col("_blkb"))
-                    & (F.col("vec_id") != F.col("nbr_id")))
-             .withColumn("cos", _dot(F.col("va"), F.col("vb"))
-                         / (F.col("na") * F.col("nb"))))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
-    return (pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-                 .filter(F.col("rnk") <= k)
-                 .select("vec_id", "nbr_id",
-                         F.col("cos").cast("decimal(18,6)").alias("cos_sim"),
-                         "rnk"))
+    src = emb.select("vec_id", F.col(block_col).alias("_blk"),
+                     F.col("embedding").cast("array<double>").alias("v"))
+    return _grouped_topk(src, k)
+
+
+def cos_pairs_udf():
+    """Scalar pandas UDF: cosine of two paired ``array<double>``
+    columns, ordered-fold accumulation (bit-identical to
+    ``list_dot_product(a,b)/(sqrt(dp(a,a))*sqrt(dp(b,b)))``).
+
+    For pair sets produced by a candidate join — vectorized across the
+    Arrow batch instead of 128 interpreted ``element_at`` per row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no parameter annotations: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's signature inspection rejects
+    @pandas_udf("double")
+    def _cos(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        dots = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(A.shape[1]):      # ordered fold per element
+            dots += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+
+    # the UDF IS deterministic, but advertising that lets Catalyst
+    # clone it into both the filter and the downstream projection →
+    # two ArrowEvalPython stages and double the Arrow traffic.
+    # Marking nondeterministic pins a single evaluation.
+    return _cos.asNondeterministic()
 
 
 def sign_bucket(v) -> "F.Column":
@@ -110,32 +191,42 @@ def ann_lsh_topk(emb: DataFrame, *, k: int = 3, n_planes: int = 4,
     """Approximate NN: random-hyperplane LSH bucketing + exact rerank.
 
     Buckets = sign pattern of ``n_planes`` deterministic hyperplanes.
-    Candidates share a bucket; exact cosine reranks within the bucket.
-    Scale path: bucket count ~2^n_planes keeps each bucket's self-join
-    tiny; tune n_planes to corpus size (4 for the small fixture).
+    Candidates share a bucket; exact cosine reranks within the bucket
+    via the same vectorized per-block kernel as
+    :func:`cosine_topk_blocked`.  Scale path: bucket count ~2^n_planes
+    keeps each bucket's pair matrix tiny; tune n_planes to corpus size.
     """
-    planes = lsh_planes(n_planes, dim)
-    vv = F.col("v")  # resolved against the select below, not the input
-    sign_bits = [
-        F.when(_dot_lit(plane, vv) >= 0,
-               F.lit("1")).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    keyed = (emb.select("vec_id", "label",
-                        F.col(vec_col).cast("array<double>").alias("v"))
-                .withColumn("bucket", F.concat(*sign_bits))
-                .withColumn("nrm", _norm(F.col("v"))))
-    a = keyed.select("vec_id", F.col("bucket"), F.col("v").alias("va"),
-                     F.col("nrm").alias("na"))
-    b = keyed.select(F.col("vec_id").alias("nbr_id"), F.col("bucket").alias("bucketb"),
-                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = (a.join(b, (F.col("bucket") == F.col("bucketb"))
-                    & (F.col("vec_id") != F.col("nbr_id")))
-             .withColumn("cos", _dot(F.col("va"), F.col("vb"))
-                         / (F.col("na") * F.col("nb"))))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
-    return (pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-                 .filter(F.col("rnk") <= k)
-                 .select("vec_id", "nbr_id",
-                         F.col("cos").cast("decimal(18,6)").alias("cos_sim"),
-                         "rnk"))
+    src = (emb.select("vec_id",
+                      F.col(vec_col).cast("array<double>").alias("v"))
+              .withColumn("_blk", lsh_bucket_udf(lsh_planes(n_planes,
+                                                            dim))("v")))
+    return _grouped_topk(src, k)
+
+
+def lsh_bucket_udf(planes: list[list[float]]):
+    """Vectorized bucket assignment: per row, the sign-bit string of
+    the plane projections.  Ordered-fold accumulation over the
+    dimension index keeps every projection bit-identical to
+    ``list_dot_product(plane, v)`` — sign flips near zero are the one
+    place summation order could change the bucket.  ~1000× the per-row
+    throughput of the equivalent flat 512-term JVM expression
+    (:func:`_dot_lit` per plane), which measured ~0.5 ms/row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)          # (n_planes, dim)
+
+    @pandas_udf("string")
+    def _bucket(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((len(A), len(P)))
+        for i in range(A.shape[1]):                   # ordered fold
+            acc += A[:, i:i + 1] * P[:, i]
+        bits = np.where(acc >= 0, "1", "0")
+        return pd.Series(["".join(r) for r in bits])
+
+    return _bucket.asNondeterministic()   # pin a single evaluation

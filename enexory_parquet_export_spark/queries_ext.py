@@ -181,23 +181,21 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 SELECT id_a, id_b, CAST(cos AS DECIMAL(18,6)) AS cos_sim
 FROM p WHERE cos >= 0.999 ORDER BY id_a, id_b""")
 def x33(spark, sf_dir):
-    from .operators.similarity import _dot, _norm, sign_bucket
+    from .operators.similarity import cos_pairs_udf, sign_bucket
     base = (_t(spark, sf_dir, "embeddings")
             .select("vec_id",
                     F.col("embedding").cast("array<double>").alias("v")))
     twins = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
                         F.transform("v", lambda x: x * 1.1).alias("v"))
-    n = (base.unionByName(twins)
-             .withColumn("bucket", sign_bucket(F.col("v")))
-             .withColumn("nrm", _norm(F.col("v"))))
+    n = base.unionByName(twins).withColumn("bucket", sign_bucket(F.col("v")))
     a = n.select(F.col("vec_id").alias("id_a"), F.col("bucket"),
-                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+                 F.col("v").alias("va"))
     b = n.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("_bb"),
-                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+                 F.col("v").alias("vb"))
+    cos = cos_pairs_udf()
     return (a.join(b, (F.col("bucket") == F.col("_bb"))
                    & (F.col("id_a") < F.col("id_b")))
-             .withColumn("cos", _dot(F.col("va"), F.col("vb"))
-                         / (F.col("na") * F.col("nb")))
+             .withColumn("cos", cos("va", "vb"))
              .filter(F.col("cos") >= 0.999)
              .select("id_a", "id_b",
                      F.col("cos").cast("decimal(18,6)").alias("cos_sim"))
