@@ -126,7 +126,9 @@ def minhash_dup_pairs(docs: DataFrame, *, threshold: float = 0.5,
                       k: int = 8, bands: int = 4) -> DataFrame:
     """LSH candidates → signature-estimated Jaccard ≥ threshold.
 
-    Returns ``id_a, id_b, est_sim DECIMAL(18,6)``.
+    Returns ``id_a, id_b, est_micro BIGINT`` (floor of est × 1e6 —
+    k-slot match fractions are exact binary doubles, so the rendering
+    is bit-stable on any engine).
     """
     sigs = minhash_signatures(docs, k=k)
     cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
@@ -138,9 +140,11 @@ def minhash_dup_pairs(docs: DataFrame, *, threshold: float = 0.5,
         (F.col("sig_a")[i] == F.col("sig_b")[i]).cast("int") for i in range(k))
     est = matches / F.lit(float(k))
     return (cand.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("est_sim", est.cast("decimal(18,6)"))
-                .filter(F.col("est_sim") >= threshold)
-                .select("id_a", "id_b", "est_sim"))
+                .withColumn("_est", est)
+                .filter(F.col("_est") >= threshold)
+                .select("id_a", "id_b",
+                        F.floor(F.col("_est") * F.lit(1000000.0))
+                         .cast("bigint").alias("est_micro")))
 
 
 def simhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
@@ -192,8 +196,9 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
     8-byte comparisons (measured ~7× end-to-end vs string arrays;
     a 64-bit collision among ~10⁶ distinct shingles, p < 10⁻⁷, is the
     standard fingerprinting trade).  Returns ``id_a, id_b,
-    jac DECIMAL(18,6)`` — identical to the naive all-shared-shingles
-    formulation, at a fraction of the join size.
+    jac_micro BIGINT`` (floor of Jaccard × 1e6) — identical to the
+    naive all-shared-shingles formulation, at a fraction of the join
+    size.
     """
     t = threshold
     # hash BEFORE distinct so the dedup shuffle moves 8-byte longs,
@@ -247,6 +252,8 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
                               F.size(F.array_intersect("_sa", "_sb"))))
     jac = (F.col("shared") * 1.0
            / (F.col("na") + F.col("nb") - F.col("shared")))
-    return (shared.withColumn("jac", jac.cast("decimal(18,6)"))
-                  .filter(F.col("jac") >= threshold)
-                  .select("id_a", "id_b", "jac"))
+    return (shared.withColumn("_jac", jac)
+                  .filter(F.col("_jac") >= threshold)
+                  .select("id_a", "id_b",
+                          F.floor(F.col("_jac") * F.lit(1000000.0))
+                           .cast("bigint").alias("jac_micro")))

@@ -102,7 +102,10 @@ def _grouped_topk(src: DataFrame, k: int) -> DataFrame:
                            "vec_id bigint, nbr_id bigint, "
                            "cos double, rnk bigint")
             .select("vec_id", "nbr_id",
-                    F.col("cos").cast("decimal(18,6)").alias("cos_sim"),
+                    # floor-micro-units: both engines floor the identical
+                    # IEEE double — bit-stable, unlike DECIMAL rendering
+                    F.floor(F.col("cos") * F.lit(1000000.0))
+                     .cast("bigint").alias("cos_micro"),
                     "rnk"))
 
 

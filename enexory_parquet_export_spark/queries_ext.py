@@ -92,14 +92,15 @@ cand AS (
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
 est AS (
   SELECT c.id_a, c.id_b,
-         CAST(list_sum(list_transform(range(1, 9),
+         list_sum(list_transform(range(1, 9),
                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
-              / 8.0 AS DECIMAL(18,6)) AS est_sim
+              / 8.0 AS est
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.id_a
   JOIN sig sb ON sb.doc_id = c.id_b)
-SELECT id_a, id_b, est_sim FROM est
-WHERE est_sim >= 0.5 ORDER BY id_a, id_b""")
+SELECT id_a, id_b,
+       CAST(floor(est * 1000000.0) AS BIGINT) AS est_micro
+FROM est WHERE est >= 0.5 ORDER BY id_a, id_b""")
 def x30(spark, sf_dir):
     return (D.minhash_dup_pairs(_doc_corpus(spark, sf_dir),
                                 threshold=0.5, k=8, bands=4)
@@ -143,9 +144,10 @@ shared AS (
   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b,
-       CAST(shared * 1.0 / (na + nb - shared) AS DECIMAL(18,6)) AS jac
+       CAST(floor(shared * 1.0 / (na + nb - shared) * 1000000.0) AS BIGINT)
+           AS jac_micro
 FROM shared
-WHERE CAST(shared * 1.0 / (na + nb - shared) AS DECIMAL(18,6)) >= 0.6
+WHERE shared * 1.0 / (na + nb - shared) >= 0.6
 ORDER BY id_a, id_b""")
 def x32(spark, sf_dir):
     return (D.ngram_jaccard_pairs(_doc_corpus(spark, sf_dir), threshold=0.6)
@@ -178,7 +180,7 @@ n AS (SELECT vec_id, v,
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
       FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, CAST(cos AS DECIMAL(18,6)) AS cos_sim
+SELECT id_a, id_b, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micro
 FROM p WHERE cos >= 0.999 ORDER BY id_a, id_b""")
 def x33(spark, sf_dir):
     from .operators.similarity import cos_pairs_udf, sign_bucket
@@ -198,7 +200,8 @@ def x33(spark, sf_dir):
              .withColumn("cos", cos("va", "vb"))
              .filter(F.col("cos") >= 0.999)
              .select("id_a", "id_b",
-                     F.col("cos").cast("decimal(18,6)").alias("cos_sim"))
+                     F.floor(F.col("cos") * F.lit(1000000.0))
+                      .cast("bigint").alias("cos_micro"))
              .orderBy("id_a", "id_b"))
 
 
@@ -332,7 +335,7 @@ r AS (SELECT vec_id, nbr_id, cos,
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY cos DESC, nbr_id) AS rn
       FROM p)
-SELECT vec_id, nbr_id, CAST(cos AS DECIMAL(18,6)) AS cos_sim,
+SELECT vec_id, nbr_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micro,
        CAST(rn AS BIGINT) AS rnk
 FROM r WHERE rn <= 3 ORDER BY vec_id, rnk"""
 

@@ -36,7 +36,7 @@ def test_exact_dedup_keep_first(spark):
 def test_minhash_identical_docs_perfect_sim(spark):
     text = "the quick brown fox jumps over the lazy dog today"
     df = docs_df(spark, [(1, text), (2, text), (3, "completely different words here entirely now")])
-    pairs = {(r["id_a"], r["id_b"]): float(r["est_sim"])
+    pairs = {(r["id_a"], r["id_b"]): r["est_micro"] / 1e6
              for r in D.minhash_dup_pairs(df, threshold=0.5).collect()}
     assert pairs.get((1, 2)) == 1.0
     assert (1, 3) not in pairs and (2, 3) not in pairs
@@ -46,7 +46,7 @@ def test_ngram_jaccard_near_dup(spark):
     a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
     b = a + " extra"            # high overlap
     df = docs_df(spark, [(1, a), (2, b), (3, "x0 x1 x2 x3 x4")])
-    pairs = {(r["id_a"], r["id_b"]): float(r["jac"])
+    pairs = {(r["id_a"], r["id_b"]): r["jac_micro"] / 1e6
              for r in D.ngram_jaccard_pairs(df, threshold=0.6).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
     assert all(3 not in p for p in pairs)
@@ -69,7 +69,7 @@ def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
     assert all(r["vec_id"] != r["nbr_id"] for r in rows)
     by_q = {}
     for r in rows:
-        by_q.setdefault(r["vec_id"], []).append((r["rnk"], float(r["cos_sim"])))
+        by_q.setdefault(r["vec_id"], []).append((r["rnk"], r["cos_micro"] / 1e6))
     for ranked in by_q.values():
         ranked.sort()
         assert len(ranked) <= 3
@@ -83,4 +83,4 @@ def test_ann_lsh_is_subset_of_bucket_exact(spark, sf_dir):
     # every neighbor pair must share the LSH bucket by construction;
     # sanity: ranks are 1..k and cos within [-1, 1]
     assert all(1 <= r["rnk"] <= 3 for r in out)
-    assert all(-1.0001 <= float(r["cos_sim"]) <= 1.0001 for r in out)
+    assert all(-1.0001 <= r["cos_micro"] / 1e6 <= 1.0001 for r in out)

@@ -5,6 +5,15 @@ the same fixture dir, normalizes both results (columns sorted by name,
 rows sorted, cells canonicalized), and diffs them.  Usage::
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Round-1 lesson encoded here: this gate's strict repr-compare passed all
+42 queries while the driver's hash failed exactly the 8 that emitted a
+DECIMAL column — the driver canonicalizes Decimal asymmetrically
+between engines (scale/trailing-zero rendering), so equal values still
+hash-mismatch.  The gate therefore REJECTS any DecimalType column in a
+declared Spark result outright (render as floor-micro-units BIGINT
+instead), and flags double columns for review (raw *stored* doubles
+are driver-safe; *computed* doubles should be micro-units).
 """
 
 from __future__ import annotations
@@ -84,6 +93,20 @@ def main() -> int:
             failed.append((name, f"SPARK ERROR: {exc}"))
             print(f"✗ {name}: spark error: {str(exc)[:500]}")
             continue
+        from pyspark.sql.types import DecimalType, DoubleType, FloatType
+        dec_cols = [f.name for f in sdf.schema.fields
+                    if isinstance(f.dataType, DecimalType)]
+        if dec_cols:
+            failed.append((name, f"DECIMAL output columns {dec_cols}"))
+            print(f"✗ {name}: DECIMAL columns {dec_cols} — the driver's "
+                  f"value-hash renders Decimal asymmetrically; emit "
+                  f"floor(x*1e6) BIGINT micro-units instead")
+            continue
+        dbl_cols = [f.name for f in sdf.schema.fields
+                    if isinstance(f.dataType, (DoubleType, FloatType))]
+        if dbl_cols:
+            print(f"  [{name}: double columns {dbl_cols} — OK only if "
+                  f"stored passthrough, not computed]")
         if name not in oracles:
             weak.append(name)
             print(f"~ {name}: rows-only ({len(srows)} rows, "
