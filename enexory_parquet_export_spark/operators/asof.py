@@ -2,19 +2,27 @@
 
 The reference's resume-point scan (O5, Parquet Export/
 db_extractor.py:51-76) is exactly "as-of the newest file, what is the
-latest valid timestamp".  Generalized here as a distributed as-of join.
+latest valid timestamp".  Generalized here as a distributed as-of join
+with two physical strategies:
 
-Implementation: the union-sort trick, not a join.  Probes and events
-are unioned, sorted within each key by (time, kind, seq), and the last
-non-null event payload is carried forward to each probe row with
-``last(ignorenulls) over rowsBetween(unboundedPreceding, current)``.
-One shuffle on the key, no pair blow-up — at 100 TB this behaves like
-a single sort-merge pass, versus O(|probes|·|events-per-key|) for the
-naive join+filter formulation.
+- :func:`asof_join_literal_probes` — for a SMALL, KNOWN list of probe
+  times (the common "state as of T1, T2, …" report): ONE hash
+  aggregation over the events with a conditional ``max_by`` per probe,
+  then an explode.  No window sort, no crossJoin with a driver-built
+  relation, no union — a single map-side-combining shuffle on the key,
+  which is the plan you want at 100 TB.  (Round 1 shipped the
+  union-sort path for this case; a 2-row driver-built probe relation
+  collapsed downstream parallelism under the bench and cost 33 s —
+  BENCH_r01.json, VERDICT.md "What's wrong" #2.)
+- :func:`asof_join` — the general union-sort formulation for probe
+  RELATIONS of arbitrary size: probes and events are unioned, sorted
+  within each key by (time, kind, seq), and the last non-null event
+  payload is carried to each probe row with ``last(ignorenulls)``.
+  One shuffle on the key, no pair blow-up — a single sort-merge pass
+  versus O(|probes|·|events-per-key|) for the naive join+filter.
 
-Ties: an event at exactly the probe time is *included* (kind sorts
-events before probes at equal times); among equal event times the
-highest ``seq`` wins — deterministic.
+Ties (both paths): an event at exactly the probe time is *included*;
+among equal event times the highest ``seq`` wins — deterministic.
 """
 
 from __future__ import annotations
@@ -23,6 +31,46 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def asof_join_literal_probes(events: DataFrame, *, key: str,
+                             event_time: str, seq: str,
+                             payload_cols: Sequence[str],
+                             probes: Sequence[str]) -> DataFrame:
+    """Latest event at-or-before each literal probe time, per key.
+
+    ``probes`` are timestamp literals (e.g. ``"2024-01-10 00:00:00"``).
+    Output: one row per (key, probe) for every key present in
+    ``events`` — keys whose events are all later than a probe get null
+    payloads (left semantics).  Columns: key, ``probe`` timestamp,
+    then ``payload_cols``.
+
+    Physical plan: a single ``groupBy(key)`` with, per probe,
+    ``max_by(payload, CASE WHEN t <= probe THEN (t, seq) END)`` —
+    null ordering keys are skipped by max_by, so the conditional
+    filter and the argmax fuse into one aggregate; partial aggregation
+    runs map-side before the only shuffle.
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    aggs = [
+        F.max_by(
+            payload,
+            F.when(F.col(event_time) <= F.to_timestamp(F.lit(p)),
+                   F.struct(F.col(event_time), F.col(seq))),
+        ).alias(f"_asof_{i}")
+        for i, p in enumerate(probes)
+    ]
+    agg = events.groupBy(key).agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.to_timestamp(F.lit(p)).alias("probe"),
+                 F.col(f"_asof_{i}").alias("_pl"))
+        for i, p in enumerate(probes)
+    ])
+    return (agg.select(key, F.explode(pairs).alias("_e"))
+               .select(F.col(key),
+                       F.col("_e.probe").alias("probe"),
+                       *[F.col(f"_e._pl.{c}").alias(c)
+                         for c in payload_cols]))
 
 
 def asof_join(probes: DataFrame, events: DataFrame, *, key: str,

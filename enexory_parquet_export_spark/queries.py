@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .functions.datetime import DT_PATTERN, SENTINEL_DT, normalize_datetime, utc2_render
 from .operators import cdc
-from .operators.asof import asof_join
+from .operators.asof import asof_join_literal_probes
 from .operators.range_join import banded_prior_count
 from .sources.tables import load_table
 
@@ -462,14 +462,14 @@ SELECT user_id, strftime(probe, '%Y-%m-%d %H:%M:%S') AS probe_ts,
        event_id AS asof_event, value AS asof_value
 FROM cand WHERE rn = 1 ORDER BY user_id, probe_ts""")
 def q18(spark, sf_dir):
+    # literal-probe fast path: ONE hash aggregation over events (see
+    # operators.asof) — replaces round 1's distinct+crossJoin+union+
+    # window plan whose 2-row driver-built relation collapsed
+    # parallelism under the bench (33 s, VERDICT.md).
     ev = _t(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
-    probes = users.crossJoin(
-        spark.createDataFrame([(p,) for p in _PROBES], "probe_str string")
-             .select(F.to_timestamp("probe_str").alias("probe")))
-    res = asof_join(probes, ev, key="user_id", probe_time="probe",
-                    event_time="ts", seq="event_id",
-                    payload_cols=("event_id", "value"))
+    res = asof_join_literal_probes(
+        ev, key="user_id", event_time="ts", seq="event_id",
+        payload_cols=("event_id", "value"), probes=_PROBES)
     return res.select(
         "user_id",
         F.date_format("probe", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),

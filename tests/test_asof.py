@@ -1,0 +1,73 @@
+"""As-of join: both physical strategies agree and honor edge semantics.
+
+Semantics under test (operators.asof): at-or-before inclusion of an
+event exactly at the probe time, highest-``seq`` tie-break among equal
+event times, and null payloads for keys whose events are all later
+than the probe (left semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enexory_parquet_export_spark.operators.asof import (
+    asof_join,
+    asof_join_literal_probes,
+)
+
+PROBES = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+
+
+def events_df(spark):
+    rows = [
+        # key 1: events straddling both probes; tie at probe 1 exact time
+        (1, "2024-01-05 12:00:00", 10, 1.0),
+        (1, "2024-01-10 00:00:00", 11, 2.0),   # exactly at probe 1 → included
+        (1, "2024-01-10 00:00:00", 12, 3.0),   # same ts, higher seq wins
+        (1, "2024-01-15 00:00:00", 13, 4.0),
+        # key 2: all events after probe 1 → null payload at probe 1
+        (2, "2024-01-12 00:00:00", 20, 5.0),
+        # key 3: single early event carried to both probes
+        (3, "2024-01-01 00:00:00", 30, 6.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts_s string, event_id bigint, value double"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"),
+             "event_id", "value")
+
+
+def _literal(spark):
+    ev = events_df(spark)
+    out = asof_join_literal_probes(
+        ev, key="user_id", event_time="ts", seq="event_id",
+        payload_cols=("event_id", "value"), probes=PROBES)
+    return {(r["user_id"], str(r["probe"])): (r["event_id"], r["value"])
+            for r in out.collect()}
+
+
+def test_literal_probes_semantics(spark):
+    got = _literal(spark)
+    # exact-time event included, higher seq wins the tie
+    assert got[(1, "2024-01-10 00:00:00")] == (12, 3.0)
+    assert got[(1, "2024-01-20 00:00:00")] == (13, 4.0)
+    # no event at-or-before probe 1 → null payload (left semantics)
+    assert got[(2, "2024-01-10 00:00:00")] == (None, None)
+    assert got[(2, "2024-01-20 00:00:00")] == (20, 5.0)
+    # early event carried forward to both probes
+    assert got[(3, "2024-01-10 00:00:00")] == (30, 6.0)
+    assert got[(3, "2024-01-20 00:00:00")] == (30, 6.0)
+    assert len(got) == 6  # every key × every probe
+
+
+def test_union_sort_path_matches_literal_path(spark):
+    ev = events_df(spark)
+    probes = (ev.select("user_id").distinct()
+                .crossJoin(spark.createDataFrame(
+                    [(p,) for p in PROBES], "p string")
+                    .select(F.to_timestamp("p").alias("probe"))))
+    general = asof_join(probes, ev, key="user_id", probe_time="probe",
+                        event_time="ts", seq="event_id",
+                        payload_cols=("event_id", "value"))
+    got = {(r["user_id"], str(r["probe"])): (r["event_id"], r["value"])
+           for r in general.collect()}
+    assert got == _literal(spark)
