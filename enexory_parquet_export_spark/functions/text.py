@@ -83,7 +83,13 @@ def punct_count(text: Column) -> Column:
 def rolling_fingerprint(toks: Column) -> Column:
     """Order-sensitive rolling polynomial hash over token hashes,
     mod 2^31−1 — a document fingerprint that distinguishes
-    permutations (unlike set-based MinHash)."""
+    permutations (unlike set-based MinHash).
+
+    Column-expression form: higher-order ``aggregate``/``transform``
+    are interpreted per element (outside whole-stage codegen) — fine
+    for ad-hoc use on small arrays, but the hot path is
+    :func:`rolling_fingerprint_table` (same value, explode + codegen
+    md5 + one hash aggregation)."""
     return F.aggregate(
         F.transform(
             toks,
@@ -91,3 +97,45 @@ def rolling_fingerprint(toks: Column) -> Column:
                        .cast("bigint") % F.lit(MERSENNE_P)),
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * F.lit(31) + h) % F.lit(MERSENNE_P))
+
+
+def rolling_fingerprint_table(docs, *, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              max_tokens: int = 131072):
+    """``(doc_id, fingerprint)`` — same value as
+    :func:`rolling_fingerprint`, restated for scale.
+
+    The left fold ``a ← (a·31 + h) mod P`` has the closed form
+    ``Σ hᵢ·31^(n−i) mod P``, which turns the interpreted per-element
+    lambda into relational shape: posexplode tokens → ONE codegen'd
+    md5 per token → broadcast-join a (exponent → 31^j mod P) powers
+    table → one hash aggregation with map-side partial sums.  Every
+    term ``(h mod P)·(31^j mod P) < 2^62`` and partial sums stay far
+    below 2^63, so the arithmetic is exact BIGINT on any engine.
+
+    ``max_tokens`` bounds the powers table (one small broadcast);
+    docs longer than that raise at runtime rather than fingerprint
+    incorrectly.
+    """
+    spark = docs.sparkSession
+    rows, w = [], 1
+    for j in range(max_tokens):
+        rows.append((j, w))
+        w = (w * 31) % MERSENNE_P
+    powers = spark.createDataFrame(rows, "j int, w bigint")
+    ex = (docs.select(F.col(id_col).alias("doc_id"),
+                      whitespace_tokens(F.col(text_col)).alias("_t"))
+              .select("doc_id", F.size("_t").alias("_n"),
+                      F.posexplode("_t").alias("_pos", "_tok")))
+    h = (F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10)
+          .cast("bigint") % F.lit(MERSENNE_P))
+    joined = (ex.withColumn("j", F.col("_n") - 1 - F.col("_pos"))
+                .join(F.broadcast(powers), "j", "left")
+                .withColumn("_w", F.when(
+                    F.col("w").isNull(),
+                    F.raise_error(F.lit(
+                        f"rolling_fingerprint_table: doc exceeds "
+                        f"max_tokens={max_tokens}"))).otherwise(F.col("w"))))
+    term = (h * F.col("_w")) % F.lit(MERSENNE_P)
+    return (joined.groupBy("doc_id")
+                  .agg((F.sum(term) % F.lit(MERSENNE_P)).alias("fingerprint")))

@@ -303,11 +303,10 @@ SELECT doc_id,
          (a, h) -> (a * 31 + h) % {MERSENNE_P}) AS fingerprint
 FROM toks ORDER BY doc_id""")
 def x37(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (docs.select(
-                "doc_id",
-                T.rolling_fingerprint(T.whitespace_tokens(F.col("text")))
-                 .alias("fingerprint"))
+    # explode → codegen md5 → one hash-agg (closed-form fold); the
+    # interpreted aggregate/transform lambda version measured 3.1 s at
+    # sf0.1 (VERDICT r1) — same value, relational shape
+    return (T.rolling_fingerprint_table(_t(spark, sf_dir, "documents"))
             .orderBy("doc_id"))
 
 

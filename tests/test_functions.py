@@ -80,3 +80,16 @@ def test_quality_score_bounds(spark, sf_dir):
     mm = docs.select(T.quality_score(F.col("text"), toks).alias("q")) \
              .agg(F.min("q"), F.max("q")).collect()[0]
     assert 0.0 <= mm[0] and mm[1] <= 1.0
+
+
+def test_rolling_fingerprint_table_matches_column_form(spark, sf_dir):
+    # the closed-form relational restatement must equal the fold exactly
+    from enexory_parquet_export_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    col_form = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id",
+        T.rolling_fingerprint(T.whitespace_tokens(F.col("text"))).alias("fp"),
+    ).collect()}
+    tbl_form = {r["doc_id"]: r["fingerprint"]
+                for r in T.rolling_fingerprint_table(docs).collect()}
+    assert col_form == tbl_form and len(tbl_form) > 0
