@@ -99,43 +99,47 @@ def rolling_fingerprint(toks: Column) -> Column:
         lambda acc, h: (acc * F.lit(31) + h) % F.lit(MERSENNE_P))
 
 
+#: two-level modular power tables: 31^j mod P = _POW_HI[j//256]·_POW_LO[j%256]
+#: (mod P) — 2×256 literals instead of a 65536-row relation, so the whole
+#: weight lookup stays inside whole-stage codegen with no driver-built
+#: DataFrame and no broadcast join.
+_POW_LO = [pow(31, j, MERSENNE_P) for j in range(256)]
+_POW_HI = [pow(31, 256 * j, MERSENNE_P) for j in range(256)]
+MAX_FINGERPRINT_TOKENS = 256 * 256
+
+
 def rolling_fingerprint_table(docs, *, id_col: str = "doc_id",
-                              text_col: str = "text",
-                              max_tokens: int = 131072):
+                              text_col: str = "text"):
     """``(doc_id, fingerprint)`` — same value as
     :func:`rolling_fingerprint`, restated for scale.
 
     The left fold ``a ← (a·31 + h) mod P`` has the closed form
     ``Σ hᵢ·31^(n−i) mod P``, which turns the interpreted per-element
     lambda into relational shape: posexplode tokens → ONE codegen'd
-    md5 per token → broadcast-join a (exponent → 31^j mod P) powers
-    table → one hash aggregation with map-side partial sums.  Every
-    term ``(h mod P)·(31^j mod P) < 2^62`` and partial sums stay far
-    below 2^63, so the arithmetic is exact BIGINT on any engine.
-
-    ``max_tokens`` bounds the powers table (one small broadcast);
-    docs longer than that raise at runtime rather than fingerprint
-    incorrectly.
+    md5 per token → literal-array modular-power lookup → one hash
+    aggregation with map-side partial sums.  Each modular product
+    keeps operands < 2^31 so intermediates stay < 2^62 — exact BIGINT
+    on any engine.  Docs longer than ``MAX_FINGERPRINT_TOKENS``
+    (65536) raise at runtime rather than fingerprint incorrectly.
     """
-    spark = docs.sparkSession
-    rows, w = [], 1
-    for j in range(max_tokens):
-        rows.append((j, w))
-        w = (w * 31) % MERSENNE_P
-    powers = spark.createDataFrame(rows, "j int, w bigint")
     ex = (docs.select(F.col(id_col).alias("doc_id"),
                       whitespace_tokens(F.col(text_col)).alias("_t"))
               .select("doc_id", F.size("_t").alias("_n"),
                       F.posexplode("_t").alias("_pos", "_tok")))
     h = (F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10)
           .cast("bigint") % F.lit(MERSENNE_P))
-    joined = (ex.withColumn("j", F.col("_n") - 1 - F.col("_pos"))
-                .join(F.broadcast(powers), "j", "left")
-                .withColumn("_w", F.when(
-                    F.col("w").isNull(),
-                    F.raise_error(F.lit(
-                        f"rolling_fingerprint_table: doc exceeds "
-                        f"max_tokens={max_tokens}"))).otherwise(F.col("w"))))
-    term = (h * F.col("_w")) % F.lit(MERSENNE_P)
-    return (joined.groupBy("doc_id")
-                  .agg((F.sum(term) % F.lit(MERSENNE_P)).alias("fingerprint")))
+    j = F.col("_n") - 1 - F.col("_pos")
+    guarded_j = F.when(
+        j >= MAX_FINGERPRINT_TOKENS,
+        F.raise_error(F.lit(
+            "rolling_fingerprint_table: doc exceeds "
+            f"{MAX_FINGERPRINT_TOKENS} tokens"))).otherwise(j)
+    lo = F.element_at(F.array(*[F.lit(v) for v in _POW_LO]),
+                      (guarded_j % 256 + 1).cast("int"))
+    hi = F.element_at(F.array(*[F.lit(v) for v in _POW_HI]),
+                      (guarded_j / 256 + 1).cast("int"))
+    w = (lo * hi) % F.lit(MERSENNE_P)          # < 2^62 intermediate
+    term = (h * w) % F.lit(MERSENNE_P)
+    return (ex.withColumn("_term", term)
+              .groupBy("doc_id")
+              .agg((F.sum("_term") % F.lit(MERSENNE_P)).alias("fingerprint")))

@@ -130,7 +130,11 @@ def minhash_dup_pairs(docs: DataFrame, *, threshold: float = 0.5,
     k-slot match fractions are exact binary doubles, so the rendering
     is bit-stable on any engine).
     """
-    sigs = minhash_signatures(docs, k=k)
+    # one row per doc (tiny); materialized eagerly because the band
+    # join AND both verification sides read it — without this the
+    # explode+agg signature build executes 3× (same idiom as the
+    # PPJoin path below)
+    sigs = minhash_signatures(docs, k=k).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
