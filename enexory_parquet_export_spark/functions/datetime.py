@@ -32,6 +32,16 @@ def normalize_datetime(col: Column) -> Column:
     errors="coerce") → strftime → fillna(sentinel)``
     (Parquet Export/db_extractor.py:242-245).  ``try_to_timestamp``
     keeps ANSI mode happy on malformed input.
+
+    INTENTIONALLY STRICTER than the reference at the normalization
+    boundary: pandas' dateutil fallback also accepts laxer inputs
+    (date-only ``2024-01-05``, ``2024/01/05``, …) which this engine
+    sentinels instead.  The single canonical format is the contract
+    both the storage layer (19-char validation, db_extractor.py:14,119)
+    and the DuckDB oracle (``try_strptime`` with the same one format,
+    declared query q04) enforce — accepting more here would make the
+    engine's output depend on a parser quirk the rest of the reference
+    pipeline itself rejects.
     """
     parsed = F.try_to_timestamp(col, F.lit(DT_FORMAT))
     return F.coalesce(F.date_format(parsed, DT_FORMAT), F.lit(SENTINEL_DT))

@@ -1,0 +1,155 @@
+"""Binlog pseudo-SQL text parser (O11) — the one reference operator
+with no round-1 analog.
+
+The reference's consolidate.cpp:310-369 state-machine parses
+``mysqlbinlog --verbose`` output: block headers
+(``INSERT INTO `enexory`.`api_data_timeseries``` etc.) set the op type
+I/U/D; within a block, ``@1=<digits>`` is the pk (any non-digit zeroes
+it, and pk==0 drops the block), ``@3='…'`` is the quote-stripped
+date_time, and — for non-DELETE blocks only — ``@4`` is the value with
+the literal ``NULL`` honored and ``@6`` the epoch ts (non-digit → 0).
+``WHERE``/``SET`` marker lines are skipped, and within a block the
+LAST assignment of each ``@k`` wins (an UPDATE's WHERE row-image is
+followed by its SET row-image, so new values override old).
+
+Spark restatement: the sequential state machine becomes relational.
+Each input row is (file, line_no, line); blocks are recovered with a
+running count of header lines per file (one window, partitioned by
+binlog file — the unit the reference also processes sequentially,
+parse_binlogs.sh:118 — so parallelism is per-file, matching the data's
+inherent ordering scope), and each block collapses in ONE hash
+aggregation using ``max_by(value, line_no)`` per ``@k`` slot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: the one table the pipeline mirrors (consolidate.cpp:313-329;
+#: the awk pre-filter parse_binlogs.sh:125-140 guarantees it)
+TABLE_LIT = "`enexory`.`api_data_timeseries`"
+
+_HEADERS = {
+    f"INSERT INTO {TABLE_LIT}": "I",
+    f"UPDATE {TABLE_LIT}": "U",
+    f"DELETE FROM {TABLE_LIT}": "D",
+}
+
+
+def _header_op(t):
+    expr = None
+    for text, op in _HEADERS.items():
+        cond = t == F.lit(text)
+        expr = F.when(cond, F.lit(op)) if expr is None else expr.when(cond, F.lit(op))
+    return expr
+
+
+def parse_binlog_text(lines: DataFrame, *, file_col: str = "file",
+                      line_no_col: str = "line_no",
+                      text_col: str = "line") -> DataFrame:
+    """Raw pseudo-SQL lines → typed changelog rows.
+
+    Input: one row per text line with a file identifier and a
+    monotonically increasing ``line_no`` within the file.
+    Output: ``file, seq, pk, op, date_time, value, ts_epoch, day`` —
+    ``seq`` is the block's first line number (monotone within a file,
+    the binlog-position analog); blocks whose pk parse fails are
+    dropped exactly as the reference's ``pk != 0`` flush guard does
+    (consolidate.cpp:303-316).
+    """
+    t = F.trim(F.col(text_col))
+    base = (lines.select(F.col(file_col).alias("file"),
+                         F.col(line_no_col).alias("_ln"), t.alias("_t"))
+                 .filter(F.col("_t") != ""))
+    op = _header_op(F.col("_t"))
+    w = (Window.partitionBy("file").orderBy("_ln")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    blocks = (base
+              .withColumn("_hdr_op", op)
+              .withColumn("_blk", F.sum(
+                  F.when(F.col("_hdr_op").isNotNull(), 1).otherwise(0)).over(w))
+              .filter(F.col("_blk") > 0))
+    # assignment rows: @k = <value>  (value = trimmed rest after first '=',
+    # consolidate.cpp:337-341)
+    k = F.regexp_extract("_t", r"^@(\d+)=", 1)
+    v = F.trim(F.regexp_extract("_t", r"^@\d+=(.*)$", 1))
+    blocks = blocks.withColumn("_k", k).withColumn("_v", v)
+
+    def last_val(slot: str):
+        cond = F.col("_k") == slot
+        return F.max_by(F.when(cond, F.col("_v")),
+                        F.when(cond, F.col("_ln")))
+
+    agg = (blocks.groupBy("file", "_blk")
+           .agg(F.min("_ln").alias("seq"),
+                F.max_by(F.col("_hdr_op"),
+                         F.when(F.col("_hdr_op").isNotNull(),
+                                F.col("_ln"))).alias("op"),
+                last_val("1").alias("_v1"),
+                last_val("3").alias("_v3"),
+                last_val("4").alias("_v4"),
+                last_val("6").alias("_v6")))
+    # @1: digits-only or the block is dropped (consolidate.cpp:344-349)
+    pk = F.when(F.col("_v1").rlike(r"^\d+$"), F.col("_v1").cast("bigint")) \
+          .otherwise(F.lit(0))
+    # @3: strip surrounding single quotes (consolidate.cpp:351-353)
+    quoted = (F.length("_v3") > 2) & F.col("_v3").startswith("'") \
+             & F.col("_v3").endswith("'")
+    dt = F.when(quoted, F.expr("substring(_v3, 2, length(_v3) - 2)")) \
+          .otherwise(F.col("_v3"))
+    # @4/@6 apply to non-DELETE blocks only (consolidate.cpp:354-366)
+    is_d = F.col("op") == "D"
+    value = F.when(is_d | (F.col("_v4") == "NULL"), F.lit(None).cast("double")) \
+             .otherwise(F.col("_v4").cast("double"))
+    ts = F.when(is_d, F.lit(None).cast("bigint")).otherwise(
+        F.when(F.col("_v6").rlike(r"^\d+$"), F.col("_v6").cast("bigint"))
+         .otherwise(F.lit(0)))
+    return (agg.select("file", "seq", pk.alias("pk"), "op",
+                       dt.alias("date_time"), value.alias("value"),
+                       ts.alias("ts_epoch"),
+                       F.substring(dt, 1, 10).alias("day"))
+               .filter(F.col("pk") != 0))
+
+
+def render_binlog_text(changelog: DataFrame, *,
+                       file_name: str = "mysql-bin.000001") -> DataFrame:
+    """Inverse of :func:`parse_binlog_text` for fixtures/round-trip
+    tests: a typed changelog rendered as mysqlbinlog-style pseudo-SQL.
+
+    UPDATE blocks emit a WHERE row-image with perturbed old values
+    before the SET row-image, exercising the last-assignment-wins rule.
+    """
+    hdr = F.when(F.col("op") == "I", F.lit(f"INSERT INTO {TABLE_LIT}")) \
+           .when(F.col("op") == "U", F.lit(f"UPDATE {TABLE_LIT}")) \
+           .otherwise(F.lit(f"DELETE FROM {TABLE_LIT}"))
+    val_txt = F.when(F.col("value").isNull(), F.lit("NULL")) \
+               .otherwise(F.col("value").cast("string"))
+    img = F.array(
+        F.concat(F.lit("@1="), F.col("pk").cast("string")),
+        F.lit("@2=0"),
+        F.concat(F.lit("@3='"), F.col("date_time"), F.lit("'")),
+        F.concat(F.lit("@4="), val_txt),
+        F.lit("@5=0"),
+        F.concat(F.lit("@6="), F.coalesce(F.col("ts_epoch").cast("string"),
+                                          F.lit("0"))),
+    )
+    stale = F.array(  # the WHERE row-image an UPDATE overrides
+        F.concat(F.lit("@1="), F.col("pk").cast("string")),
+        F.lit("@2=0"),
+        F.lit("@3='0001-01-01 00:00:00'"),
+        F.lit("@4=-999999.0"),
+        F.lit("@5=0"),
+        F.lit("@6=0"),
+    )
+    body = (F.when(F.col("op") == "U",
+                   F.concat(F.array(hdr, F.lit("WHERE")), stale,
+                            F.array(F.lit("SET")), img))
+             .when(F.col("op") == "I",
+                   F.concat(F.array(hdr, F.lit("SET")), img))
+             .otherwise(F.concat(F.array(hdr, F.lit("WHERE")), img)))
+    return (changelog
+            .select(F.col("seq"), F.posexplode(body).alias("_o", "line"))
+            .select(F.lit(file_name).alias("file"),
+                    (F.col("seq") * 1000 + F.col("_o")).alias("line_no"),
+                    "line"))

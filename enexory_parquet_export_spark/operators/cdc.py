@@ -173,9 +173,17 @@ def cdc_merge(events: DataFrame, split_seq=None) -> DataFrame:
     """
     log = derive_changelog(events)
     if split_seq is None:
-        split_seq = log.agg(F.median("seq")).collect()[0][0]  # scalar, tiny
-    base = snapshot_from_inserts(log, F.lit(split_seq))
-    tail = consolidate(log.filter(F.col("seq") > split_seq))
+        # compute the median split INSIDE the plan: a 1-row aggregate
+        # broadcast-crossed into the changelog — no driver collect, no
+        # extra job per invocation (callers that already know the split
+        # pass it and skip even this)
+        med = log.agg(F.median("seq").alias("_split_seq"))
+        log = log.crossJoin(F.broadcast(med))
+        split_col = F.col("_split_seq")
+    else:
+        split_col = F.lit(split_seq)
+    base = snapshot_from_inserts(log, split_col)
+    tail = consolidate(log.filter(F.col("seq") > split_col))
     merged = apply_changes(base, tail)
     return merged.select(
         F.col("day"),

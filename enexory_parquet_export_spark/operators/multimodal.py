@@ -85,15 +85,27 @@ def _decode_stub(payload: bytes) -> list[float]:
     return [dig[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
-#: the decode seam — tests and production swap this callable
+#: default decoder — tests and production pass their own to
+#: :func:`extract_features`
 DECODER: Callable[[bytes], list[float]] = _decode_stub
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame,
+                     decoder: Callable[[bytes], list[float]] | None = None
+                     ) -> DataFrame:
     """payload → fixed-dim feature vector, Arrow-batched.
 
     One ``mapInPandas`` stage; no shuffle, partitioning preserved.
+
+    ``decoder`` is the decode seam: a pure ``bytes → list[float]``
+    callable (PIL/torchvision decode + model forward in production).
+    It is passed as a PARAMETER, not read from a module global, so
+    cloudpickle captures the callable by value inside the task closure
+    — swapping it works on real executors, where a driver-side global
+    reassignment would not propagate (workers re-import the module).
     """
+    fn = decoder if decoder is not None else DECODER
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
@@ -103,7 +115,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "byte_len": payloads.map(len).astype("int64"),
                 "content_md5": payloads.map(
                     lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                "features": payloads.map(DECODER),
+                "features": payloads.map(fn),
             })
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)

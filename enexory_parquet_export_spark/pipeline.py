@@ -11,9 +11,10 @@ did, and per-day idempotence comes from dynamic partition overwrite
 instead of per-file rewrites.
 
 ``source`` is any DataFrame with the canonical 4 columns (id,
-date_time, value, ts) — in production a JDBC read with
-``partitionColumn``/``fetchsize`` (the moral equivalent of the
-reference's 1M-row chunks, db_extractor.py:13); in this offline
+date_time, value, ts) — in production
+:func:`..sources.tables.read_source_jdbc` (per-day predicate
+partitioning + ``fetchsize``, the exact analog of the reference's
+1M-row chunked day loop, db_extractor.py:13,225-230); in this offline
 harness, a parquet snapshot.
 """
 

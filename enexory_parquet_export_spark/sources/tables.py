@@ -49,19 +49,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return flat if os.path.exists(flat) else os.path.join(sf_dir, name)
 
 
-#: (session id, path) → DataFrame.  A DataFrame is an immutable plan
+#: (applicationId, path) → DataFrame.  A DataFrame is an immutable plan
 #: fragment, so reuse across queries is safe and skips re-listing the
-#: files + footer sniff on every declared-query invocation.
-_TABLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+#: files + footer sniff on every declared-query invocation.  Keyed by
+#: the session's applicationId, not id(spark): CPython can reuse an id
+#: after a stopped session is collected, which would hand back plans
+#: bound to a dead session.  Entries for other applications are evicted
+#: on sight, so the memo cannot grow across session restarts.
+_TABLE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table with timestamps normalized to µs."""
     configure(spark)
     path = table_path(sf_dir, name)
-    key = (id(spark), path)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path)
     if key in _TABLE_MEMO:
         return _TABLE_MEMO[key]
+    for stale in [k for k in _TABLE_MEMO if k[0] != app_id]:
+        del _TABLE_MEMO[stale]
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_cols(path):
         # integer div: ns → µs, exact, stays in whole-stage codegen
@@ -75,3 +82,89 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register every canonical table as a temp view for spark.sql."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# JDBC source — the reference's actual production entry point (O1).
+# --------------------------------------------------------------------------
+
+#: analog of the reference's 1M-row streaming chunks
+#: (Parquet Export/db_extractor.py:13 CHUNK_SIZE = 1_000_000): the JDBC
+#: cursor fetch size bounds per-round-trip memory the same way.
+JDBC_FETCH_SIZE = 1_000_000
+
+#: the reference's projected column list (db_extractor.py:225-226)
+SOURCE_COLS = ("id", "date_time", "value", "ts")
+
+
+def day_window_predicates(dt_col: str, days: list[str]) -> list[str]:
+    """One half-open day-window WHERE clause per day — the reference's
+    day-walking loop (db_extractor.py:302-317, query :225-230) mapped
+    to Spark's ``predicates`` JDBC partitioning: each day becomes one
+    JDBC partition executing the identical server-side ranged query,
+    but all days run in parallel instead of sequentially."""
+    out = []
+    for day in days:
+        nxt = _next_day(day)
+        out.append(f"`{dt_col}` >= '{day} 00:00:00' "
+                   f"AND `{dt_col}` < '{nxt} 00:00:00'")
+    return out
+
+
+def _next_day(day: str) -> str:
+    import datetime
+    d = datetime.date.fromisoformat(day)
+    return (d + datetime.timedelta(days=1)).isoformat()
+
+
+def jdbc_scan_options(url: str, table: str, *,
+                      fetchsize: int = JDBC_FETCH_SIZE,
+                      driver: str | None = None,
+                      extra: dict[str, str] | None = None) -> dict[str, str]:
+    """The JDBC option contract, as a pure (testable) dict.
+
+    ``fetchsize`` is the chunked-streaming analog (db_extractor.py:13);
+    ``pushDownPredicate``/``pushDownAggregate`` stay on so the day
+    filters and MAX(date_time) resume probes (db_extractor.py:29-49)
+    execute server-side exactly as the reference's SQL does.
+    """
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "fetchsize": str(fetchsize),
+        "pushDownPredicate": "true",
+        "pushDownAggregate": "true",
+    }
+    if driver:
+        opts["driver"] = driver
+    if extra:
+        opts.update(extra)
+    return opts
+
+
+def read_source_jdbc(spark: SparkSession, url: str, table: str, *,
+                     dt_col: str = "date_time",
+                     days: list[str] | None = None,
+                     fetchsize: int = JDBC_FETCH_SIZE,
+                     driver: str | None = None) -> DataFrame:
+    """Chunked JDBC scan of the source table (O1,
+    db_extractor.py:13,198,230): the production entry point that the
+    parquet fixture harness stands in for offline.
+
+    With ``days``, each day window becomes one JDBC partition running
+    the reference's exact per-day ranged query server-side — the
+    sequential day loop parallelized.  Without ``days``, a single
+    partition streams the table at ``fetchsize`` rows per fetch (the
+    backfill shape, db_extractor.py:195-216).  Only the canonical four
+    columns are projected, so JDBC column pruning applies.
+    """
+    opts = jdbc_scan_options(url, table, fetchsize=fetchsize, driver=driver)
+    reader = spark.read.format("jdbc")
+    if days:
+        props = {k: v for k, v in opts.items() if k not in ("url", "dbtable")}
+        df = spark.read.jdbc(url=url, table=table,
+                             predicates=day_window_predicates(dt_col, days),
+                             properties=props)
+    else:
+        df = reader.options(**opts).load()
+    return df.select(*SOURCE_COLS)

@@ -68,15 +68,22 @@ def _diff_one(prev: dict[str, Any], row: dict[str, Any]) -> list[tuple]:
     out = []
     node, seq = row["node"], row["poll_seq"]
     lag = row["lag_seconds"]
-    lag_alert = lag is not None and lag >= LAG_THRESHOLD_SECONDS
+    lag_alert = (lag is not None and not pd.isna(lag)
+                 and lag >= LAG_THRESHOLD_SECONDS)
     if prev.get("is_online") is not None and row["is_online"] != prev["is_online"]:
         # lower-case bool rendering matches Spark's cast-to-string
         out.append((node, seq, "online_flip",
                     f"{str(prev['is_online']).lower()}->"
                     f"{str(row['is_online']).lower()}"))
     if bool(prev.get("lag_alert")) != lag_alert:
-        out.append((node, seq, "lag_threshold",
-                    f"lag={lag if lag is not None else 'null'}"))
+        # render exactly like Spark's double→string cast: NaN → 'NaN'
+        if lag is None:
+            lag_txt = "null"
+        elif pd.isna(lag):
+            lag_txt = "NaN"
+        else:
+            lag_txt = str(lag)
+        out.append((node, seq, "lag_threshold", f"lag={lag_txt}"))
     err = row["last_error"]
     if err and err != prev.get("last_error"):
         out.append((node, seq, "new_error", err))
@@ -101,6 +108,9 @@ def _apply_state(key: tuple, pdfs: Iterator[pd.DataFrame],
                 "lag_alert": bool(lag is not None
                                   and not pd.isna(lag)
                                   and lag >= LAG_THRESHOLD_SECONDS),
+                # '' normalizes to "no error" and carries the previous
+                # error forward — the batch twin mirrors this with
+                # nullif(last_error, '') before last(ignorenulls)
                 "last_error": row["last_error"] or prev["last_error"],
             }
     state.update((prev["is_online"], prev["lag_alert"], prev["last_error"]))
@@ -124,12 +134,18 @@ def detect_changes_batch(polls: DataFrame) -> DataFrame:
     the equivalence oracle for the stateful stream."""
     w = Window.partitionBy("node").orderBy("poll_seq")
     lag_alert = (F.col("lag_seconds").isNotNull()
+                 & ~F.isnan("lag_seconds")
                  & (F.col("lag_seconds") >= LAG_THRESHOLD_SECONDS))
     cur = (polls
            .withColumn("_alert", lag_alert)
            .withColumn("_prev_online", F.lag("is_online").over(w))
            .withColumn("_prev_alert", F.lag("_alert").over(w))
-           .withColumn("_prev_err", F.last("last_error", ignorenulls=True)
+           # '' is "no error": normalize to null so last(ignorenulls)
+           # carries the previous real error, matching the stream's
+           # `row['last_error'] or prev` state fold
+           .withColumn("_prev_err",
+                       F.last(F.nullif("last_error", F.lit("")),
+                              ignorenulls=True)
                        .over(w.rowsBetween(Window.unboundedPreceding, -1))))
     online_flip = (F.col("_prev_online").isNotNull()
                    & (F.col("is_online") != F.col("_prev_online")))

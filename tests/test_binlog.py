@@ -1,0 +1,117 @@
+"""Binlog pseudo-SQL parser (O11, consolidate.cpp:310-369) semantics.
+
+Covers: quote-strip of @3, the NULL literal in @4, non-digit pk
+dropping the block, UPDATE's WHERE-then-SET last-assignment-wins, @4/@6
+ignored for DELETE, junk/preamble lines ignored, and a full round trip
+against the typed changelog derivation feeding consolidate().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enexory_parquet_export_spark.operators import cdc
+from enexory_parquet_export_spark.operators.binlog import (
+    TABLE_LIT,
+    parse_binlog_text,
+    render_binlog_text,
+)
+from enexory_parquet_export_spark.sources.tables import load_table
+
+
+def lines_df(spark, lines):
+    return spark.createDataFrame(
+        [("f1", i, ln) for i, ln in enumerate(lines)],
+        "file string, line_no bigint, line string")
+
+
+def parse(spark, lines):
+    rows = parse_binlog_text(lines_df(spark, lines)).collect()
+    return {r["pk"]: r for r in rows}, rows
+
+
+def test_insert_block_typed_fields(spark):
+    got, rows = parse(spark, [
+        "# junk preamble the awk filter left behind",
+        f"INSERT INTO {TABLE_LIT}",
+        "SET",
+        "  @1=42",
+        "  @2=7",
+        "  @3='2024-03-01 10:00:00'",
+        "  @4=12.5",
+        "  @5=0",
+        "  @6=1709287200",
+    ])
+    assert len(rows) == 1
+    r = got[42]
+    assert (r["op"], r["date_time"], r["value"], r["ts_epoch"], r["day"]) == \
+        ("I", "2024-03-01 10:00:00", 12.5, 1709287200, "2024-03-01")
+
+
+def test_null_literal_and_bad_pk(spark):
+    got, rows = parse(spark, [
+        f"INSERT INTO {TABLE_LIT}",
+        "SET", "@1=7", "@3='2024-03-01 10:00:00'", "@4=NULL", "@6=100",
+        f"INSERT INTO {TABLE_LIT}",          # non-digit pk → block dropped
+        "SET", "@1=12x", "@3='2024-03-01 11:00:00'", "@4=1.0", "@6=101",
+    ])
+    assert len(rows) == 1 and got[7]["value"] is None
+    assert got[7]["ts_epoch"] == 100
+
+
+def test_update_where_then_set_overrides(spark):
+    got, rows = parse(spark, [
+        f"UPDATE {TABLE_LIT}",
+        "WHERE",                              # old row-image
+        "@1=9", "@3='0001-01-01 00:00:00'", "@4=-1.0", "@6=0",
+        "SET",                                # new row-image wins
+        "@1=9", "@3='2024-04-02 08:30:00'", "@4=3.25", "@6=1712046600",
+    ])
+    r = got[9]
+    assert (r["op"], r["date_time"], r["value"], r["ts_epoch"]) == \
+        ("U", "2024-04-02 08:30:00", 3.25, 1712046600)
+
+
+def test_delete_ignores_value_and_ts(spark):
+    got, rows = parse(spark, [
+        f"DELETE FROM {TABLE_LIT}",
+        "WHERE", "@1=5", "@3='2024-05-05 00:00:01'", "@4=99.0", "@6=123",
+    ])
+    r = got[5]
+    assert r["op"] == "D" and r["day"] == "2024-05-05"
+    assert r["value"] is None and r["ts_epoch"] is None
+
+
+def test_round_trip_matches_typed_changelog(spark, sf_dir):
+    """render(changelog) → parse → the typed changelog, field-exact
+    (value/ts for D are parser-null by the reference's skip rule), and
+    the parsed stream feeds consolidate() identically."""
+    log = cdc.derive_changelog(load_table(spark, sf_dir, "events")) \
+             .filter(F.col("pk") != 0).limit(200)
+    expected = {r["seq"]: r for r in log.collect()}
+    parsed = parse_binlog_text(render_binlog_text(log))
+    got = {r["seq"] // 1000: r for r in parsed.collect()}
+    assert set(got) == set(expected)
+    for seq, e in expected.items():
+        g = got[seq]
+        assert (g["pk"], g["op"], g["date_time"], g["day"]) == \
+            (e["pk"], e["op"], e["date_time"], e["day"])
+        if e["op"] != "D":
+            assert g["ts_epoch"] == e["ts_epoch"]
+            if e["value"] is None:
+                assert g["value"] is None
+            else:
+                assert abs(g["value"] - e["value"]) < 1e-9
+
+    # the parsed stream consolidates exactly like the typed one
+    typed = cdc.consolidate(log).orderBy("day", "pk").collect()
+    reparsed = cdc.consolidate(
+        parsed.select(F.floor(F.col("seq") / 1000).cast("bigint").alias("seq"),
+                      "pk", "op",
+                      "date_time", "value",
+                      F.coalesce("ts_epoch", F.lit(0)).alias("ts_epoch"),
+                      "day")
+    ).orderBy("day", "pk").collect()
+    tkey = [(r["day"], r["pk"], r["op"], r["date_time"]) for r in typed]
+    pkey = [(r["day"], r["pk"], r["op"], r["date_time"]) for r in reparsed]
+    assert tkey == pkey

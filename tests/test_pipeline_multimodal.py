@@ -125,3 +125,53 @@ class TestMultimodal:
                    if r["media_id"] == 1 and r["frame_idx"] == 0)
         assert f10["frame_md5"] == hashlib.md5(
             b"abc" + (0).to_bytes(4, "big")).hexdigest()
+
+
+def _bmp(width: int, height: int) -> bytes:
+    """Minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER,
+    no pixel data needed for header parsing."""
+    import struct
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       0, 0, 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(info), 0, 0, 54)
+    return file_hdr + info
+
+
+def _make_bmp_decoder(dim: int):
+    """A REAL byte-format parser at the decode seam: reads width/height
+    from the BMP header — proves the contract beyond the md5 stub.
+    Built as a closure so cloudpickle ships it BY VALUE to workers
+    (a test-module top-level function pickles by reference, which
+    executors cannot import)."""
+    def bmp_decoder(payload) -> list:
+        import struct
+        b = bytes(payload)
+        if b[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        width, height = struct.unpack_from("<ii", b, 18)
+        feats = [float(width), float(height)]
+        return feats + [0.0] * (dim - len(feats))
+    return bmp_decoder
+
+
+def test_decode_seam_accepts_real_parser(spark):
+    """Swapping the decoder via the parameter seam runs a genuine
+    byte-format decode inside the Arrow-batched stage."""
+    rows = [(1, "image", _bmp(640, 480), None, None, None),
+            (2, "image", _bmp(32, 64), None, None, None)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    dec = _make_bmp_decoder(M.FEATURE_DIM)
+    out = {r["media_id"]: r["features"]
+           for r in M.extract_features(media, decoder=dec).collect()}
+    assert out[1][:2] == [640.0, 480.0]
+    assert out[2][:2] == [32.0, 64.0]
+    assert all(len(v) == M.FEATURE_DIM for v in out.values())
+
+
+def test_decode_seam_decoder_errors_surface(spark):
+    import pytest as _pytest
+    media = spark.createDataFrame(
+        [(1, "image", b"not a bitmap", None, None, None)], M.MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="not a BMP"):
+        M.extract_features(media,
+                           decoder=_make_bmp_decoder(M.FEATURE_DIM)).collect()

@@ -136,6 +136,12 @@ POLLS = [
     ("b", 1, True, 5.0, None),
     ("b", 2, True, 6.0, None),          # nothing
     ("b", 3, True, 6.0, "sql stopped"),
+    # edge battery (ADVICE r1): '' is "no error", NaN lag is no alert
+    ("c", 1, True, 5.0, "disk full"),   # new error
+    ("c", 2, True, 5.0, ""),            # '' poll → NOT a new error
+    ("c", 3, True, 5.0, "disk full"),   # same error as before '' → silent
+    ("c", 4, True, float("nan"), None), # NaN lag → no alert flip
+    ("c", 5, True, 700.0, ""),          # alert on; '' stays silent
 ]
 
 
@@ -147,10 +153,13 @@ def test_change_detect_batch_rules(spark):
     polls = spark.createDataFrame(POLLS, POLL_SCHEMA)
     got = {(r["node"], r["poll_seq"], r["change_kind"])
            for r in detect_changes_batch(polls).collect()}
-    # a-4: alert already off since a-3, so no lag_threshold transition
+    # a-4: alert already off since a-3, so no lag_threshold transition;
+    # c: '' never emits, repeated error after '' stays silent, NaN lag
+    # never alerts, c-5 crosses the threshold for real
     assert got == {("a", 2, "lag_threshold"), ("a", 3, "lag_threshold"),
                    ("a", 4, "online_flip"),
-                   ("a", 4, "new_error"), ("b", 3, "new_error")}
+                   ("a", 4, "new_error"), ("b", 3, "new_error"),
+                   ("c", 1, "new_error"), ("c", 5, "lag_threshold")}
 
 
 @pytest.mark.slow
