@@ -63,18 +63,29 @@ def parse_binlog_text(lines: DataFrame, *, file_col: str = "file",
                          F.col(line_no_col).alias("_ln"), t.alias("_t"))
                  .filter(F.col("_t") != ""))
     op = _header_op(F.col("_t"))
+    # assignment rows: @k = <value> — split at the FIRST '=' with
+    # instr/substring exactly as the C++ does (consolidate.cpp:337-341);
+    # instr+substr stay in codegen where a regex engine would not
+    is_assign = F.col("_t").startswith("@") & (F.instr("_t", "=") > 0)
+    k = F.when(is_assign, F.expr("substring(_t, 2, instr(_t, '=') - 2)"))
+    v = F.when(is_assign, F.trim(
+        F.expr("substring(_t, instr(_t, '=') + 1, length(_t))")))
+    # drop junk BEFORE the block-id window: only headers and the four
+    # meaningful @ slots matter, and removing other lines cannot change
+    # any surviving row's at-or-before header count — this cuts the
+    # window sort input by the WHERE/SET markers and unused @ slots
+    annotated = (base
+                 .withColumn("_hdr_op", op)
+                 .withColumn("_k", k)
+                 .withColumn("_v", v)
+                 .filter(op.isNotNull()
+                         | F.col("_k").isin("1", "3", "4", "6")))
     w = (Window.partitionBy("file").orderBy("_ln")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    blocks = (base
-              .withColumn("_hdr_op", op)
+    blocks = (annotated
               .withColumn("_blk", F.sum(
                   F.when(F.col("_hdr_op").isNotNull(), 1).otherwise(0)).over(w))
               .filter(F.col("_blk") > 0))
-    # assignment rows: @k = <value>  (value = trimmed rest after first '=',
-    # consolidate.cpp:337-341)
-    k = F.regexp_extract("_t", r"^@(\d+)=", 1)
-    v = F.trim(F.regexp_extract("_t", r"^@\d+=(.*)$", 1))
-    blocks = blocks.withColumn("_k", k).withColumn("_v", v)
 
     def last_val(slot: str):
         cond = F.col("_k") == slot
@@ -113,12 +124,18 @@ def parse_binlog_text(lines: DataFrame, *, file_col: str = "file",
 
 
 def render_binlog_text(changelog: DataFrame, *,
-                       file_name: str = "mysql-bin.000001") -> DataFrame:
+                       file_name: str = "mysql-bin.000001",
+                       seqs_per_file: int | None = None) -> DataFrame:
     """Inverse of :func:`parse_binlog_text` for fixtures/round-trip
     tests: a typed changelog rendered as mysqlbinlog-style pseudo-SQL.
 
     UPDATE blocks emit a WHERE row-image with perturbed old values
     before the SET row-image, exercising the last-assignment-wins rule.
+
+    ``seqs_per_file`` buckets blocks into rotated binlog segments
+    (``mysql-bin.<seq div N>``) — blocks never span files, so the
+    parser's per-file window parallelizes across segments exactly as
+    real binlog rotation would allow.
     """
     hdr = F.when(F.col("op") == "I", F.lit(f"INSERT INTO {TABLE_LIT}")) \
            .when(F.col("op") == "U", F.lit(f"UPDATE {TABLE_LIT}")) \
@@ -148,8 +165,15 @@ def render_binlog_text(changelog: DataFrame, *,
              .when(F.col("op") == "I",
                    F.concat(F.array(hdr, F.lit("SET")), img))
              .otherwise(F.concat(F.array(hdr, F.lit("WHERE")), img)))
+    if seqs_per_file is not None:
+        file_expr = F.concat(
+            F.lit("mysql-bin."),
+            F.lpad(F.floor(F.col("seq") / seqs_per_file).cast("string"),
+                   6, "0"))
+    else:
+        file_expr = F.lit(file_name)
     return (changelog
             .select(F.col("seq"), F.posexplode(body).alias("_o", "line"))
-            .select(F.lit(file_name).alias("file"),
+            .select(file_expr.alias("file"),
                     (F.col("seq") * 1000 + F.col("_o")).alias("line_no"),
                     "line"))

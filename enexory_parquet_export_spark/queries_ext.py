@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .functions.hashing import MERSENNE_P, hash_family_sql, portable_hash60_sql
+from .operators import cdc
 from .operators import dedup as D
+from .operators.binlog import parse_binlog_text, render_binlog_text
 from .operators.similarity import ann_lsh_topk, lsh_planes
+from .queries import CHANGELOG_CTE
 from .sources.tables import load_table
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -458,6 +461,93 @@ def x42(spark, sf_dir):
                  F.sum(F.when(F.col("event_type") == "error", 1)
                         .otherwise(0)).cast("bigint").alias("n_errors"))
             .orderBy("node"))
+
+
+# --------------------------------------------------------------------------
+# X43 binlog pseudo-SQL round trip (O11: consolidate.cpp:310-369) — both
+# engines RENDER the changelog as mysqlbinlog text and PARSE it back with
+# independent implementations (Spark: operators.binlog; DuckDB: the SQL
+# below), so the parser itself is hash-checked, not just pytest'd.
+# UPDATE blocks carry a stale WHERE row-image that the SET image must
+# override; DELETE blocks carry @4/@6 the parser must ignore.
+# --------------------------------------------------------------------------
+#: rotated-segment size: sf0.1's ~600k blocks → ~30 files ≈ one window
+#: partition per core on local[32]; real binlogs rotate by size anyway
+_BINLOG_SEQS_PER_FILE = 20_000
+
+@declared("x43_binlog_parse", f"""
+WITH {CHANGELOG_CTE},
+imgs AS (
+  SELECT seq, op,
+         ['@1=' || CAST(pk AS VARCHAR), '@2=0',
+          '@3=''' || date_time || '''',
+          '@4=' || coalesce(CAST(value AS VARCHAR), 'NULL'), '@5=0',
+          '@6=' || coalesce(CAST(ts_epoch AS VARCHAR), '0')] AS img,
+         ['@1=' || CAST(pk AS VARCHAR), '@2=0',
+          '@3=''0001-01-01 00:00:00''', '@4=-999999.0', '@5=0',
+          '@6=0'] AS stale
+  FROM changelog),
+lines AS (
+  SELECT seq,
+         'mysql-bin.' || lpad(CAST(seq // {_BINLOG_SEQS_PER_FILE} AS VARCHAR),
+                              6, '0') AS file,
+         CASE op
+           WHEN 'I' THEN ['INSERT INTO `enexory`.`api_data_timeseries`',
+                          'SET'] || img
+           WHEN 'U' THEN ['UPDATE `enexory`.`api_data_timeseries`',
+                          'WHERE'] || stale || ['SET'] || img
+           ELSE ['DELETE FROM `enexory`.`api_data_timeseries`',
+                 'WHERE'] || img
+         END AS ls
+  FROM imgs),
+ex AS (SELECT file, seq * 1000 + generate_subscripts(ls, 1) - 1 AS line_no,
+              unnest(ls) AS line
+       FROM lines),
+base AS (SELECT file, line_no, trim(line) AS t FROM ex
+         WHERE trim(line) <> ''),
+hdr AS (SELECT *, CASE t
+          WHEN 'INSERT INTO `enexory`.`api_data_timeseries`' THEN 'I'
+          WHEN 'UPDATE `enexory`.`api_data_timeseries`' THEN 'U'
+          WHEN 'DELETE FROM `enexory`.`api_data_timeseries`' THEN 'D'
+        END AS hop
+        FROM base),
+blk AS (SELECT *, sum(CASE WHEN hop IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY file ORDER BY line_no) AS b
+        FROM hdr),
+asg AS (SELECT *, regexp_extract(t, '^@(\\d+)=', 1) AS k,
+               trim(regexp_extract(t, '^@\\d+=(.*)$', 1)) AS v
+        FROM blk WHERE b > 0),
+agg AS (SELECT file, b, min(line_no) AS seq,
+               arg_max(hop, line_no) FILTER (WHERE hop IS NOT NULL) AS op,
+               arg_max(v, line_no) FILTER (WHERE k = '1') AS v1,
+               arg_max(v, line_no) FILTER (WHERE k = '3') AS v3,
+               arg_max(v, line_no) FILTER (WHERE k = '4') AS v4,
+               arg_max(v, line_no) FILTER (WHERE k = '6') AS v6
+        FROM asg GROUP BY file, b),
+typed AS (
+  SELECT seq,
+         CASE WHEN regexp_matches(v1, '^\\d+$') THEN CAST(v1 AS BIGINT)
+              ELSE 0 END AS pk,
+         op,
+         CASE WHEN length(v3) > 2 AND substr(v3, 1, 1) = ''''
+                   AND substr(v3, length(v3), 1) = ''''
+              THEN substr(v3, 2, length(v3) - 2) ELSE v3 END AS date_time,
+         CASE WHEN op = 'D' OR v4 = 'NULL' THEN NULL
+              ELSE CAST(v4 AS DOUBLE) END AS value,
+         CASE WHEN op = 'D' THEN NULL
+              WHEN regexp_matches(v6, '^\\d+$') THEN CAST(v6 AS BIGINT)
+              ELSE 0 END AS ts_epoch
+  FROM agg)
+SELECT seq, pk, op, date_time, value, ts_epoch,
+       substr(date_time, 1, 10) AS day
+FROM typed WHERE pk <> 0 ORDER BY seq""")
+def x43(spark, sf_dir):
+    log = cdc.derive_changelog(_t(spark, sf_dir, "events"))
+    lines = render_binlog_text(log, seqs_per_file=_BINLOG_SEQS_PER_FILE)
+    return (parse_binlog_text(lines)
+            .select("seq", "pk", "op", "date_time", "value", "ts_epoch",
+                    "day")
+            .orderBy("seq"))
 
 
 # --------------------------------------------------------------------------
