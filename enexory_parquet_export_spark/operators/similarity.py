@@ -206,6 +206,91 @@ def ann_lsh_topk(emb: DataFrame, *, k: int = 3, n_planes: int = 4,
     return _grouped_topk(src, k)
 
 
+def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
+                  nprobe: int = 2, vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate NN: coarse quantizer → inverted lists →
+    probe ``nprobe`` nearest lists → exact cosine rerank.
+
+    The coarse quantizer is a DETERMINISTIC strided subsample of the
+    corpus itself (every ``centroid_stride``-th vec_id) instead of
+    k-means — reproducible on any engine with zero training state, and
+    the centroid count grows with the corpus as real IVF practice
+    wants (≈N/stride lists).  Assignment and probing are one
+    broadcast-join + one window over (vector × centroid) scores;
+    candidates are an equi-join on the list id — never all-pairs.
+
+    Scale posture: the centroid set is the only broadcast (tiny); the
+    big sides touch exactly two shuffles (assignment window, rerank
+    window), both on bounded keys.  At 100 TB you'd raise the stride
+    so lists stay ~√N and swap the strided quantizer for trained
+    centroids — the plan shape is unchanged.
+
+    Returns ``vec_id, nbr_id, cos_micro, rnk`` (same contract as
+    :func:`ann_lsh_topk`).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    base = emb.select("vec_id",
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    # the codebook lives driver/worker-side, exactly as IVF codebooks
+    # do in practice (faiss keeps the coarse quantizer in memory);
+    # bounded by stride — NOT a data-path collect
+    cent_rows = sorted(
+        base.filter(F.col("vec_id") % centroid_stride == 0).collect(),
+        key=lambda r: r["vec_id"])
+    if len(cent_rows) < nprobe:
+        raise ValueError("centroid_stride leaves fewer centroids than nprobe")
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+    cn = np.zeros(len(C))
+    for i in range(C.shape[1]):              # ordered fold, = list_dot_product
+        cn += C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
+
+    @pandas_udf("array<bigint>")
+    def _probe_lists(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(vs.to_numpy()).astype(np.float64)
+        dots = np.zeros((len(A), len(C)))
+        na = np.zeros(len(A))
+        for i in range(A.shape[1]):          # ordered fold per element
+            dots += np.multiply.outer(A[:, i], C[:, i])
+            na += A[:, i] * A[:, i]
+        cs = dots / (np.sqrt(na)[:, None] * cn[None, :])
+        return pd.Series([
+            [int(cids[j]) for j in np.lexsort((cids, -cs[r]))[:nprobe]]
+            for r in range(len(A))])
+
+    # per-VECTOR Arrow traffic (one row each), not per (vector×centroid)
+    # pair — the crossJoin formulation shipped the vectors |centroids|
+    # times and measured ~7× slower
+    assigned = base.withColumn("_probes",
+                               _probe_lists.asNondeterministic()("v"))
+    index = assigned.select(F.col("vec_id").alias("nbr_id"),
+                            F.col("v").alias("nv"),
+                            F.element_at("_probes", 1).alias("cid"))
+    probes = assigned.select(F.col("vec_id").alias("qid"),
+                             F.col("v").alias("qv"),
+                             F.explode("_probes").alias("cid"))
+    # each nbr owns exactly ONE list (its pr=1 assignment), so a
+    # (qid, nbr) pair arises at most once — no dedup needed
+    cos = cos_pairs_udf()
+    cand = (probes.join(index, "cid")
+                  .filter(F.col("qid") != F.col("nbr_id"))
+                  .withColumn("_c", cos("qv", "nv")))
+    rw = (Window.partitionBy("qid")
+                .orderBy(F.col("_c").desc(), F.col("nbr_id").asc()))
+    return (cand.withColumn("rnk", F.row_number().over(rw))
+                .filter(F.col("rnk") <= k)
+                .select(F.col("qid").alias("vec_id"), "nbr_id",
+                        F.floor(F.col("_c") * F.lit(1000000.0))
+                         .cast("bigint").alias("cos_micro"),
+                        F.col("rnk").cast("bigint").alias("rnk")))
+
+
 def lsh_bucket_udf(planes: list[list[float]]):
     """Vectorized bucket assignment: per row, the sign-bit string of
     the plane projections.  Ordered-fold accumulation over the

@@ -27,7 +27,7 @@ from .functions.hashing import MERSENNE_P, hash_family_sql, portable_hash60_sql
 from .operators import cdc
 from .operators import dedup as D
 from .operators.binlog import parse_binlog_text, render_binlog_text
-from .operators.similarity import ann_lsh_topk, lsh_planes
+from .operators.similarity import ann_lsh_topk, ivf_flat_topk, lsh_planes
 from .queries import CHANGELOG_CTE
 from .sources.tables import load_table
 
@@ -348,6 +348,53 @@ def x38(spark, sf_dir):
     # grows; the oracle embeds the identical plane literals.
     return (ann_lsh_topk(_t(spark, sf_dir, "embeddings"),
                          k=3, n_planes=8)
+            .orderBy("vec_id", "rnk"))
+
+
+# --------------------------------------------------------------------------
+# X44 IVF-flat ANN: deterministic strided coarse quantizer → inverted
+# lists → nprobe=2 probing → exact cosine rerank (the brief's "IVF
+# variant as the scale path" alongside x38's LSH buckets).
+# --------------------------------------------------------------------------
+_IVF_STRIDE, _IVF_NPROBE, _IVF_K = 17, 2, 3
+
+@declared("x44_ivf_ann", f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         WHERE vec_id % {_IVF_STRIDE} = 0),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+  FROM e CROSS JOIN cent c),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cs DESC, cid ASC) AS pr
+  FROM scored),
+probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE pr <= {_IVF_NPROBE}),
+idx AS (SELECT vec_id AS nbr_id, cid FROM ranked WHERE pr = 1),
+cand AS (SELECT DISTINCT qid, nbr_id
+         FROM probes JOIN idx USING (cid) WHERE qid <> nbr_id),
+rer AS (
+  SELECT c.qid, c.nbr_id,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nbr_id),
+top AS (SELECT qid, nbr_id, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nbr_id ASC) AS rnk
+        FROM rer)
+SELECT qid AS vec_id, nbr_id,
+       CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM top WHERE rnk <= {_IVF_K} ORDER BY vec_id, rnk""")
+def x44(spark, sf_dir):
+    return (ivf_flat_topk(_t(spark, sf_dir, "embeddings"),
+                          k=_IVF_K, centroid_stride=_IVF_STRIDE,
+                          nprobe=_IVF_NPROBE)
             .orderBy("vec_id", "rnk"))
 
 

@@ -84,3 +84,20 @@ def test_ann_lsh_is_subset_of_bucket_exact(spark, sf_dir):
     # sanity: ranks are 1..k and cos within [-1, 1]
     assert all(1 <= r["rnk"] <= 3 for r in out)
     assert all(-1.0001 <= r["cos_micro"] / 1e6 <= 1.0001 for r in out)
+
+
+def test_ivf_flat_invariants_and_recall_floor(spark, sf_dir):
+    from enexory_parquet_export_spark.operators.similarity import ivf_flat_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_flat_topk(emb, k=3, centroid_stride=7, nprobe=2).collect()
+    assert out, "IVF produced no neighbors"
+    assert all(r["vec_id"] != r["nbr_id"] for r in out)
+    assert all(1 <= r["rnk"] <= 3 for r in out)
+    assert all(-1_000_001 <= r["cos_micro"] <= 1_000_001 for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["vec_id"], []).append((r["rnk"], r["cos_micro"]))
+    for ranked in by_q.values():
+        ranked.sort()
+        sims = [s for _, s in ranked]
+        assert sims == sorted(sims, reverse=True)  # rank order = cos order
