@@ -399,6 +399,132 @@ def x44(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X45 sessionization (gaps-and-islands): split each user's event stream
+# into sessions at >30 min silence — the event-time analog of the
+# reference's "resume after the last seen timestamp" walk (O5) and the
+# standard pre-aggregation for behavioral training data.  One window
+# pass (lag → new-session flag → running sum) + one hash agg.
+# --------------------------------------------------------------------------
+_SESSION_GAP_SEC = 1800
+
+@declared("x45_sessionize", f"""
+WITH o AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
+  FROM events),
+g AS (
+  SELECT *, lag(te) OVER (PARTITION BY user_id
+                          ORDER BY te, event_id) AS prev_te
+  FROM o),
+m AS (
+  SELECT *, CASE WHEN prev_te IS NULL OR te - prev_te > {_SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM g),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY te, event_id
+                              ROWS UNBOUNDED PRECEDING) AS snum
+  FROM m)
+SELECT user_id,
+       CAST(min(event_id) AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(te) - min(te) AS BIGINT) AS span_sec
+FROM s GROUP BY user_id, snum
+ORDER BY user_id, session_id""")
+def x45(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("te"))
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = F.when(F.lag("te").over(w).isNull()
+                    | (F.col("te") - F.lag("te").over(w) > _SESSION_GAP_SEC),
+                    1).otherwise(0)
+    return (ev.withColumn("snum", F.sum(is_new).over(run))
+              .groupBy("user_id", "snum")
+              .agg(F.min("event_id").cast("bigint").alias("session_id"),
+                   F.count("*").cast("bigint").alias("n_events"),
+                   (F.max("te") - F.min("te")).cast("bigint").alias("span_sec"))
+              .select("user_id", "session_id", "n_events", "span_sec")
+              .orderBy("user_id", "session_id"))
+
+
+# --------------------------------------------------------------------------
+# X46 exact interpolated percentiles — implemented MANUALLY with the
+# identical rank/interpolation arithmetic on both engines (pos=(n−1)·q,
+# v[lo] + frac·(v[hi]−v[lo])), because each engine's built-in
+# percentile/quantile_cont may associate the interpolation differently
+# and diverge in the last ulp.  One window pass + one conditional agg.
+# --------------------------------------------------------------------------
+_QUANTILES = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def _pct_sql() -> str:
+    picks, outs = [], []
+    for tag, q in _QUANTILES:
+        # q MUST be a DOUBLE literal on both engines: DuckDB parses a bare
+        # decimal literal as DECIMAL (exact arithmetic) while Spark uses
+        # IEEE double, and the interpolation fraction then differs in the
+        # last ulp — enough to flip the micro-units floor.
+        qd = f"CAST({q} AS DOUBLE)"
+        picks.append(
+            f"max(CASE WHEN rn = CAST(floor((n-1) * {qd}) AS BIGINT) "
+            f"THEN value END) AS lo_{tag},\n    "
+            f"max(CASE WHEN rn = CAST(ceil((n-1) * {qd}) AS BIGINT) "
+            f"THEN value END) AS hi_{tag}")
+        outs.append(
+            f"CAST(floor((lo_{tag} + ((n-1) * {qd} - floor((n-1) * {qd}))"
+            f" * (hi_{tag} - lo_{tag})) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            f" AS {tag}_micro")
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+picked AS (
+  SELECT event_type, n,
+    {', '.join(picks)}
+  FROM ranked GROUP BY event_type, n)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+       {', '.join(outs)}
+FROM picked ORDER BY event_type"""
+
+
+@declared("x46_percentiles", _pct_sql())
+def x46(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (ev.select("event_type", "value", "event_id")
+                .withColumn("rn", F.row_number().over(w) - 1)
+                .withColumn("n", F.count("*").over(
+                    Window.partitionBy("event_type"))))
+    n1 = F.col("n") - 1
+    aggs, outs = [], []
+    for tag, q in _QUANTILES:
+        pos = n1 * F.lit(q)
+        aggs += [
+            F.max(F.when(F.col("rn") == F.floor(pos).cast("bigint"),
+                         F.col("value"))).alias(f"lo_{tag}"),
+            F.max(F.when(F.col("rn") == F.ceil(pos).cast("bigint"),
+                         F.col("value"))).alias(f"hi_{tag}"),
+        ]
+    picked = ranked.groupBy("event_type", "n").agg(*aggs)
+    for tag, q in _QUANTILES:
+        pos = (F.col("n") - 1) * F.lit(q)
+        frac = pos - F.floor(pos)
+        val = F.col(f"lo_{tag}") + frac * (F.col(f"hi_{tag}")
+                                           - F.col(f"lo_{tag}"))
+        outs.append(F.floor(val * F.lit(1000000.0))
+                     .cast("bigint").alias(f"{tag}_micro"))
+    return (picked.select("event_type",
+                          F.col("n").cast("bigint").alias("n_rows"), *outs)
+                  .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
