@@ -525,6 +525,124 @@ def x46(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X47 semi-structured extraction: the events.props JSON column, parsed
+# JVM-side (get_json_object — no Python in the path) and aggregated.
+# The reference stores no JSON, but its `props`-like free-form columns
+# are the norm in training-data pipelines (doc metadata, crawl headers);
+# this is the declared contract for typed extraction from them.
+# --------------------------------------------------------------------------
+@declared("x47_json_extract", """
+WITH px AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM px GROUP BY event_type ORDER BY event_type""")
+def x47(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.select("event_type", k.alias("k"))
+              .groupBy("event_type")
+              .agg(F.count("*").cast("bigint").alias("n_rows"),
+                   F.count("k").cast("bigint").alias("n_parsed"),
+                   F.sum("k").cast("bigint").alias("sum_k"),
+                   F.min("k").cast("bigint").alias("min_k"),
+                   F.max("k").cast("bigint").alias("max_k"))
+              .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# X48 pivot (long → wide): per-user event-type counts as columns — the
+# feature-matrix shape every training pipeline emits.  Values list is a
+# fixed literal so Spark skips the extra distinct-discovery job; one
+# shuffle (groupBy user), pivot is a map-side conditional agg.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+@declared("x48_pivot", f"""
+SELECT user_id,
+  {', '.join(f'''CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_{t}''' for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id""")
+def x48(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wide = (ev.groupBy("user_id")
+              .pivot("event_type", list(_EVENT_TYPES))
+              .count())
+    cols = [F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES]
+    return wide.select("user_id", *cols).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# X49 skew-aware salted join (operators/skew.py): a synthetic hot key
+# (every 'click' collapses onto key 0 ≈ 20% of the fact table) joined
+# to a derived dim through an 8-way salt.  Row-identical to the plain
+# join — the oracle IS the plain join — only the shuffle distribution
+# differs; pytest asserts equivalence against the unsalted plan too.
+# --------------------------------------------------------------------------
+_N_SALTS = 8
+
+@declared("x49_salted_join", """
+WITH fact AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE user_id END AS k,
+         value
+  FROM events),
+dim AS (SELECT DISTINCT k, 'node-' || CAST(k AS VARCHAR) AS label
+        FROM fact)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
+FROM fact JOIN dim USING (k)
+GROUP BY label ORDER BY label""")
+def x49(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0))
+         .otherwise(F.col("user_id")).alias("k"),
+        "value")
+    dim = (fact.select("k").distinct()
+               .withColumn("label", F.concat(F.lit("node-"),
+                                             F.col("k").cast("string"))))
+    joined = salted_join(fact, dim, "k", n_salts=_N_SALTS,
+                         salt_src=F.col("event_id"))
+    micro = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+    return (joined.groupBy("label")
+                  .agg(F.count("*").cast("bigint").alias("n_rows"),
+                       F.sum(micro).cast("bigint").alias("sum_value_micro"))
+                  .orderBy("label"))
+
+
+# --------------------------------------------------------------------------
+# X50 tumbling-window rollup (streaming/windowed.py): the batch twin of
+# the watermarked streaming aggregation — hour windows × event_type.
+# Stream/batch equivalence and the late-row drop are pytest'd; this
+# declares the batch semantics against the DuckDB oracle.
+# --------------------------------------------------------------------------
+@declared("x50_window_rollup", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")
+def x50(spark, sf_dir):
+    from .streaming.windowed import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_counts(ev).orderBy("win_start", "event_type")
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
