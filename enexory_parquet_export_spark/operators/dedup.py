@@ -151,24 +151,69 @@ def minhash_dup_pairs(docs: DataFrame, *, threshold: float = 0.5,
                          .cast("bigint").alias("est_micro")))
 
 
+#: lane-packed accumulator geometry: 5 counters of 12 bits per bigint
+#: (60 data bits, sign bit untouched) → 12 sums instead of 60
+_LANE_BITS = 12
+_LANES = 5
+_LANE_CAP = (1 << _LANE_BITS) - 1  # 4095 tokens per doc, hard bound
+
+
 def simhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
-                       text_col: str = "text", bits: int = 60) -> DataFrame:
+                       text_col: str = "text", bits: int = 60,
+                       max_tokens: int | None = None) -> DataFrame:
     """``bits``-bit SimHash per doc: bit b is set iff at least half the
     token hashes have bit b set (majority vote per bit).
 
     Explode tokens → one codegen md5 per token → one hash aggregation
-    with ``bits`` popcount sums → flat bit reconstruction.  The DuckDB
-    oracle computes the identical value with list_transform/list_sum.
+    of per-bit popcounts → flat bit reconstruction.  The DuckDB oracle
+    computes the identical value with list_transform/list_sum.
+
+    Two physical shapes, same result:
+
+    - default (``max_tokens=None``): one ``sum`` per bit — 60 agg
+      buffers; safe for any document length.
+    - ``max_tokens < 4096``: lane-packed — 5 bit-counters share each
+      bigint accumulator in 12-bit lanes, so the aggregate carries 12
+      sums instead of 60.  Cuts both runtime and (measured ~1 s at
+      sf0.1) the one-off whole-stage-codegen compile of the wide
+      aggregate.  Caller asserts the per-doc token bound; a lane
+      overflowing at 4096+ tokens would silently corrupt its
+      neighbor, hence opt-in, never sniffed.
     """
     ex = docs.select(F.col(id_col).alias("doc_id"),
                      F.explode(tokens(F.col(text_col))).alias("_tok"))
-    h = portable_hash60(F.col("_tok"))
-    agg = ex.groupBy("doc_id").agg(
-        F.count("*").alias("_n"),
-        *[F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-          for b in range(bits)])
+    packed = max_tokens is not None and max_tokens <= _LANE_CAP \
+        and bits == _LANE_BITS * _LANES
+    if not packed:
+        h = portable_hash60(F.col("_tok"))
+        agg = ex.groupBy("doc_id").agg(
+            F.count("*").alias("_n"),
+            *[F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+              for b in range(bits)])
+        counts = {b: F.col(f"_b{b}") for b in range(bits)}
+    else:
+        # bit b = j + 12i lives in lane i of accumulator j
+        ex = ex.select("doc_id",
+                       portable_hash60(F.col("_tok")).alias("_h"))
+        spreads = []
+        for j in range(_LANE_BITS):
+            lanes = [
+                F.shiftleft(F.shiftright(F.col("_h"), j + _LANE_BITS * i)
+                             .bitwiseAND(F.lit(1)), _LANE_BITS * i)
+                for i in range(_LANES)]
+            spreads.append(sum(lanes[1:], lanes[0]).alias(f"_s{j}"))
+        agg = (ex.select("doc_id", *spreads)
+                 .groupBy("doc_id")
+                 .agg(F.count("*").alias("_n"),
+                      *[F.sum(F.col(f"_s{j}")).alias(f"_a{j}")
+                        for j in range(_LANE_BITS)]))
+        counts = {
+            j + _LANE_BITS * i:
+                F.shiftright(F.col(f"_a{j}"), _LANE_BITS * i)
+                 .bitwiseAND(F.lit(_LANE_CAP))
+            for j in range(_LANE_BITS) for i in range(_LANES)}
     sim = sum(
-        F.when(F.lit(2) * F.col(f"_b{b}") >= F.col("_n"),
+        F.when(F.lit(2) * counts[b] >= F.col("_n"),
                F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         for b in range(bits))
     return agg.select("doc_id", sim.alias("simhash"))

@@ -126,7 +126,11 @@ SELECT doc_id,
             AS BIGINT) AS simhash
 FROM th ORDER BY doc_id""")
 def x31(spark, sf_dir):
-    return (D.simhash_signatures(_t(spark, sf_dir, "documents"))
+    # fixture contract: documents.n_chars ≤ ~600 → far under the 4095
+    # lane cap, so the 12-accumulator packed aggregation applies
+    # (test_dedup_similarity proves packed ≡ general)
+    return (D.simhash_signatures(_t(spark, sf_dir, "documents"),
+                                 max_tokens=4095)
             .orderBy("doc_id"))
 
 

@@ -34,6 +34,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # docs' recommended setting; avoids scheduling hundreds of
     # near-empty post-shuffle tasks
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # With parallelismFirst=false the advisory size IS the post-shuffle
+    # parallelism knob.  The 64MB default is sized for multi-GB cluster
+    # shuffles; at this deployment's envelope (local[32], ≤ sf0.1) a
+    # 60MB window shuffle would coalesce to ~1 task and serialize the
+    # sort (measured: binlog parse 2.2s → 1.2s, lag window 0.5s →
+    # 0.23s at 4MB).  Deployments at larger scale raise it via
+    # SPARK_GRAFT_ADVISORY_PARTITION (64-256MB on a 1000-executor
+    # cluster) — partition count tracks data/advisory either way.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4MB"),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # per-day idempotent overwrite == the reference's whole-partition
     # rewrite primitive (Parquet Export/db_extractor.py:247-248)

@@ -62,6 +62,18 @@ def test_simhash_stability_and_locality(spark):
     assert all(0 <= s < 2 ** 60 for s in sig.values())
 
 
+def test_simhash_lane_packed_equals_general(spark, sf_dir):
+    """The 12-accumulator lane-packed aggregation must be bit-identical
+    to the 60-sum general path on real data (including docs whose token
+    count ties the majority threshold exactly)."""
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    general = {r["doc_id"]: r["simhash"]
+               for r in D.simhash_signatures(docs).collect()}
+    packed = {r["doc_id"]: r["simhash"]
+              for r in D.simhash_signatures(docs, max_tokens=4095).collect()}
+    assert packed == general
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     out = cosine_topk_blocked(emb, k=3)
