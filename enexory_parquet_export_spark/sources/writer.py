@@ -85,3 +85,64 @@ def read_day_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the mirror back; ``day`` comes from the directory layout,
     so day-filters become partition pruning (no data scan)."""
     return spark.read.parquet(path).withColumn("day", F.col("day").cast("string"))
+
+
+#: production parquet sweet spot; tests pass something tiny
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def day_file_stats(spark: SparkSession, path: str) -> dict[str, tuple[int, int]]:
+    """``{day: (n_files, total_bytes)}`` — pure file-listing metadata."""
+    fs, jvm, jpath = _hadoop_fs(spark, path)
+    out: dict[str, tuple[int, int]] = {}
+    if not fs.exists(jpath):
+        return out
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("day=")):
+            continue
+        n, total = 0, 0
+        for f in fs.listStatus(status.getPath()):
+            if f.isFile() and not f.getPath().getName().startswith(("_", ".")):
+                n += 1
+                total += f.getLen()
+        out[name[len("day="):]] = (n, total)
+    return out
+
+
+def compact_days(spark: SparkSession, path: str, *,
+                 target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+                 days: list[str] | None = None) -> dict[str, int]:
+    """Rewrite fragmented day-partitions to ≈``target_file_bytes`` files.
+
+    Long-running CDC merges leave each hot day with one small file per
+    merge batch; at 100 TB the resulting listing/open overhead (and
+    scan tasks per file) dominates read cost.  This is the maintenance
+    twin of the reference's one-file-per-day invariant
+    (Parquet Export/db_extractor.py:211) expressed as an explicit,
+    idempotent operator: per fragmented day, read → ``repartition(n)``
+    with n = ceil(bytes/target) → dynamic-overwrite THAT partition
+    only.  Days already at their target count are skipped without
+    reading data (``day_file_stats`` is listing-only), so the cost is
+    proportional to fragmentation, not table size.
+
+    Returns ``{day: new_file_count}`` for the rewritten days.
+    """
+    stats = day_file_stats(spark, path)
+    rewritten: dict[str, int] = {}
+    todo = []
+    for day, (n_files, total) in sorted(stats.items()):
+        if days is not None and day not in days:
+            continue
+        want = max(1, -(-total // target_file_bytes))
+        if n_files > want:
+            todo.append((day, want))
+    if not todo:
+        return rewritten
+    df = read_day_partitioned(spark, path)
+    for day, want in todo:
+        (df.filter(F.col("day") == day)   # partition-pruned scan
+           .repartition(want)
+           .write.mode("overwrite").partitionBy("day").parquet(path))
+        rewritten[day] = want
+    return rewritten

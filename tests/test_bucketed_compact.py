@@ -1,0 +1,81 @@
+"""Bucketed co-located joins and small-file compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from enexory_parquet_export_spark.sources.bucketed import (
+    read_bucketed,
+    write_bucketed,
+)
+from enexory_parquet_export_spark.sources.tables import load_table
+from enexory_parquet_export_spark.sources.writer import (
+    compact_days,
+    day_file_stats,
+    read_day_partitioned,
+    write_day_partitioned,
+)
+
+
+def _events_with_day(spark, sf_dir, n=5000):
+    return (load_table(spark, sf_dir, "events").limit(n)
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+
+
+def test_compact_days_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "mirror")
+    ev = _events_with_day(spark, sf_dir)
+    # fragment the way CDC merges do: one small file per day per batch
+    for i in range(3):
+        write_day_partitioned(ev.filter(F.col("event_id") % 3 == i),
+                              path, mode="append")
+    before = day_file_stats(spark, path)
+    assert all(n > 1 for n, _ in before.values())
+    rows_before = sorted(map(tuple, read_day_partitioned(spark, path)
+                             .collect()))
+
+    done = compact_days(spark, path, target_file_bytes=1 << 30)
+    after = day_file_stats(spark, path)
+    assert set(done) == set(before)
+    assert all(n == 1 for n, _ in after.values())
+    assert sorted(map(tuple, read_day_partitioned(spark, path)
+                      .collect())) == rows_before
+
+
+def test_compact_days_skips_already_compact(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "mirror")
+    write_day_partitioned(_events_with_day(spark, sf_dir, 2000), path)
+    compact_days(spark, path, target_file_bytes=1 << 30)
+    assert compact_days(spark, path, target_file_bytes=1 << 30) == {}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed by the same key/count must join with no
+    Exchange on either side — the co-located CDC-merge shape."""
+    ev = (load_table(spark, sf_dir, "events").limit(4000)
+          .select(F.col("event_id").alias("pk"), "event_type", "value"))
+    base = ev.filter(F.col("pk") % 2 == 0)
+    changes = ev.filter(F.col("pk") % 3 == 0) \
+                .select("pk", F.col("value").alias("new_value"))
+    write_bucketed(base, "t_base", path=str(tmp_path / "base"),
+                   n_buckets=8, sort_col="pk")
+    write_bucketed(changes, "t_changes", path=str(tmp_path / "changes"),
+                   n_buckets=8, sort_col="pk")
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed(spark, "t_base").join(
+                read_bucketed(spark, "t_changes"), "pk")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # result correctness vs plain join
+            expect = base.join(changes, "pk")
+            assert sorted(map(tuple, joined.collect())) \
+                == sorted(map(tuple, expect.select(*joined.columns).collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_base")
+        spark.sql("DROP TABLE IF EXISTS t_changes")
