@@ -647,6 +647,72 @@ def x50(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X51 deterministic train/valid/test split: hash-bucket assignment on a
+# stable id (never random() — reproducible across runs, engines, and
+# cluster sizes; no shuffle beyond the final agg).  The standard split
+# idiom for 100 TB training corpora: membership is a pure function of
+# the row, so adding data never reshuffles existing assignments.
+# --------------------------------------------------------------------------
+@declared("x51_train_split", f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         {portable_hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY lang, split ORDER BY lang, split""")
+def x51(spark, sf_dir):
+    from .functions.hashing import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = portable_hash60(F.col("doc_id").cast("string")) % 100
+    split = (F.when(bucket < 90, "train")
+              .when(bucket < 95, "valid").otherwise("test"))
+    return (docs.select("lang", "n_chars", split.alias("split"))
+                .groupBy("lang", "split")
+                .agg(F.count("*").cast("bigint").alias("n_docs"),
+                     F.sum("n_chars").cast("bigint").alias("sum_chars"))
+                .orderBy("lang", "split"))
+
+
+# --------------------------------------------------------------------------
+# X52 per-group deterministic downsample: keep k docs per source,
+# chosen by hash order — the "cap each domain at k documents" operator
+# every crawl pipeline runs.  One window shuffle on the group key; the
+# hash sort key makes the sample stable under reruns and data growth
+# (a doc's rank only changes if earlier-hashed docs arrive in ITS
+# group, never globally).
+# --------------------------------------------------------------------------
+_SAMPLE_K = 3
+
+@declared("x52_group_sample", f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {portable_hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+           AS rn
+  FROM documents)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_SAMPLE_K} ORDER BY source, rn""")
+def x52(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.hashing import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    h = portable_hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs.select("doc_id", "source",
+                        F.row_number().over(w).cast("bigint").alias("rn"))
+                .filter(F.col("rn") <= _SAMPLE_K)
+                .orderBy("source", "rn"))
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
