@@ -93,6 +93,78 @@ def test_stream_rollup_equals_batch(spark, sf_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Duplicates across micro-batches within the lateness window are
+    dropped (first arrival wins); the surviving key set equals the
+    batch dropDuplicates result."""
+    from enexory_parquet_export_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("ts", "event_type", "value").limit(1000))
+    # content key = event_type+floor(value): coarse → real duplicates
+    keyed = ev.withColumn("ckey", F.concat("event_type",
+                                           F.floor("value").cast("string")))
+    n_unique = keyed.dropDuplicates(["ckey"]).count()
+    assert n_unique < keyed.count()  # fixture genuinely has dups
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    keyed.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(keyed.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    # lateness covers the whole fixture span: no row is late, no state
+    # evicted → stream output must equal the batch dropDuplicates set
+    q = (dedup_stream(stream, ["ckey"], lateness="365 days")
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == n_unique
+    assert got.select("ckey").distinct().count() == n_unique
+
+
+@pytest.mark.slow
+def test_stream_dedup_state_evicted_past_watermark(spark, tmp_path):
+    """A duplicate arriving after the key's state expired (watermark
+    passed first_seen + lateness) is emitted again — the documented,
+    bounded-state divergence from batch dedup."""
+    from enexory_parquet_export_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, "ts_s string, ckey string")
+                .select(F.to_timestamp("ts_s").alias("ts"), "ckey"))
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    batches = [
+        [("2024-01-01 01:00:00", "k1")],
+        [("2024-01-01 05:00:00", "adv")],   # advances event time…
+        [("2024-01-01 05:30:00", "adv2")],  # …wm (05:00-10m) applied a
+                                            # batch later evicts k1's
+                                            # 01:10-expiry state here
+        [("2024-01-01 06:00:00", "k1")],    # state gone → emitted
+    ]
+    import time
+    for rows in batches:
+        frame(rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.1)  # distinct modtimes → deterministic file order
+
+    stream = (spark.readStream.schema(frame(batches[0]).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (dedup_stream(stream, ["ckey"], lateness="10 minutes")
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = sorted((r["ckey"], str(r["ts"])) for r in
+                 spark.read.parquet(out).collect())
+    assert [k for k, _ in got].count("k1") == 2, got
+
+
+@pytest.mark.slow
 def test_stream_rollup_drops_late_rows(spark, tmp_path):
     """A row older than the watermark at its arrival must be dropped:
     feed one file that advances event time, then one with a too-late
