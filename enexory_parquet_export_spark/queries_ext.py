@@ -713,6 +713,30 @@ def x52(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X53 approximate distinct (HyperLogLog++): the sketch path for "how
+# many unique users/documents" at 100 TB, where exact COUNT(DISTINCT)
+# shuffles every distinct value and a sketch shuffles ~kilobytes per
+# partition (mergeable partial aggregation — the map-side combine IS
+# the algorithm).  Declared WITHOUT oracle SQL: HLL register layouts
+# are engine-private, so no cross-engine value equality exists by
+# construction — the driver's rows-only check applies, and the
+# ±rsd error contract is pytest'd against the exact count instead
+# (tests/test_functions.py::test_approx_distinct_error_bound).
+# --------------------------------------------------------------------------
+_APPROX_RSD = 0.02
+
+@declared("x53_approx_distinct")
+def x53(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", _APPROX_RSD)
+                    .alias("approx_users"),
+                   F.approx_count_distinct("event_id", _APPROX_RSD)
+                    .alias("approx_events"))
+              .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)

@@ -115,3 +115,50 @@ def test_round_trip_matches_typed_changelog(spark, sf_dir):
     tkey = [(r["day"], r["pk"], r["op"], r["date_time"]) for r in typed]
     pkey = [(r["day"], r["pk"], r["op"], r["date_time"]) for r in reparsed]
     assert tkey == pkey
+
+
+# ---------------------------------------------------------------------------
+# Property-based round trip: ANY changelog the data contract allows must
+# survive render → parse exactly (hypothesis drives op mix, pk spread,
+# null values, epoch edge values; derandomized for reproducibility).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_dt = st.tuples(
+    st.integers(2000, 2099), st.integers(1, 12), st.integers(1, 28),
+    st.integers(0, 23), st.integers(0, 59), st.integers(0, 59),
+).map(lambda t: f"{t[0]:04d}-{t[1]:02d}-{t[2]:02d} "
+                f"{t[3]:02d}:{t[4]:02d}:{t[5]:02d}")
+
+_row = st.tuples(
+    st.sampled_from("IUD"),
+    st.integers(1, 2**62),
+    _dt,
+    st.one_of(st.none(),
+              st.floats(allow_nan=False, allow_infinity=False,
+                        width=64, min_value=-1e12, max_value=1e12)),
+    st.one_of(st.none(), st.integers(0, 2**40)),
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.lists(_row, min_size=1, max_size=40))
+def test_roundtrip_property(spark, rows):
+    log = spark.createDataFrame(
+        [(i, op, pk, dt, v, ts) for i, (op, pk, dt, v, ts)
+         in enumerate(rows)],
+        "seq bigint, op string, pk bigint, date_time string, "
+        "value double, ts_epoch bigint")
+    got = {r["seq"]: r for r in
+           parse_binlog_text(render_binlog_text(log)).collect()}
+    # seq survives as the block's first line number: seq*1000
+    assert len(got) == len(rows)
+    for i, (op, pk, dt, v, ts) in enumerate(rows):
+        r = got[i * 1000]
+        assert (r["op"], r["pk"], r["date_time"]) == (op, pk, dt)
+        if op == "D":
+            assert r["value"] is None and r["ts_epoch"] is None
+        else:
+            assert r["value"] == v
+            assert r["ts_epoch"] == (ts if ts is not None else 0)
+        assert r["day"] == dt[:10]

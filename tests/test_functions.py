@@ -93,3 +93,26 @@ def test_rolling_fingerprint_table_matches_column_form(spark, sf_dir):
     tbl_form = {r["doc_id"]: r["fingerprint"]
                 for r in T.rolling_fingerprint_table(docs).collect()}
     assert col_form == tbl_form and len(tbl_form) > 0
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """x53's HLL++ estimates must sit within ~3·rsd of the exact
+    distinct counts (no cross-engine oracle exists for sketch
+    registers, so the error contract is the correctness check)."""
+    from enexory_parquet_export_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: (r["u"], r["e"]) for r in
+             ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("u"),
+                    F.countDistinct("event_id").alias("e")).collect()}
+    approx = {r["event_type"]: (r["approx_users"], r["approx_events"])
+              for r in ev.groupBy("event_type")
+                         .agg(F.approx_count_distinct("user_id", 0.02)
+                               .alias("approx_users"),
+                              F.approx_count_distinct("event_id", 0.02)
+                               .alias("approx_events")).collect()}
+    assert set(approx) == set(exact)
+    for et, (au, ae) in approx.items():
+        eu, ee = exact[et]
+        assert abs(au - eu) <= max(3, 0.06 * eu), (et, au, eu)
+        assert abs(ae - ee) <= max(3, 0.06 * ee), (et, ae, ee)
