@@ -87,6 +87,29 @@ def read_day_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).withColumn("day", F.col("day").cast("string"))
 
 
+def write_clustered(df: DataFrame, path: str, cluster_cols: list[str], *,
+                    n_files: int | None = None,
+                    mode: str = "overwrite") -> None:
+    """Range-cluster ``df`` on ``cluster_cols`` so parquet min/max
+    footer statistics prune scans.
+
+    ``repartitionByRange`` gives each output file a disjoint key range
+    and ``sortWithinPartitions`` tightens every row group's min/max to
+    a narrow slice — a point or range predicate on the cluster key
+    then skips whole files (and row groups within them) from the
+    footer alone, before any data IO.  At 100 TB this is the
+    difference between a key lookup scanning the table and scanning
+    one file; it is the flat-file analog of the reference's
+    one-day-per-file layout (db_extractor.py:211), generalized to any
+    key.  Cost: one range shuffle (sampling pass + exchange) at write
+    time — paid once, saved on every subsequent selective read.
+    """
+    part = (df.repartitionByRange(n_files, *cluster_cols)
+            if n_files is not None else df.repartitionByRange(*cluster_cols))
+    (part.sortWithinPartitions(*cluster_cols)
+         .write.mode(mode).parquet(path))
+
+
 #: production parquet sweet spot; tests pass something tiny
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 

@@ -79,3 +79,44 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_base")
         spark.sql("DROP TABLE IF EXISTS t_changes")
+
+
+def test_write_clustered_disjoint_footer_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered files must carry disjoint min/max footer stats
+    on the cluster key (that disjointness is what lets a predicate
+    prune whole files), and a selective read must return the same rows
+    as from the unclustered layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from enexory_parquet_export_spark.sources.writer import write_clustered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    path = str(tmp_path / "clustered")
+    write_clustered(ev, path, ["event_id"], n_files=4)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(md.row_group(rg).column(i)
+                       for i in range(md.row_group(rg).num_columns)
+                       if md.row_group(rg).column(i).path_in_schema
+                       == "event_id")
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, ranges  # files cover disjoint key ranges
+
+    lo, hi = ranges[0][0], ranges[0][1]
+    got = (spark.read.parquet(path)
+           .filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi)))
+    expect = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+    assert sorted(map(tuple, got.select("event_id", "user_id", "value")
+                      .collect())) == sorted(map(tuple, expect.collect()))
