@@ -856,9 +856,11 @@ def x42(spark, sf_dir):
 # UPDATE blocks carry a stale WHERE row-image that the SET image must
 # override; DELETE blocks carry @4/@6 the parser must ignore.
 # --------------------------------------------------------------------------
-#: rotated-segment size: sf0.1's ~600k blocks → ~30 files ≈ one window
-#: partition per core on local[32]; real binlogs rotate by size anyway
-_BINLOG_SEQS_PER_FILE = 20_000
+#: rotated-segment size: sf0.1's ~100k blocks → ~120 files, several per
+#: shuffle partition, so hash collisions of file→partition can't create
+#: 2× skew the way ~1 file/partition does (measured 2.3 s → 1.8 s at
+#: sf0.1); real binlogs rotate by size and give the same granularity
+_BINLOG_SEQS_PER_FILE = 5_000
 
 @declared("x43_binlog_parse", f"""
 WITH {CHANGELOG_CTE},
