@@ -737,6 +737,50 @@ def x53(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X54 array/vector battery over the embeddings FLOAT[] column: the
+# complex-type surface (size/slice/sort/element access + a codegen'd
+# norm) the reference never needed but any embedding pipeline does.
+# Per-element floor-to-micro BEFORE the sum keeps the reduction in
+# exact bigint arithmetic — associative, so engine/partition order
+# can't move the result (same rule as x50's sums).
+# --------------------------------------------------------------------------
+@declared("x54_vector_battery", """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dims,
+       CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+         AS first_micro,
+       CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+         AS max_micro,
+       CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+                        AS BIGINT))) AS BIGINT) AS sumsq_micro,
+       CAST(list_sum(list_transform(embedding[1:8],
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)))
+            AS BIGINT) AS head_micro
+FROM embeddings ORDER BY vec_id""")
+def x54(spark, sf_dir):
+    # one posexplode → one hash agg, fully codegen'd: the higher-order
+    # `aggregate(...)` form computes the same values but interprets
+    # per element (the x37 lesson — operators/dedup.py:10-16)
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")) \
+        .select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+    micro = F.floor(F.col("x") * F.lit(1e6)).cast("bigint")
+    sq_micro = F.floor(F.col("x") * F.col("x") * F.lit(1e6)).cast("bigint")
+    return (ex.groupBy("vec_id")
+              .agg(F.count("*").alias("dims"),
+                   F.max(F.when(F.col("pos") == 0, micro))
+                    .alias("first_micro"),
+                   F.max(micro).alias("max_micro"),
+                   F.sum(sq_micro).alias("sumsq_micro"),
+                   F.sum(F.when(F.col("pos") < 8, micro)
+                          .otherwise(F.lit(0).cast("bigint")))
+                    .alias("head_micro"))
+              .orderBy("vec_id"))
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
