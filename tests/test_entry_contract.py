@@ -25,8 +25,15 @@ def test_every_query_has_oracle_or_is_flagged(spark):
     assert len(qs) >= 42
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle entries without queries: {missing}"
-    # every declared query should have an oracle (no weak rows-only checks)
-    weak = set(qs) - set(oracles)
+    # every declared query has an oracle unless it is on the explicit
+    # rows-only allowlist (genuinely non-cross-engine-comparable output;
+    # each entry must document its alternative correctness check)
+    ROWS_ONLY_OK = {
+        # HLL++ registers are engine-private; 3σ error bound vs exact
+        # counts is pytest'd (test_functions.test_approx_distinct_...)
+        "x53_approx_distinct",
+    }
+    weak = set(qs) - set(oracles) - ROWS_ONLY_OK
     assert not weak, f"queries without oracle SQL: {weak}"
 
 
