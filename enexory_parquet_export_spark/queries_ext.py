@@ -781,6 +781,122 @@ def x54(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X55 benchmark decontamination: flag corpus documents sharing ≥ K
+# distinct 3-token shingles with any probe ("benchmark") document —
+# the test-set-overlap scrub every training pipeline runs before a
+# model sees the data.  Candidates come from a shingle equi-join
+# (never all-pairs); Spark joins on xxhash64 of the shingle while the
+# oracle joins the strings — shared COUNTS are hash-agnostic, so the
+# outputs agree even though the join keys differ (same argument as
+# x32's candidate machinery, which this reuses).
+# --------------------------------------------------------------------------
+_DECON_K = 5
+
+@declared("x55_decontaminate", f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- deterministic contamination: corpus-side near-copies of probe
+  -- docs (the fixture corpus has no natural cross-doc overlap), same
+  -- derived-corpus idiom as the near-dup queries
+  SELECT doc_id + 1000001, text || ' trailing filler words'
+  FROM documents WHERE doc_id % 100 = 0),
+toks AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+              FROM docs2),
+sh AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks WHERE len(t) >= 3) GROUP BY doc_id, s),
+probe AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 100 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 100 <> 0),
+hits AS (
+  SELECT c.doc_id, p.probe_id, count(*) AS shared
+  FROM corpus c JOIN probe p USING (s)
+  GROUP BY c.doc_id, p.probe_id
+  HAVING count(*) >= {_DECON_K})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_probes_hit,
+       CAST(max(shared) AS BIGINT) AS max_shared
+FROM hits GROUP BY doc_id ORDER BY doc_id""")
+def x55(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = (docs.filter(F.col("doc_id") % 100 == 0)
+             .select((F.col("doc_id") + 1_000_001).alias("doc_id"),
+                     F.concat("text", F.lit(" trailing filler words"))
+                      .alias("text")))
+    sh = (D._exploded_shingles(docs.unionByName(twins),
+                               id_col="doc_id", text_col="text",
+                               shingle_n=3, distinct=True)
+          .select("doc_id", F.xxhash64("s").alias("h")))
+    probe = (sh.filter(F.col("doc_id") % 100 == 0)
+               .select(F.col("doc_id").alias("probe_id"), "h"))
+    corpus = sh.filter(F.col("doc_id") % 100 != 0)
+    hits = (corpus.join(F.broadcast(probe), "h")
+                  .groupBy("doc_id", "probe_id")
+                  .agg(F.count("*").alias("shared"))
+                  .filter(F.col("shared") >= _DECON_K))
+    return (hits.groupBy("doc_id")
+                .agg(F.count("*").cast("bigint").alias("n_probes_hit"),
+                     F.max("shared").cast("bigint").alias("max_shared"))
+                .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X56 PII redaction stats: regexp-scrub emails from a corpus decorated
+# with deterministic synthetic addresses (both engines construct the
+# same corpus — the fixture text has none).  The pattern is kept to a
+# character-class subset where Java regex (Spark) and RE2 (DuckDB)
+# agree exactly; per-source counts + redacted character volume are the
+# report a scrubbing pass emits at scale (one scan, one hash agg).
+# --------------------------------------------------------------------------
+_PII_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+
+@declared("x56_pii_redact", f"""
+WITH dec AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com now'
+              ELSE text END AS text
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_PII_RE}')) AS n_hits,
+         length(text) - length(regexp_replace(text, '{_PII_RE}', '[PII]',
+                                              'g')) AS chars_delta
+  FROM dec)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(sum(n_hits) AS BIGINT) AS total_redactions,
+       CAST(sum(chars_delta) AS BIGINT) AS chars_redacted_delta
+FROM r GROUP BY source ORDER BY source""")
+def x56(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    text = F.when(F.col("doc_id") % 10 == 0,
+                  F.concat(F.col("text"), F.lit(" contact user"),
+                           F.col("doc_id").cast("string"),
+                           F.lit("@example.com now"))) \
+            .otherwise(F.col("text"))
+    dec = docs.select("doc_id", "source", text.alias("text"))
+    n_hits = F.regexp_count("text", F.lit(_PII_RE))
+    delta = (F.length("text")
+             - F.length(F.regexp_replace("text", _PII_RE, "[PII]")))
+    return (dec.select("source", n_hits.alias("n_hits"),
+                       delta.alias("chars_delta"))
+               .groupBy("source")
+               .agg(F.count("*").cast("bigint").alias("n_docs"),
+                    F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+                     .cast("bigint").alias("docs_with_pii"),
+                    F.sum("n_hits").cast("bigint").alias("total_redactions"),
+                    F.sum("chars_delta").cast("bigint")
+                     .alias("chars_redacted_delta"))
+               .orderBy("source"))
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
