@@ -897,6 +897,99 @@ def x56(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X57 funnel (view → click → purchase): each stage's timestamp is the
+# first qualifying event AT OR AFTER the previous stage — sequenced
+# conditional mins as two window passes over ONE partitioning (one
+# shuffle total; the second pass reuses the first's exchange).  The
+# standard behavioral rollup for event streams.
+# --------------------------------------------------------------------------
+@declared("x57_funnel", """
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view
+                     THEN ts END) OVER (PARTITION BY user_id) AS t_click
+  FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                     THEN ts END) OVER (PARTITION BY user_id) AS t_buy
+  FROM w2),
+u AS (SELECT user_id, any_value(t_view) AS t_view,
+             any_value(t_click) AS t_click, any_value(t_buy) AS t_buy
+      FROM w3 GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewed,
+       CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchased_after_click
+FROM u""")
+def x57(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    st = ev.withColumn("t_view", t_view)
+    t_click = F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") >= F.col("t_view")),
+                           F.col("ts"))).over(w)
+    st = st.withColumn("t_click", t_click)
+    t_buy = F.min(F.when((F.col("event_type") == "purchase")
+                         & (F.col("ts") >= F.col("t_click")),
+                         F.col("ts"))).over(w)
+    st = st.withColumn("t_buy", t_buy)
+    u = st.groupBy("user_id").agg(F.first("t_view").alias("t_view"),
+                                  F.first("t_click").alias("t_click"),
+                                  F.first("t_buy").alias("t_buy"))
+    flag = lambda c: F.sum(F.when(F.col(c).isNotNull(), 1)  # noqa: E731
+                            .otherwise(0)).cast("bigint")
+    return u.agg(F.count("*").cast("bigint").alias("n_users"),
+                 flag("t_view").alias("n_viewed"),
+                 flag("t_click").alias("n_clicked_after_view"),
+                 flag("t_buy").alias("n_purchased_after_click"))
+
+
+# --------------------------------------------------------------------------
+# X58 cohort retention: users grouped by first-seen day, counted on
+# each later active day as a day offset — the cohort triangle.  One
+# window (cohort assignment) + one distinct + one agg; cohort is a
+# pure function of the user's history, so the matrix only ever appends
+# as data grows.
+# --------------------------------------------------------------------------
+@declared("x58_retention", """
+WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort FROM d),
+a AS (SELECT DISTINCT user_id, cohort, day - cohort AS offset_days FROM c)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(offset_days AS BIGINT) AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, offset_days ORDER BY cohort_day, offset_days""")
+def x58(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day"))
+    c = d.withColumn("cohort",
+                     F.min("day").over(Window.partitionBy("user_id")))
+    a = (c.select("user_id", "cohort",
+                  F.datediff("day", "cohort").alias("offset_days"))
+          .distinct())
+    return (a.groupBy("cohort", "offset_days")
+             .agg(F.count("*").cast("bigint").alias("n_users"))
+             .select(F.date_format("cohort", "yyyy-MM-dd")
+                      .alias("cohort_day"),
+                     F.col("offset_days").cast("bigint").alias("offset_days"),
+                     "n_users")
+             .orderBy("cohort_day", "offset_days"))
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
