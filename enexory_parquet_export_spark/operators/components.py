@@ -1,0 +1,70 @@
+"""Connected components over a pair list — dedup cluster assembly.
+
+Near-dup detection (MinHash/LSH, PPJoin, SimHash, embedding buckets)
+emits PAIRS; the pipeline needs CLUSTERS: every transitively-connected
+group collapses to one canonical document.  That closure is
+``connected_components``: label propagation where each node repeatedly
+adopts the minimum label among itself and its neighbors until
+fixpoint.
+
+Scale shape: each round is two joins + a hash agg over the edge list
+(fully distributed) — neighbor-min propagation followed by a pointer
+jump (label ← label-of-label), so convergence is O(log diameter)
+rounds, not O(diameter): a 10⁶-long chain needs ~20 rounds, and
+dedup-shaped graphs (dense little clusters) finish in 2-3.  The
+driver's only involvement is the loop and a per-round changed-count
+scalar; raises if ``max_iter`` rounds don't reach fixpoint.  This is
+min-label propagation with path shortening — the practical core of
+the MapReduce connected-components family (cf. Kiveris et al.,
+"Connected Components in MapReduce and Beyond").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, *,
+                         src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """``(node, label)`` with label = min node id of the component.
+
+    ``edges`` is an undirected pair list (each pair once, either
+    order).  Isolated nodes don't appear (no pairs → no cluster).
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # adjacency is reused every round: materialize once
+    adj = und.distinct().localCheckpoint(eager=True)
+
+    labels = (adj.select(F.col("a").alias("node"))
+                 .distinct()
+                 .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        # candidate label per node: min over self and neighbors' labels
+        nbr = (adj.join(labels.withColumnRenamed("node", "b")
+                              .withColumnRenamed("label", "_nl"), "b")
+                  .groupBy("a").agg(F.min("_nl").alias("_minnbr")))
+        prop = (labels.join(nbr.withColumnRenamed("a", "node"),
+                            "node", "left")
+                .select("node",
+                        F.least("label", F.coalesce("_minnbr", "label"))
+                         .alias("label")))
+        # pointer jump: follow one hop through the label graph
+        # (label ← label(label)) — collapses chains logarithmically
+        lut = prop.select(F.col("node").alias("label"),
+                          F.col("label").alias("_ll"))
+        new_labels = (prop.join(lut, "label", "left")
+                      .select("node",
+                              F.coalesce("_ll", "label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"components did not converge in {max_iter} rounds")

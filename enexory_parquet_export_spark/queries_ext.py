@@ -990,6 +990,58 @@ def x58(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X59 dedup cluster assembly (operators/components.py): connected
+# components over a pair list — the closure that turns near-dup PAIRS
+# into canonical-document CLUSTERS.  The declared graph is synthetic
+# (3-star groups chained at every 50th node, so some components need
+# several propagation rounds) because a recursive-CTE oracle needs a
+# tractable closure; the operator's integration with REAL pairs
+# (minhash_dup_pairs → twin clusters) is pytest'd in
+# tests/test_components.py.
+# --------------------------------------------------------------------------
+@declared("x59_dedup_clusters", """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS a, doc_id - doc_id % 3 AS b FROM documents
+  WHERE doc_id % 3 > 0
+  UNION ALL
+  SELECT d.doc_id, d.doc_id + 1 FROM documents d
+  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 50 = 0),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+labels AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM labels GROUP BY label ORDER BY label""")
+def x59(spark, sf_dir):
+    from .operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    stars = (docs.filter(F.col("doc_id") % 3 > 0)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") - F.col("doc_id") % 3).alias("id_b")))
+    existing = docs.select(F.col("doc_id").alias("_x"))
+    chain = (docs.filter(F.col("doc_id") % 50 == 0)
+             .join(existing, F.col("doc_id") + 1 == F.col("_x"))
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b")))
+    comp = connected_components(stars.unionByName(chain))
+    return (comp.groupBy("label")
+                .agg(F.count("*").cast("bigint").alias("n_nodes"),
+                     F.min("node").cast("bigint").alias("min_node"),
+                     F.max("node").cast("bigint").alias("max_node"))
+                .select(F.col("label").cast("bigint").alias("label"),
+                        "n_nodes", "min_node", "max_node")
+                .orderBy("label"))
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
