@@ -39,32 +39,33 @@ def connected_components(edges: DataFrame, *,
     # adjacency is reused every round: materialize once
     adj = und.distinct().localCheckpoint(eager=True)
 
-    labels = (adj.select(F.col("a").alias("node"))
-                 .distinct()
-                 .withColumn("label", F.col("node")))
+    # round 0 fused into initialization: label = min(self, neighbors)
+    # directly from the adjacency — one fewer full round in the loop
+    labels = (adj.groupBy(F.col("a").alias("node"))
+                 .agg(F.least(F.min("b"), F.first("a")).alias("label")))
     for _ in range(max_iter):
         # candidate label per node: min over self and neighbors' labels
         nbr = (adj.join(labels.withColumnRenamed("node", "b")
                               .withColumnRenamed("label", "_nl"), "b")
                   .groupBy("a").agg(F.min("_nl").alias("_minnbr")))
-        prop = (labels.join(nbr.withColumnRenamed("a", "node"),
-                            "node", "left")
-                .select("node",
-                        F.least("label", F.coalesce("_minnbr", "label"))
-                         .alias("label")))
+        prop = (labels.withColumnRenamed("label", "_old")
+                .join(nbr.withColumnRenamed("a", "node"), "node", "left")
+                .select("node", "_old",
+                        F.least("_old", F.coalesce("_minnbr", "_old"))
+                         .alias("_p")))
         # pointer jump: follow one hop through the label graph
-        # (label ← label(label)) — collapses chains logarithmically
-        lut = prop.select(F.col("node").alias("label"),
-                          F.col("label").alias("_ll"))
-        new_labels = (prop.join(lut, "label", "left")
+        # (label ← label(label)) — collapses chains logarithmically.
+        # The changed flag rides along so convergence costs a count on
+        # the checkpointed result, not a fresh old⋈new join per round.
+        lut = prop.select(F.col("node").alias("_p"),
+                          F.col("_p").alias("_ll"))
+        new_labels = (prop.join(lut, "_p", "left")
                       .select("node",
-                              F.coalesce("_ll", "label").alias("label"))
+                              F.coalesce("_ll", "_p").alias("label"),
+                              (F.coalesce("_ll", "_p") != F.col("_old"))
+                               .alias("_chg"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "label")
+        if new_labels.filter("_chg").count() == 0:
             return labels
     raise RuntimeError(f"components did not converge in {max_iter} rounds")
