@@ -1042,6 +1042,40 @@ def x59(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X60 unpivot (wide → long): the inverse of x48, via the native
+# UNPIVOT operator (Spark 3.4+ `DataFrame.unpivot`, zero shuffle —
+# a pure projection explode).  Wide input is built from lineitem's
+# measure columns so the pair (x48, x60) covers both reshape
+# directions on real columns.
+# --------------------------------------------------------------------------
+@declared("x60_unpivot", """
+WITH wide AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity * 1e6) AS BIGINT) AS quantity,
+         CAST(floor(l_extendedprice * 1e6) AS BIGINT) AS extendedprice,
+         CAST(floor(l_discount * 1e6) AS BIGINT) AS discount,
+         CAST(floor(l_tax * 1e6) AS BIGINT) AS tax
+  FROM lineitem WHERE l_orderkey % 100 = 0)
+SELECT l_orderkey, l_linenumber, measure, value_micro
+FROM wide
+UNPIVOT (value_micro FOR measure IN
+         (quantity, extendedprice, discount, tax))
+ORDER BY l_orderkey, l_linenumber, measure""")
+def x60(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    micro = lambda c: F.floor(F.col(c) * F.lit(1e6)).cast("bigint")  # noqa: E731
+    wide = li.select("l_orderkey", "l_linenumber",
+                     micro("l_quantity").alias("quantity"),
+                     micro("l_extendedprice").alias("extendedprice"),
+                     micro("l_discount").alias("discount"),
+                     micro("l_tax").alias("tax"))
+    return (wide.unpivot(["l_orderkey", "l_linenumber"],
+                         ["quantity", "extendedprice", "discount", "tax"],
+                         "measure", "value_micro")
+                .orderBy("l_orderkey", "l_linenumber", "measure"))
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
