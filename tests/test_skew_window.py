@@ -216,3 +216,47 @@ def test_stream_rollup_drops_late_rows(spark, tmp_path):
     # arrival came after the watermark passed 04:30 and was dropped
     w0 = [r for r in got if r[0] == "2024-01-01 00:00:00"]
     assert w0 and w0[0][2] == 1, f"late row not dropped: {got}"
+
+
+@pytest.mark.slow
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Views joined to clicks within [view_ts, view_ts + 10m] per user:
+    the streaming inner join must emit exactly the batch join's rows
+    (inner matches emit on arrival; watermarks only bound state)."""
+    from enexory_parquet_export_spark.streaming.join_stream import (
+        interval_join_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(4000)
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("l_ts"),
+                     F.col("event_id").alias("view_id")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("r_ts"),
+                      F.col("event_id").alias("click_id")))
+    cond = ((views["user_id"] == clicks["user_id"])
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 minutes")))
+    expected = sorted(map(tuple,
+                          views.join(clicks, cond, "inner")
+                               .drop(clicks["user_id"])
+                               .select("user_id", "view_id", "click_id")
+                               .collect()))
+    assert expected, "fixture produced no interval matches"
+
+    vsrc, csrc, out, ckpt = (str(tmp_path / d)
+                             for d in ("v", "c", "sink", "ckpt"))
+    views.repartition(3).write.mode("overwrite").parquet(vsrc)
+    clicks.repartition(3).write.mode("overwrite").parquet(csrc)
+    vs = (spark.readStream.schema(views.schema)
+          .option("maxFilesPerTrigger", 1).parquet(vsrc))
+    cs = (spark.readStream.schema(clicks.schema)
+          .option("maxFilesPerTrigger", 1).parquet(csrc))
+    q = (interval_join_stream(vs, cs, lateness="365 days")
+         .select("user_id", "view_id", "click_id")
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == expected
