@@ -2,3 +2,5 @@ from .cdc import (  # noqa: F401
     derive_changelog, consolidate, snapshot_from_inserts, apply_changes,
     cdc_merge,
 )
+from .components import connected_components  # noqa: F401
+from .skew import salted_join  # noqa: F401

@@ -1,2 +1,14 @@
-from .tables import CANONICAL_TABLES, load_table, register_views  # noqa: F401
-from .writer import write_day_partitioned, remove_empty_days  # noqa: F401
+"""Sources & sinks: parquet fixtures, JDBC, CSV/JSON-lines, and the
+day-partitioned / compacted / clustered / bucketed parquet writers."""
+from .tables import (  # noqa: F401
+    CANONICAL_TABLES,
+    load_table,
+    read_source_jdbc,
+    register_views,
+)
+from .writer import (  # noqa: F401
+    compact_days,
+    remove_empty_days,
+    write_clustered,
+    write_day_partitioned,
+)
