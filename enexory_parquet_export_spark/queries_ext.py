@@ -1076,6 +1076,60 @@ def x60(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X62 as-of join with a probe RELATION (operators/asof.py:asof_join —
+# the union-sort path; q18 covers the literal-probe fast path): per
+# user, the latest click at-or-before that user's last error.  One
+# shuffle on the key, single sort pass, no pair blow-up; ties broken
+# by (ts, event_id) deterministically on both engines (the oracle uses
+# an explicit window rather than DuckDB's native ASOF JOIN, whose
+# equal-timestamp tie-break is unspecified).
+# --------------------------------------------------------------------------
+@declared("x62_asof_relation", """
+WITH probes AS (
+  SELECT user_id, max(ts) AS probe_ts FROM events
+  WHERE event_type = 'error' GROUP BY user_id),
+clicks AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'click'),
+ranked AS (
+  SELECT p.user_id, p.probe_ts, c.event_id, c.value,
+         row_number() OVER (PARTITION BY p.user_id, p.probe_ts
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM probes p JOIN clicks c
+    ON c.user_id = p.user_id AND c.ts <= p.probe_ts)
+SELECT user_id, strftime(probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_s,
+       event_id AS click_id,
+       CAST(floor(value * 1e6) AS BIGINT) AS value_micro
+FROM ranked WHERE rn = 1
+UNION ALL
+SELECT p.user_id, strftime(p.probe_ts, '%Y-%m-%d %H:%M:%S'),
+       NULL, NULL
+FROM probes p
+WHERE NOT EXISTS (SELECT 1 FROM clicks c
+                  WHERE c.user_id = p.user_id AND c.ts <= p.probe_ts)
+ORDER BY user_id, probe_s""")
+def x62(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = (ev.filter(F.col("event_type") == "error")
+                .groupBy("user_id").agg(F.max("ts").alias("probe_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts",
+                        F.col("event_id").alias("click_id"),
+                        F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+                         .alias("value_micro")))
+    out = asof_join(probes, clicks, key="user_id", probe_time="probe_ts",
+                    event_time="ts", seq="click_id",
+                    payload_cols=["click_id", "value_micro"])
+    return (out.select("user_id",
+                       F.date_format("probe_ts", "yyyy-MM-dd HH:mm:ss")
+                        .alias("probe_s"),
+                       "click_id", "value_micro")
+               .orderBy("user_id", "probe_s"))
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
