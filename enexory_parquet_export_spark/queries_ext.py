@@ -1130,6 +1130,42 @@ def x62(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X63 explicit GROUPING SETS + grouping_id: three simultaneous
+# aggregation granularities (per event type, per user decile, grand
+# total) in ONE pass — Spark expands the sets map-side, so the input
+# is read once where three separate GROUP BYs would scan three times.
+# Completes the multi-granularity family (q12 covers ROLLUP).
+# --------------------------------------------------------------------------
+@declared("x63_grouping_sets", """
+WITH e AS (SELECT event_type, user_id % 10 AS decile,
+                  CAST(floor(value * 1e6) AS BIGINT) AS vmicro
+           FROM events)
+SELECT coalesce(event_type, '<all>') AS event_type,
+       CAST(coalesce(decile, -1) AS BIGINT) AS decile,
+       CAST(GROUPING(event_type) * 2 + GROUPING(decile) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vmicro) AS BIGINT) AS sum_micro
+FROM e GROUP BY GROUPING SETS ((event_type), (decile), ())
+ORDER BY gid, event_type, decile""")
+def x63(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_type",
+                  (F.col("user_id") % 10).alias("decile"),
+                  F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+                   .alias("vmicro"))
+    e.createOrReplaceTempView("_x63_e")
+    return _t(spark, sf_dir, "events").sparkSession.sql("""
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               CAST(coalesce(decile, -1) AS BIGINT) AS decile,
+               CAST(grouping(event_type) * 2 + grouping(decile) AS BIGINT)
+                 AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vmicro) AS BIGINT) AS sum_micro
+        FROM _x63_e GROUP BY GROUPING SETS ((event_type), (decile), ())
+        ORDER BY gid, event_type, decile""")
+
+
+# --------------------------------------------------------------------------
 # X40 GTID election: argmax under the set-containment partial order
 # (HA/orchestrator.py:584-633 — the node whose GTID set contains all
 # others wins; fallback to largest set, then name — HA_test1.py:192-211)
