@@ -121,6 +121,44 @@ def extract_features(media: DataFrame,
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+#: output contract of :func:`resize_media`
+RESIZE_SCHEMA = ("media_id bigint, kind string, width int, height int, "
+                 "payload binary")
+
+
+def resize_media(media: DataFrame, *, width: int, height: int,
+                 resizer: Callable[[bytes, int, int], bytes] | None = None
+                 ) -> DataFrame:
+    """payload → payload resized to (width, height), Arrow-batched.
+
+    Same seam contract as :func:`extract_features`: ``resizer`` is a
+    pure ``(bytes, w, h) → bytes`` callable (PIL ``resize`` + re-encode
+    in production), passed by value into the task closure.  The STUB
+    derives a deterministic payload of ``w*h`` pseudo-pixel bytes from
+    the source md5 — wrong pixels, right plumbing: schema, typed dims,
+    Arrow batch shape, and partition preservation are all real.
+    """
+    def _stub(payload: bytes, w: int, h: int) -> bytes:
+        seed = hashlib.md5(payload).digest()
+        reps = (w * h) // len(seed) + 1
+        return (seed * reps)[: w * h]
+
+    fn = resizer if resizer is not None else _stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": width,
+                "height": height,
+                "payload": pdf["payload"].map(
+                    lambda b: fn(bytes(b), width, height)),
+            })
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.
 

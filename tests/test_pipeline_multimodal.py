@@ -209,3 +209,30 @@ class TestMaintenance:
 
         report = P.row_integrity(spark, src(spark, rows), mirror)
         assert report.matches and report.difference == 0
+
+
+def test_resize_media_stub_and_seam(spark, sf_dir):
+    """Stub resize: typed dims + w*h payload bytes; the resizer seam
+    accepts a real callable (here: a center-crop-ish truncation) and
+    its output propagates through the Arrow batch path."""
+    from enexory_parquet_export_spark.operators.multimodal import (
+        media_from_documents,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = media_from_documents(docs)
+    out = resize_media(media, width=8, height=4).collect()
+    assert len(out) == 20
+    assert all(r["width"] == 8 and r["height"] == 4 for r in out)
+    assert all(len(r["payload"]) == 32 for r in out)
+
+    def crop(b: bytes, w: int, h: int) -> bytes:
+        return b[: w * h].ljust(w * h, b"\0")
+
+    out2 = {r["media_id"]: bytes(r["payload"])
+            for r in resize_media(media, width=4, height=2,
+                                  resizer=crop).collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, p in out2.items():
+        assert p == src[mid][:8].ljust(8, b"\0")
