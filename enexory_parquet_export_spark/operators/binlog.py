@@ -135,7 +135,18 @@ def render_binlog_text(changelog: DataFrame, *,
     ``seqs_per_file`` buckets blocks into rotated binlog segments
     (``mysql-bin.<seq div N>``) — blocks never span files, so the
     parser's per-file window parallelizes across segments exactly as
-    real binlog rotation would allow.
+    real binlog rotation would allow.  In that mode the changelog is
+    hash-repartitioned by the segment name BEFORE the explode, at an
+    EXPLICIT partition count (the session's shuffle parallelism): the
+    pre-explode relation is ~12× smaller in rows than the exploded
+    output, so AQE — which only sees the pre-explode shuffle bytes —
+    would coalesce it toward one partition and serialize the explode,
+    the parse window, and the block aggregation in a single task
+    (measured 2.5 s vs 1.4 s at sf0.1).  Pinning the count keeps the
+    explode spread, and because the repartition key is the very column
+    the parser windows on, the downstream ``Window.partitionBy(file)``
+    needs no further Exchange (the hash distribution is already
+    satisfied — one mid-plan shuffle total).
     """
     hdr = F.when(F.col("op") == "I", F.lit(f"INSERT INTO {TABLE_LIT}")) \
            .when(F.col("op") == "U", F.lit(f"UPDATE {TABLE_LIT}")) \
@@ -170,10 +181,19 @@ def render_binlog_text(changelog: DataFrame, *,
             F.lit("mysql-bin."),
             F.lpad(F.floor(F.col("seq") / seqs_per_file).cast("string"),
                    6, "0"))
-    else:
-        file_expr = F.lit(file_name)
+        n_parts = int(changelog.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+        return (changelog
+                .select(F.col("seq"), file_expr.alias("file"),
+                        body.alias("_body"))
+                .repartition(n_parts, F.col("file"))
+                .select("file", F.col("seq"),
+                        F.posexplode(F.col("_body")).alias("_o", "line"))
+                .select("file",
+                        (F.col("seq") * 1000 + F.col("_o")).alias("line_no"),
+                        "line"))
     return (changelog
             .select(F.col("seq"), F.posexplode(body).alias("_o", "line"))
-            .select(file_expr.alias("file"),
+            .select(F.lit(file_name).alias("file"),
                     (F.col("seq") * 1000 + F.col("_o")).alias("line_no"),
                     "line"))
