@@ -55,6 +55,36 @@ QUERIES = {
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sv
         FROM events_sf1 GROUP BY user_id, event_type""",
+    # --- round-2 additions: the remaining r1-`weak` shapes ---------------
+    # enrich join: big fact ⋈ per-key dim derived from itself (the
+    # changes⋈base shape of q13/q24 at fact scale)
+    "join_enrich": """
+        SELECT e.user_id, e.event_id, d.first_ts
+        FROM events_sf1 e
+        JOIN (SELECT user_id, min(ts) AS first_ts
+              FROM events_sf1 GROUP BY user_id) d
+          ON e.user_id = d.user_id
+        WHERE e.event_type = 'purchase'""",
+    # CDC consolidation core: last-event-wins per (day, pk) in one
+    # hash agg — the q24 merge's dominant stage (consolidate.cpp:56-109)
+    "cdc_consolidate": """
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               max_by(event_type, event_id) AS last_op,
+               max_by(value, event_id) AS last_value,
+               max(event_id) AS max_seq
+        FROM events_sf1 GROUP BY CAST(ts AS DATE), user_id""",
+    # exact dedup keep-first by content key (q27 at fact scale)
+    "dedup_keepfirst": """
+        SELECT user_id, ts, value, event_id FROM (
+          SELECT user_id, ts, value, event_id,
+                 row_number() OVER (PARTITION BY user_id, ts, value
+                                    ORDER BY event_id) AS rn
+          FROM events_sf1) t WHERE rn = 1""",
+    # global top-k by measure (q22's orderBy().limit() shape)
+    "topk_global": """
+        SELECT event_id, user_id, value FROM events_sf1
+        WHERE value IS NOT NULL
+        ORDER BY value DESC, event_id LIMIT 100""",
 }
 
 
@@ -104,17 +134,24 @@ def main() -> int:
     print(f"| query | duckdb sec | spark sec | ratio |")
     print(f"|---|---|---|---|")
     for name, sql in QUERIES.items():
-        t0 = time.perf_counter()
-        spark.sql(sql).write.format("noop").mode("overwrite").save()
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter()
+        # best-of-2 per engine: first Spark execution pays one-off
+        # whole-stage-codegen JIT and first DuckDB execution pays OS
+        # page-cache fill — steady-state is the number that scales
+        ts = min(_timed(lambda: spark.sql(sql).write.format("noop")
+                        .mode("overwrite").save()) for _ in range(2))
         # .arrow(): near-zero-copy columnar export — python-object
         # fetchall() would bill DuckDB millions of row conversions
         # that Spark's noop sink doesn't pay
-        con.execute(sql).arrow()
-        td = time.perf_counter() - t0
+        td = min(_timed(lambda: con.execute(sql).arrow())
+                 for _ in range(2))
         print(f"| {name} | {td:.2f} | {ts:.2f} | {ts/td:.2f}× |")
     return 0
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
