@@ -1387,3 +1387,78 @@ def x39(spark, sf_dir):
                 F.md5(F.lower(F.hex(payload))).alias("content_md5"),
                 F.col("source").alias("media_source"))
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X64 calendar battery: the date-dimension derivations every reporting
+# query needs (month bucketing for O8's day partitions rolled up, ISO
+# weekday/week for scheduled reports, O22) — engine-portable subset
+# only: each function below has bit-identical semantics in Spark and
+# DuckDB (trunc/last_day clamp, add_months end-of-month clamp, ISO
+# week numbering).
+# --------------------------------------------------------------------------
+@declared("x64_calendar", """
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+SELECT o_orderkey,
+       CAST(d AS VARCHAR) AS day,
+       CAST(date_trunc('month', d) AS VARCHAR) AS month_start,
+       CAST(last_day(d) AS VARCHAR) AS month_end,
+       CAST(quarter(d) AS BIGINT) AS q,
+       CAST(isodow(d) AS BIGINT) AS iso_wd,
+       CAST(weekofyear(d) AS BIGINT) AS iso_week,
+       CAST(dayofyear(d) AS BIGINT) AS doy,
+       CAST(CAST(d + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+       CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS days_since
+FROM o ORDER BY o_orderkey""")
+def x64(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (o.select(
+                "o_orderkey",
+                d.cast("string").alias("day"),
+                F.trunc(d, "month").cast("string").alias("month_start"),
+                F.last_day(d).cast("string").alias("month_end"),
+                F.quarter(d).cast("bigint").alias("q"),
+                (F.weekday(d) + F.lit(1)).cast("bigint").alias("iso_wd"),
+                F.weekofyear(d).cast("bigint").alias("iso_week"),
+                F.dayofyear(d).cast("bigint").alias("doy"),
+                F.add_months(d, 3).cast("string").alias("plus3m"),
+                F.datediff(d, F.lit("1995-01-01").cast("date"))
+                 .cast("bigint").alias("days_since"))
+            .orderBy("o_orderkey"))
+
+
+# --------------------------------------------------------------------------
+# X65 window distribution functions: ntile / percent_rank / cume_dist —
+# the quantile-bucketing surface (train/valid splits by rank, salary-
+# band style reports).  percent_rank = (rank-1)/(n-1) and cume_dist =
+# rows≤current/n are the same exact integer-ratio IEEE divisions on
+# both engines, so micro-units render deterministically; the ORDER BY
+# key (o_orderkey) is unique within each partition, making every
+# function's value order-stable.
+# --------------------------------------------------------------------------
+@declared("x65_window_distribution", """
+WITH o AS (SELECT o_orderkey, o_custkey % 5 AS bucket FROM orders)
+SELECT o_orderkey, CAST(bucket AS BIGINT) AS bucket,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile,
+       CAST(floor(percent_rank() OVER w * 1e6) AS BIGINT) AS prank_micro,
+       CAST(floor(cume_dist() OVER w * 1e6) AS BIGINT) AS cdist_micro,
+       first_value(o_orderkey) OVER w AS first_key
+FROM o
+WINDOW w AS (PARTITION BY bucket ORDER BY o_orderkey)
+ORDER BY o_orderkey""")
+def x65(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", (F.col("o_custkey") % 5).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("o_orderkey")
+    return (o.select(
+                "o_orderkey", F.col("bucket").cast("bigint").alias("bucket"),
+                F.ntile(4).over(w).cast("bigint").alias("tile"),
+                F.floor(F.percent_rank().over(w) * F.lit(1e6))
+                 .cast("bigint").alias("prank_micro"),
+                F.floor(F.cume_dist().over(w) * F.lit(1e6))
+                 .cast("bigint").alias("cdist_micro"),
+                F.first("o_orderkey").over(w).alias("first_key"))
+            .orderBy("o_orderkey"))
