@@ -1462,3 +1462,57 @@ def x65(spark, sf_dir):
                  .cast("bigint").alias("cdist_micro"),
                 F.first("o_orderkey").over(w).alias("first_key"))
             .orderBy("o_orderkey"))
+
+
+# --------------------------------------------------------------------------
+# X66 TF-IDF term ranking: the inverted-index shape (tokenize → per-doc
+# term frequency → corpus document frequency → idf join → per-doc
+# top-k).  The scale path is the plan shape itself: explode + two hash
+# aggregations + one equi-join on term + one bounded window — never a
+# doc×doc or term×term pair blow-up; the corpus-size scalar joins in as
+# a broadcast single-row relation, not a driver-side collect.
+# idf = ln(N/df) and tf·idf are identical-association IEEE double
+# expressions on both engines, rendered as micro-units.
+# --------------------------------------------------------------------------
+@declared("x66_tfidf", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents),
+t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(floor(t.tf * ln(n.nd / d.df) * 1e6) AS BIGINT)
+               AS tfidf_micro
+      FROM t JOIN d USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_micro DESC, term) AS rnk
+      FROM s)
+SELECT doc_id, term, tf, df, tfidf_micro, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")
+def x66(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.lower(F.col("text")),
+                                          "[^a-z]+")).alias("term"))
+                .filter(F.col("term") != ""))
+    t = toks.groupBy("doc_id", "term") \
+            .agg(F.count("*").cast("bigint").alias("tf"))
+    d = t.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("nd"))
+    s = (t.join(d, "term")
+          .crossJoin(F.broadcast(n))
+          .select("doc_id", "term", "tf", "df",
+                  F.floor(F.col("tf") * F.log(F.col("nd") / F.col("df"))
+                          * F.lit(1e6)).cast("bigint")
+                   .alias("tfidf_micro")))
+    w = Window.partitionBy("doc_id") \
+              .orderBy(F.col("tfidf_micro").desc(), "term")
+    return (s.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+             .filter(F.col("rnk") <= 3)
+             .select("doc_id", "term", "tf", "df", "tfidf_micro", "rnk")
+             .orderBy("doc_id", "rnk"))

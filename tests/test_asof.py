@@ -71,3 +71,69 @@ def test_union_sort_path_matches_literal_path(spark):
     got = {(r["user_id"], str(r["probe"])): (r["event_id"], r["value"])
            for r in general.collect()}
     assert got == _literal(spark)
+
+
+# ---------------------------------------------------------------------------
+# Property-based: BOTH physical strategies must agree with a naive
+# per-probe argmax oracle on ANY event/probe set the contract allows —
+# hypothesis drives exact-tie probes, same-timestamp seq races, keys
+# with no eligible events, and probe keys absent from events entirely.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_minute = st.integers(0, 120)
+_events = st.lists(
+    st.tuples(st.integers(1, 4), _minute,
+              st.integers(-1000, 1000).map(float)),
+    min_size=1, max_size=30)
+_probe_rows = st.lists(st.tuples(st.integers(1, 5), _minute),
+                       min_size=1, max_size=8, unique=True)
+
+
+def _ts(minute: int) -> str:
+    return f"2024-01-01 {minute // 60:02d}:{minute % 60:02d}:00"
+
+
+def _naive(ev_rows, key, probe_minute):
+    cand = [(m, seq, v) for (k, m, v, seq) in ev_rows
+            if k == key and m <= probe_minute]
+    return max(cand)[2] if cand else None
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(_events, _probe_rows)
+def test_asof_property_both_strategies(spark, events, probes):
+    ev_rows = [(k, m, v, seq) for seq, (k, m, v) in enumerate(events)]
+    ev = spark.createDataFrame(
+        [(k, _ts(m), seq, v) for (k, m, v, seq) in ev_rows],
+        "user_id bigint, ts_s string, event_id bigint, value double"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"),
+             "event_id", "value")
+
+    # general path: probe RELATION, left semantics per probe row
+    pr = spark.createDataFrame(
+        [(k, _ts(m)) for (k, m) in probes],
+        "user_id bigint, probe_s string"
+    ).select("user_id", F.to_timestamp("probe_s").alias("probe"))
+    got = {(r["user_id"], r["probe"].strftime("%Y-%m-%d %H:%M:%S")):
+           r["value"]
+           for r in asof_join(pr, ev, key="user_id", probe_time="probe",
+                              event_time="ts", seq="event_id",
+                              payload_cols=["value"]).collect()}
+    assert len(got) == len(probes)
+    for (k, m) in probes:
+        assert got[(k, _ts(m))] == _naive(ev_rows, k, m), (k, m)
+
+    # literal path: every key present in events × every probe literal
+    probe_lits = sorted({_ts(m) for (_, m) in probes})
+    lit = {(r["user_id"], r["probe"].strftime("%Y-%m-%d %H:%M:%S")):
+           r["value"]
+           for r in asof_join_literal_probes(
+               ev, key="user_id", event_time="ts", seq="event_id",
+               payload_cols=["value"], probes=probe_lits).collect()}
+    ev_keys = {k for (k, _, _, _) in ev_rows}
+    assert len(lit) == len(ev_keys) * len(probe_lits)
+    for k in ev_keys:
+        for p in probe_lits:
+            pm = int(p[11:13]) * 60 + int(p[14:16])
+            assert lit[(k, p)] == _naive(ev_rows, k, pm), (k, p)
