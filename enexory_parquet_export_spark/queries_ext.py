@@ -1516,3 +1516,63 @@ def x66(spark, sf_dir):
              .filter(F.col("rnk") <= 3)
              .select("doc_id", "term", "tf", "df", "tfidf_micro", "rnk")
              .orderBy("doc_id", "rnk"))
+
+
+# --------------------------------------------------------------------------
+# X67 incremental rollup maintenance: the warehouse pattern that makes
+# 100 TB aggregation tractable — keep per-partition PARTIAL aggregates
+# and fold new data in by re-aggregating partials, never rescanning
+# history.  The batch is split mid-day (by seq median, so base and
+# delta SHARE days — the non-trivial overlap case); each side is
+# aggregated independently, and the merge is one hash agg over the
+# union of partials.  Works because every measure is associative in
+# BIGINT micro-unit space: count=Σcounts, sum=Σsums, max=max(maxes).
+# The oracle recomputes the rollup directly over all rows — hash
+# equality IS the proof that the incremental path loses nothing.
+# Mirrors the reference's resume-point incremental export (O5,
+# db_extractor.py:284-296: full history untouched, only new chunks
+# aggregated and folded in).
+# --------------------------------------------------------------------------
+@declared("x67_incremental_rollup", """
+WITH e AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+         CAST(floor(coalesce(value, 0) * 1e6) AS BIGINT) AS vmicro,
+         event_id
+  FROM events)
+SELECT day, user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vmicro) AS BIGINT) AS sum_micro,
+       CAST(max(vmicro) AS BIGINT) AS max_micro,
+       CAST(max(event_id) AS BIGINT) AS max_seq
+FROM e GROUP BY day, user_id ORDER BY day, user_id""")
+def x67(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "user_id",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1e6))
+         .cast("bigint").alias("vmicro"),
+        "event_id")
+    # split by the seq median: both halves contain rows for the SAME
+    # days, so the merge must genuinely combine partials, not just
+    # concatenate disjoint partitions
+    med = ev.agg(F.median("event_id").alias("_m"))
+
+    def partial(side):
+        return side.groupBy("day", "user_id").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("vmicro").cast("bigint").alias("sum_micro"),
+            F.max("vmicro").cast("bigint").alias("max_micro"),
+            F.max("event_id").cast("bigint").alias("max_seq"))
+
+    with_m = ev.crossJoin(F.broadcast(med))
+    base = partial(with_m.filter(F.col("event_id") <= F.col("_m")))
+    delta = partial(with_m.filter(F.col("event_id") > F.col("_m")))
+    # the incremental fold: re-aggregate the partials (associative
+    # merge — the only data touched is the two partial-agg relations)
+    return (base.unionByName(delta)
+                .groupBy("day", "user_id")
+                .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+                     F.sum("sum_micro").cast("bigint").alias("sum_micro"),
+                     F.max("max_micro").cast("bigint").alias("max_micro"),
+                     F.max("max_seq").cast("bigint").alias("max_seq"))
+                .orderBy("day", "user_id"))
