@@ -113,3 +113,51 @@ def test_ivf_flat_invariants_and_recall_floor(spark, sf_dir):
         ranked.sort()
         sims = [s for _, s in ranked]
         assert sims == sorted(sims, reverse=True)  # rank order = cos order
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the PPJoin prefix/length/positional pruning must be
+# LOSSLESS — on ANY corpus, ngram_jaccard_pairs returns exactly the
+# pairs a brute-force shingle-set Jaccard finds above threshold, with
+# identical micro-unit scores.  Hypothesis drives token overlap, doc
+# length (including sub-shingle docs), duplicate docs, and threshold.
+# ---------------------------------------------------------------------------
+import math  # noqa: E402
+from itertools import combinations  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from enexory_parquet_export_spark.operators.dedup import (  # noqa: E402
+    ngram_jaccard_pairs,
+)
+
+_doc = st.lists(st.sampled_from("abcd"), min_size=0, max_size=8)
+_corpus = st.lists(_doc, min_size=2, max_size=7)
+
+
+def _brute(doc_tokens, t, n=3):
+    sh = {i: {" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)}
+          if len(tk) >= n else set()
+          for i, tk in enumerate(doc_tokens)}
+    out = {}
+    for a, b in combinations(sorted(sh), 2):
+        A, B = sh[a], sh[b]
+        if not A or not B:
+            continue
+        inter = len(A & B)
+        j = inter / (len(A) + len(B) - inter)
+        if j >= t:
+            out[(a, b)] = math.floor(j * 1e6)
+    return out
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(_corpus, st.sampled_from([0.4, 0.6, 0.8]))
+def test_ppjoin_lossless_property(spark, corpus, threshold):
+    docs = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(corpus)],
+        "doc_id bigint, text string")
+    got = {(r["id_a"], r["id_b"]): r["jac_micro"]
+           for r in ngram_jaccard_pairs(docs,
+                                        threshold=threshold).collect()}
+    assert got == _brute(corpus, threshold)
