@@ -295,10 +295,21 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
              .filter(F.lit(1) + F.least(F.col("na") - F.col("pa"),
                                         F.col("nb") - F.col("pb")) >= alpha)
              .select("id_a", "id_b", "na", "nb").distinct())
+    # spread the candidates at an EXPLICIT count before verification:
+    # a candidate row is 32 bytes when AQE sizes the distinct's
+    # shuffle, but verification inflates it with two broadcast-joined
+    # shingle arrays and an O(|doc|) intersection — work AQE cannot
+    # see, so it coalesces the stage to a few tasks and serializes it
+    # (measured 3.0 s → 1.1 s at sf0.1; same AQE-blindness as the
+    # binlog render explode)
+    n_parts = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    cand = cand.repartition(n_parts)
     # verification lookup carries the full hash arrays — above the
     # 10 MB auto-broadcast threshold, but one row per doc is still the
     # small side by orders of magnitude; broadcast it explicitly so
-    # the (much larger) candidate set never shuffles.
+    # the (much larger) candidate set never shuffles (the spread above
+    # moves only the 32-byte candidate tuples).
     full = by_doc.select("doc_id", F.col("_ordered.h").alias("_hs"))
     sa = full.select(F.col("doc_id").alias("id_a"), F.col("_hs").alias("_sa"))
     sb = full.select(F.col("doc_id").alias("id_b"), F.col("_hs").alias("_sb"))
