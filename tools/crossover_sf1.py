@@ -96,15 +96,14 @@ def build_scaled(spark, copies: int) -> str:
 
     from enexory_parquet_export_spark.sources.tables import load_table
     ev = load_table(spark, SF_DIR, "events")
-    parts = [
-        ev.select((F.col("event_id") + i * 1_000_000_000).alias("event_id"),
-                  "ts",
-                  (F.col("user_id") + i * 1_000).alias("user_id"),
-                  "event_type", "value")
-        for i in range(copies)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # one crossJoin with a copy-index relation instead of a
+    # copies-way union: the plan stays O(1) in `copies`
+    idx = spark.range(copies).select(F.col("id").alias("_i"))
+    out = ev.crossJoin(F.broadcast(idx)).select(
+        (F.col("event_id") + F.col("_i") * 1_000_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_i") * 1_000).alias("user_id"),
+        "event_type", "value")
     out.repartition(32).write.mode("overwrite").parquet(path)
     return path
 
@@ -113,6 +112,9 @@ def main() -> int:
     copies = 10
     if "--copies" in sys.argv:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     from enexory_parquet_export_spark.session import get_spark
     spark = get_spark("crossover")
@@ -134,6 +136,8 @@ def main() -> int:
     print(f"| query | duckdb sec | spark sec | ratio |")
     print(f"|---|---|---|---|")
     for name, sql in QUERIES.items():
+        if only is not None and name not in only:
+            continue
         # best-of-2 per engine: first Spark execution pays one-off
         # whole-stage-codegen JIT and first DuckDB execution pays OS
         # page-cache fill — steady-state is the number that scales
