@@ -1576,3 +1576,39 @@ def x67(spark, sf_dir):
                      F.max("max_micro").cast("bigint").alias("max_micro"),
                      F.max("max_seq").cast("bigint").alias("max_seq"))
                 .orderBy("day", "user_id"))
+
+
+# --------------------------------------------------------------------------
+# X68 fuzzy match (edit distance): the dedup mode the shingle/MinHash
+# family cannot express — typo-level variants of SHORT strings
+# (product names, identifiers).  Candidates come from an equi-join on
+# a blocking key (brand, size), never all-pairs: at 100 TB the block
+# join shuffles on the key and each block's pair matrix is bounded by
+# block size, the same scale posture as the PPJoin/LSH paths.
+# levenshtein is an integer, so no float rendering is needed; both
+# engines implement classic unit-cost edit distance.
+# --------------------------------------------------------------------------
+@declared("x68_fuzzy_match", """
+WITH b AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
+SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+       a.p_name AS name_a, c.p_name AS name_b,
+       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
+FROM b a JOIN b c
+  ON a.p_brand = c.p_brand AND a.p_size = c.p_size
+ AND a.p_partkey < c.p_partkey
+WHERE levenshtein(a.p_name, c.p_name) <= 3
+ORDER BY id_a, id_b""")
+def x68(spark, sf_dir):
+    part = _t(spark, sf_dir, "part") \
+        .select("p_partkey", "p_brand", "p_size", "p_name")
+    a = part.select(F.col("p_partkey").alias("id_a"), "p_brand", "p_size",
+                    F.col("p_name").alias("name_a"))
+    c = part.select(F.col("p_partkey").alias("id_b"), "p_brand", "p_size",
+                    F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (a.join(c, ["p_brand", "p_size"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(dist <= 3)
+             .select("id_a", "id_b", "name_a", "name_b",
+                     dist.cast("bigint").alias("dist"))
+             .orderBy("id_a", "id_b"))
