@@ -73,6 +73,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _nanos_timestamp_cols(path):
         # integer div: ns → µs, exact, stays in whole-stage codegen
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    # µs-naive parquet timestamps (isAdjustedToUTC=false) surface as
+    # TIMESTAMP_NTZ under Spark 4's NTZ inference; re-tag as session-tz
+    # TIMESTAMP (UTC, session.py) so chronon functions (unix_micros,
+    # withWatermark, …) apply.  Pure re-tag: wall clock is unchanged,
+    # and the DuckDB oracle reads the same naive wall clock.
+    from pyspark.sql.types import TimestampNTZType
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name,
+                               F.col(field.name).cast("timestamp"))
     _TABLE_MEMO[key] = df
     return df
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from enexory_parquet_export_spark.streaming._event_time import as_event_time
+
 DEFAULT_LATENESS = "30 minutes"
 
 
@@ -31,5 +33,6 @@ def dedup_stream(stream: DataFrame, keys: list[str], *,
     """First-arrival-wins exact dedup over ``keys`` with state bounded
     by the watermark.  ``keys`` should be the content identity (e.g. a
     text hash), never include the event time itself."""
+    stream = as_event_time(stream, event_time_col)
     return (stream.withWatermark(event_time_col, lateness)
                   .dropDuplicatesWithinWatermark(keys))

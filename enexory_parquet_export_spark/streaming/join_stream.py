@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from enexory_parquet_export_spark.streaming._event_time import as_event_time
+
 DEFAULT_LATENESS = "30 minutes"
 
 
@@ -33,8 +35,8 @@ def interval_join_stream(left: DataFrame, right: DataFrame, *,
     """Inner-join two streams on ``key`` where ``right_ts`` falls in
     ``[left_ts, left_ts + window]``.  Both inputs must already carry
     distinct timestamp column names (rename before calling)."""
-    lw = left.withWatermark(left_ts, lateness)
-    rw = right.withWatermark(right_ts, lateness)
+    lw = as_event_time(left, left_ts).withWatermark(left_ts, lateness)
+    rw = as_event_time(right, right_ts).withWatermark(right_ts, lateness)
     cond = ((lw[key] == rw[key])
             & (F.col(right_ts) >= F.col(left_ts))
             & (F.col(right_ts) <= F.col(left_ts)

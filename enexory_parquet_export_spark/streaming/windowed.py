@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from enexory_parquet_export_spark.streaming._event_time import as_event_time
+
 #: late rows older than this past the max seen event time are dropped
 DEFAULT_LATENESS = "30 minutes"
 DEFAULT_WINDOW = "1 hour"
@@ -51,4 +53,5 @@ def windowed_counts_stream(stream: DataFrame, *,
     event-time watermark so window state is evicted once closed and
     rows later than ``lateness`` are dropped (documented divergence
     from the batch twin, which sees everything)."""
+    stream = as_event_time(stream, "ts")
     return _rollup(stream.withWatermark("ts", lateness), window)
