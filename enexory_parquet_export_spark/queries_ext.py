@@ -1612,3 +1612,93 @@ def x68(spark, sf_dir):
              .select("id_a", "id_b", "name_a", "name_b",
                      dist.cast("bigint").alias("dist"))
              .orderBy("id_a", "id_b"))
+
+
+# --------------------------------------------------------------------------
+# X69 star join (TPC-H Q3 shape): filtered dimension ⋈ fact ⋈ fact —
+# the multi-way join the reference never needed (single-table mirror)
+# but every analytics engine must optimize.  Declared fully relational
+# so Catalyst reorders the joins, pushes both date filters into the
+# scans, and lets AQE pick broadcast-vs-shuffle per side at runtime
+# (the filtered customer dim broadcasts at this SF; at 100 TB the same
+# plan shuffle-joins — no hint pinning the wrong strategy at scale).
+# Revenue renders as per-row micro-units floored BEFORE the sum
+# (bigint addition is associative; double summation order is not).
+# --------------------------------------------------------------------------
+_Q3_CUT = "1996-06-01 00:00:00"
+
+@declared("x69_star_join", f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 1e6)
+                     AS BIGINT)) AS BIGINT) AS revenue_micro,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+  AND l.l_shipdate  > TIMESTAMP '{_Q3_CUT}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_micro DESC, l.l_orderkey
+LIMIT 10""")
+def x69(spark, sf_dir):
+    cut = F.lit(_Q3_CUT).cast("timestamp")
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < cut)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = F.floor(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount"))
+                  * F.lit(1e6)).cast("bigint")
+    return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+                .join(li, li["l_orderkey"] == orders["o_orderkey"])
+                .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+                .agg(F.sum(rev).cast("bigint").alias("revenue_micro"))
+                .select("l_orderkey", "revenue_micro",
+                        F.date_format("o_orderdate", "yyyy-MM-dd")
+                         .alias("o_orderdate"),
+                        "o_orderpriority")
+                .orderBy(F.col("revenue_micro").desc(), "l_orderkey")
+                .limit(10))
+
+
+# --------------------------------------------------------------------------
+# X70 hopping (sliding) window rollup: 1-hour windows every 30 minutes
+# — each row lands in exactly duration/slide = 2 windows.  The Spark
+# side is the native sliding `window()` (one explode into 2 window
+# structs, one hash agg — scales like x50's tumbling form); the oracle
+# reconstructs the same alignment arithmetically: window starts are
+# floor(epoch/slide)·slide − k·slide for k ∈ {0,1}, both of which
+# always satisfy start ≤ ts < start + duration.  Same per-row
+# micro-units floor-before-sum rendering as x50.
+# --------------------------------------------------------------------------
+@declared("x70_hopping_window", """
+WITH hop AS (
+  SELECT e.event_type, e.value,
+         make_timestamp(CAST(((floor(epoch(e.ts) / 1800) - o.k) * 1800)
+                             * 1000000 AS BIGINT)) AS ws
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) o)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
+FROM hop GROUP BY 1, 2 ORDER BY win_start, event_type""")
+def x70(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"),
+                       "event_type")
+              .agg(F.count("*").cast("bigint").alias("n_events"),
+                   F.sum(micro).alias("sum_value_micro"))
+              .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                       .alias("win_start"),
+                      "event_type", "n_events", "sum_value_micro")
+              .orderBy("win_start", "event_type"))
