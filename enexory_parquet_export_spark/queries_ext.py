@@ -1702,3 +1702,55 @@ def x70(spark, sf_dir):
                        .alias("win_start"),
                       "event_type", "n_events", "sum_value_micro")
               .orderBy("win_start", "event_type"))
+
+
+# --------------------------------------------------------------------------
+# X71 native session windows: Spark's `session_window` operator — the
+# dynamic-gap cousin of x45's gaps-and-islands sessionization.  Merge
+# rule (SessionWindow + MergingSessionsIterator): an event extends the
+# session iff its start < current session end (strict), so a gap of
+# EXACTLY the timeout starts a new session; the oracle reproduces that
+# with a `>= gap` island break over lag().  All timestamps render as
+# exact epoch microseconds (bigint) — no float, no string truncation
+# of sub-second precision.  One shuffle on user_id either way; session
+# assembly is per-key and streams at 100 TB (state = one open session
+# per key in the streaming form).
+# --------------------------------------------------------------------------
+_SESSION_WINDOW_GAP = "30 minutes"
+_SESSION_WINDOW_GAP_US = 30 * 60 * 1_000_000
+
+@declared("x71_session_window", f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS te FROM events),
+g AS (
+  SELECT *, lag(te) OVER (PARTITION BY user_id
+                          ORDER BY te, event_id) AS prev_te
+  FROM o),
+m AS (
+  SELECT *, CASE WHEN prev_te IS NULL
+                   OR te - prev_te >= {_SESSION_WINDOW_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM g),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY te, event_id
+                              ROWS UNBOUNDED PRECEDING) AS snum
+  FROM m)
+SELECT user_id,
+       CAST(min(te) AS BIGINT) AS sess_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(te) - min(te) AS BIGINT) AS span_us
+FROM s GROUP BY user_id, snum
+ORDER BY user_id, sess_start_us""")
+def x71(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", _SESSION_WINDOW_GAP)
+                        .alias("w"))
+              .agg(F.count("*").cast("bigint").alias("n_events"),
+                   F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+              .select("user_id",
+                      F.unix_micros("t0").alias("sess_start_us"),
+                      "n_events",
+                      (F.unix_micros("t1") - F.unix_micros("t0"))
+                       .cast("bigint").alias("span_us"))
+              .orderBy("user_id", "sess_start_us"))

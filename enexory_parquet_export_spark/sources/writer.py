@@ -26,18 +26,24 @@ from pyspark.sql import functions as F
 
 def write_day_partitioned(df: DataFrame, path: str,
                           mode: str = "overwrite",
-                          day_col: str = "day") -> None:
+                          day_col: str = "day",
+                          file_format: str = "parquet") -> None:
     """Write partitioned by day with dynamic partition overwrite.
 
     ``mode="overwrite"`` + partitionOverwriteMode=dynamic rewrites only
     the day-partitions present in ``df`` — the Spark-native equivalent
     of the reference's per-day file overwrite
     (Parquet Export/db_extractor.py:247-248).
+
+    ``file_format`` selects the columnar sink: ``parquet`` (the
+    reference's mirror format, snappy by session conf) or ``orc``
+    (same partition contract, same pushdown/pruning story).
     """
     (df.repartition(day_col)  # one shuffle → at most one writer task per day
        .write.mode(mode)
        .partitionBy(day_col)
-       .parquet(path))
+       .format(file_format)
+       .save(path))
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -81,10 +87,12 @@ def remove_empty_days(spark: SparkSession, path: str,
     return removed
 
 
-def read_day_partitioned(spark: SparkSession, path: str) -> DataFrame:
+def read_day_partitioned(spark: SparkSession, path: str,
+                         file_format: str = "parquet") -> DataFrame:
     """Read the mirror back; ``day`` comes from the directory layout,
     so day-filters become partition pruning (no data scan)."""
-    return spark.read.parquet(path).withColumn("day", F.col("day").cast("string"))
+    return (spark.read.format(file_format).load(path)
+                 .withColumn("day", F.col("day").cast("string")))
 
 
 def write_clustered(df: DataFrame, path: str, cluster_cols: list[str], *,
