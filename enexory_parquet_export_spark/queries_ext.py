@@ -1754,3 +1754,113 @@ def x71(spark, sf_dir):
                       (F.unix_micros("t1") - F.unix_micros("t0"))
                        .cast("bigint").alias("span_us"))
               .orderBy("user_id", "sess_start_us"))
+
+
+# --------------------------------------------------------------------------
+# X72 duplicate-n-gram repetition ratio — the Gopher/C4-style
+# repetition quality filter: fraction of word 3-grams in a document
+# that are repeats of an earlier 3-gram.  Spark side builds grams with
+# posexplode + lead() over (doc_id, pos) — one window shuffle on
+# doc_id that the following groupBy(doc_id) reuses (no second
+# exchange) — then one exact count-distinct per doc.  No pair joins,
+# no interpreted higher-order fold in the hot path; the only
+# per-array lambda is the empty-token filter, once per row.  The
+# ratio renders as floor-micro-units of an identical
+# int→double divide on both engines.
+# --------------------------------------------------------------------------
+@declared("x72_repetition_ratio", r"""
+WITH lf AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           AS grams
+  FROM lf WHERE len(w) >= 3)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup,
+       CAST(floor(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                  / len(grams) * 1e6) AS BIGINT) AS rep_micro
+FROM g ORDER BY doc_id""")
+def x72(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                     lambda w: w != F.lit(""))
+    tok = docs.select("doc_id", F.posexplode(words).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (tok.select("doc_id",
+                        F.concat_ws(" ", "w",
+                                    F.lead("w", 1).over(win),
+                                    F.lead("w", 2).over(win)).alias("gram"),
+                        F.lead("w", 2).over(win).alias("_w3"))
+                .filter(F.col("_w3").isNotNull()))
+    n = F.count("*").cast("bigint")
+    nd = F.countDistinct("gram").cast("bigint")
+    return (grams.groupBy("doc_id")
+                 .agg(n.alias("n_grams"),
+                      (n - nd).alias("n_dup"))
+                 .select("doc_id", "n_grams", "n_dup",
+                         F.floor(F.col("n_dup").cast("double")
+                                 / F.col("n_grams") * F.lit(1e6))
+                          .cast("bigint").alias("rep_micro"))
+                 .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X73 snowflake join (TPC-H Q5 shape): six tables — region → nation →
+# customer → orders → lineitem → supplier with the cyclic
+# s_nationkey = c_nationkey edge that makes join ORDER matter.
+# Declared relationally: Catalyst reorders the graph, pushes the
+# region/date filters to the scans, and AQE picks broadcast for every
+# dim that fits at runtime.  At 100 TB the same declaration
+# shuffle-joins the two fact edges on their keys and broadcasts only
+# region/nation — exactly the plan a hand-scheduler would pick, with
+# zero hints pinning it wrong at a different scale.
+# --------------------------------------------------------------------------
+@declared("x73_snowflake_join", """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount) * 1e6)
+                     AS BIGINT)) AS BIGINT) AS revenue_micro,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue_micro DESC, n_name""")
+def x73(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1997-01-01 00:00:00").cast("timestamp"))))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.floor(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount"))
+                  * F.lit(1e6)).cast("bigint")
+    joined = (r.join(n, n["n_regionkey"] == r["r_regionkey"])
+               .join(c, c["c_nationkey"] == n["n_nationkey"])
+               .join(o, o["o_custkey"] == c["c_custkey"])
+               .join(li, li["l_orderkey"] == o["o_orderkey"])
+               .join(s, (s["s_suppkey"] == li["l_suppkey"])
+                        & (s["s_nationkey"] == c["c_nationkey"])))
+    return (joined.groupBy("n_name")
+                  .agg(F.sum(rev).cast("bigint").alias("revenue_micro"),
+                       F.count("*").cast("bigint").alias("n_items"))
+                  .orderBy(F.col("revenue_micro").desc(), "n_name"))
