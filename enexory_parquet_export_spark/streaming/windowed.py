@@ -55,3 +55,40 @@ def windowed_counts_stream(stream: DataFrame, *,
     from the batch twin, which sees everything)."""
     stream = as_event_time(stream, "ts")
     return _rollup(stream.withWatermark("ts", lateness), window)
+
+
+# -- session windows (dynamic gap) ------------------------------------------
+
+SESSION_GAP = "30 minutes"
+
+
+def _session_rollup(df: DataFrame, key: str, gap: str) -> DataFrame:
+    # session_window start/end are data-determined (first event / last
+    # event + gap), identical for batch and stream; counts are exact.
+    return (df.groupBy(F.session_window("ts", gap).alias("w"), key)
+              .agg(F.count("*").cast("bigint").alias("n_events"))
+              .select(F.col(key),
+                      F.unix_micros("w.start").alias("sess_start_us"),
+                      "n_events"))
+
+
+def session_counts(events: DataFrame, *, key: str = "user_id",
+                   gap: str = SESSION_GAP) -> DataFrame:
+    """Batch twin: per-key session counts over a static frame (the
+    declared-query form is x71, which also proves the operator against
+    the gaps-and-islands oracle)."""
+    return _session_rollup(events, key, gap)
+
+
+def session_counts_stream(stream: DataFrame, *, key: str = "user_id",
+                          gap: str = SESSION_GAP,
+                          lateness: str = DEFAULT_LATENESS) -> DataFrame:
+    """Streaming session windows: state holds one open session per
+    (key, window-chain); a session closes — and emits, in append
+    mode — once the watermark passes its end (last event + gap).
+    Unlike tumbling/hopping windows whose state is bounded by
+    (lateness / window) × |keys|, session state is bounded by the
+    number of concurrently-open sessions, i.e. |active keys| — the
+    natural unit for an unbounded per-user event stream."""
+    stream = as_event_time(stream, "ts")
+    return _session_rollup(stream.withWatermark("ts", lateness), key, gap)

@@ -260,3 +260,33 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == expected
+
+
+@pytest.mark.slow
+def test_stream_session_windows_equal_batch(spark, sf_dir, tmp_path):
+    """Sessions closed by the watermark must match the batch twin's
+    sessions exactly; still-open sessions may be withheld but never
+    wrong.  Feeding files whole in event-time-ish order keeps every
+    emitted session final."""
+    from enexory_parquet_export_spark.streaming.windowed import (
+        session_counts,
+        session_counts_stream,
+    )
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("ts", "user_id").limit(3000))
+    expected = sorted(map(tuple, session_counts(ev).collect()))
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (session_counts_stream(stream)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got, "stream emitted no closed sessions"
+    assert set(got) <= set(expected), \
+        "stream emitted a session the batch twin does not have"
