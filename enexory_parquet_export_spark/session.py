@@ -25,8 +25,16 @@ from pyspark.sql import SparkSession
 #: Conf that must hold for correctness; all runtime-settable.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
-    # fixtures use TIMESTAMP(NANOS); read as long then rescale (sources.tables)
+    # fixture generations have stored timestamps both as TIMESTAMP(NANOS)
+    # (read as long then rescaled in sources.tables) and as µs-naive
+    # (inferred NTZ, re-tagged LTZ in sources.tables); keep the nanos
+    # conf so either generation loads
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # runtime bloom-filter pruning: a selective join side plants a bloom
+    # filter on the probe side's scan — at 100 TB this is the difference
+    # between scanning a fact table and scanning the ~1% of it that can
+    # match (no-op at fixture scale, semantics-preserving everywhere)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # AQE: runtime coalescing, skew-join splitting, broadcast demotion
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
