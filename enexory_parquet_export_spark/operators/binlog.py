@@ -197,3 +197,23 @@ def render_binlog_text(changelog: DataFrame, *,
             .select(F.lit(file_name).alias("file"),
                     (F.col("seq") * 1000 + F.col("_o")).alias("line_no"),
                     "line"))
+
+
+def read_binlog_dir(spark, path: str) -> DataFrame:
+    """Read a directory of rotated binlog pseudo-SQL segments into the
+    ``(file, line_no, line)`` shape :func:`parse_binlog_text` expects.
+
+    ``wholetext`` + ``posexplode(split())`` assigns EXACT per-file line
+    numbers with no reliance on partition read order — correct because
+    binlog segments are small by construction (the writer rotates at a
+    bounded block count; a segment is one mysqlbinlog output, not a
+    100 TB table).  The heavy side is the parse/consolidate after, not
+    this listing-shaped read.
+    """
+    from pyspark.sql import functions as F
+
+    raw = (spark.read.option("wholetext", True).text(path)
+           .select(F.input_file_name().alias("file"), "value"))
+    return raw.select(
+        "file",
+        F.posexplode(F.split("value", "\n")).alias("line_no", "line"))
