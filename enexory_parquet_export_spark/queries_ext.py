@@ -1864,3 +1864,36 @@ def x73(spark, sf_dir):
                   .agg(F.sum(rev).cast("bigint").alias("revenue_micro"),
                        F.count("*").cast("bigint").alias("n_items"))
                   .orderBy(F.col("revenue_micro").desc(), "n_name"))
+
+
+# --------------------------------------------------------------------------
+# X74 approximate percentiles (KLL/GK-style quantile sketch via
+# `approx_percentile`): the sketch companion to x46's exact
+# interpolated percentiles.  At 100 TB an exact percentile needs a
+# full sort (or x46's two-pass rank scan); the sketch is a mergeable
+# partial aggregate — map-side partials, kilobytes per partition, one
+# reduce.  Declared WITHOUT oracle SQL: quantile-sketch internals are
+# engine-private (Spark's accuracy knob and DuckDB's approx_quantile
+# t-digest disagree on boundary picks by construction) — the driver's
+# rows-only check applies, and the rank-error contract is pytest'd
+# against x46's exact values instead
+# (tests/test_functions.py::test_approx_percentile_error_bound).
+# --------------------------------------------------------------------------
+_APPROX_PCT_ACC = 10_000   # rank error ≤ n / accuracy
+
+@declared("x74_approx_percentiles")
+def x74(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = F.expr(f"approx_percentile(value, array(0.5, 0.9, 0.99), "
+                 f"{_APPROX_PCT_ACC})")
+    return (ev.groupBy("event_type")
+              .agg(pct.alias("_p"),
+                   F.count("value").cast("bigint").alias("n_values"))
+              .select("event_type", "n_values",
+                      F.floor(F.element_at("_p", 1) * 1e6).cast("bigint")
+                       .alias("p50_micro"),
+                      F.floor(F.element_at("_p", 2) * 1e6).cast("bigint")
+                       .alias("p90_micro"),
+                      F.floor(F.element_at("_p", 3) * 1e6).cast("bigint")
+                       .alias("p99_micro"))
+              .orderBy("event_type"))

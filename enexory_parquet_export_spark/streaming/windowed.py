@@ -27,12 +27,13 @@ DEFAULT_LATENESS = "30 minutes"
 DEFAULT_WINDOW = "1 hour"
 
 
-def _rollup(df: DataFrame, window: str) -> DataFrame:
+def _rollup(df: DataFrame, window: str, slide: str | None = None) -> DataFrame:
     # per-row micro-units BEFORE the sum: bigint addition is exact and
     # associative, so stream (incremental) and batch (one-shot) sums
     # agree bit-for-bit — a double sum would depend on add order.
     micro = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
-    return (df.groupBy(F.window("ts", window).alias("win"), "event_type")
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (df.groupBy(win.alias("win"), "event_type")
               .agg(F.count("*").cast("bigint").alias("n_events"),
                    F.sum(micro).alias("sum_value_micro"))
               .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
@@ -41,20 +42,23 @@ def _rollup(df: DataFrame, window: str) -> DataFrame:
 
 
 def windowed_counts(events: DataFrame, *,
-                    window: str = DEFAULT_WINDOW) -> DataFrame:
-    """Batch twin: tumbling-window counts/sums over a static frame."""
-    return _rollup(events, window)
+                    window: str = DEFAULT_WINDOW,
+                    slide: str | None = None) -> DataFrame:
+    """Batch twin: tumbling (or, with ``slide``, hopping) window
+    counts/sums over a static frame (declared forms: x50 / x70)."""
+    return _rollup(events, window, slide)
 
 
 def windowed_counts_stream(stream: DataFrame, *,
                            window: str = DEFAULT_WINDOW,
+                           slide: str | None = None,
                            lateness: str = DEFAULT_LATENESS) -> DataFrame:
     """Streaming rollup: same plan over ``readStream`` input, with an
     event-time watermark so window state is evicted once closed and
     rows later than ``lateness`` are dropped (documented divergence
     from the batch twin, which sees everything)."""
     stream = as_event_time(stream, "ts")
-    return _rollup(stream.withWatermark("ts", lateness), window)
+    return _rollup(stream.withWatermark("ts", lateness), window, slide)
 
 
 # -- session windows (dynamic gap) ------------------------------------------

@@ -116,3 +116,31 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         eu, ee = exact[et]
         assert abs(au - eu) <= max(3, 0.06 * eu), (et, au, eu)
         assert abs(ae - ee) <= max(3, 0.06 * ee), (et, ae, ee)
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """x74's sketch percentiles must land within the documented rank
+    error of the exact order statistics: with accuracy=10000 the rank
+    error is ≤ n/10000 ranks, so compare VALUES at rank ± ceil(n/1e4)
+    around each exact percentile (no cross-engine oracle exists for
+    sketch internals, so the rank-error contract is the check)."""
+    import math
+
+    from enexory_parquet_export_spark.sources.tables import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    rows = (ev.groupBy("event_type")
+              .agg(F.sort_array(F.collect_list("value")).alias("vals"),
+                   F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), "
+                          "10000)").alias("p"))
+              .collect())
+    assert rows
+    for r in rows:
+        vals, n = r["vals"], len(r["vals"])
+        slack = math.ceil(n / 10_000) + 1
+        for frac, got in zip((0.5, 0.9, 0.99), r["p"]):
+            target = min(n - 1, max(0, int(frac * (n - 1))))
+            lo = vals[max(0, target - slack)]
+            hi = vals[min(n - 1, target + slack)]
+            assert lo <= got <= hi, \
+                f"{r['event_type']} p{frac}: {got} outside [{lo}, {hi}]"

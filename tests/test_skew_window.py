@@ -290,3 +290,26 @@ def test_stream_session_windows_equal_batch(spark, sf_dir, tmp_path):
     assert got, "stream emitted no closed sessions"
     assert set(got) <= set(expected), \
         "stream emitted a session the batch twin does not have"
+
+
+@pytest.mark.slow
+def test_stream_hopping_rollup_equals_batch(spark, sf_dir, tmp_path):
+    """Hopping (1h window / 30m slide) streaming rollup: every closed
+    window emitted must match the batch twin (x70's shape)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("ts", "event_type", "value").limit(2000))
+    expected = sorted(map(tuple,
+                          windowed_counts(ev, slide="30 minutes").collect()))
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (windowed_counts_stream(stream, slide="30 minutes")
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got, "stream emitted no closed windows"
+    assert set(got) <= set(expected)
