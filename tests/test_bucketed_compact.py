@@ -149,3 +149,59 @@ def test_day_partition_pruning_scans_only_filtered_day(spark, tmp_path):
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "2024-01-02" in pf, pf
     assert scan.count() == 100
+
+
+def test_write_zordered_tightens_all_dimensions(spark, sf_dir, tmp_path):
+    """Morton clustering keeps per-file footer min/max narrow on BOTH
+    dimensions; lexicographic range-clustering only tightens the
+    leading column — the second dimension's per-file range stays close
+    to the full domain, so predicates on it cannot prune files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from enexory_parquet_export_spark.sources.writer import (
+        write_clustered,
+        write_zordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # hash-decorrelated dims: the fixture's raw ids are correlated, and
+    # correlated dims are the one case lexicographic clustering handles
+    df = ev.select(F.pmod(F.hash("event_id"), F.lit(256))
+                    .cast("int").alias("a"),
+                   F.pmod(F.hash("user_id"), F.lit(256))
+                    .cast("int").alias("b"),
+                   "value")
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lex")
+    write_zordered(df, zpath, ["a", "b"], bits=8, n_files=16)
+    write_clustered(df, lpath, ["a", "b"], n_files=16)
+
+    def avg_widths(path):
+        wa, wb, n = 0, 0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {"a": 1 << 30, "b": 1 << 30}
+            maxs = {"a": -1, "b": -1}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        mins[name] = min(mins[name], col.statistics.min)
+                        maxs[name] = max(maxs[name], col.statistics.max)
+            wa += maxs["a"] - mins["a"]
+            wb += maxs["b"] - mins["b"]
+            n += 1
+        return wa / n, wb / n, n
+
+    za, zb, zn = avg_widths(zpath)
+    la, lb, ln = avg_widths(lpath)
+    assert zn >= 8 and ln >= 8    # both actually split into many files
+    # row preservation
+    assert spark.read.parquet(zpath).count() == df.count()
+    # lexicographic: leading col tight, second col ~ full domain
+    assert la < 64 and lb > 180
+    # z-order: BOTH dims well under half the domain per file
+    assert za < 128 and zb < 128, (za, zb)
