@@ -1897,3 +1897,46 @@ def x74(spark, sf_dir):
                       F.floor(F.element_at("_p", 3) * 1e6).cast("bigint")
                        .alias("p99_micro"))
               .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# X75 time-based RANGE window frame: per-user sum/count of events in
+# the TRAILING HOUR at each event — the time-decay feature q21's
+# row-count frame cannot express (ROWS counts neighbors; RANGE bounds
+# by value distance).  Declared over epoch seconds so the frame
+# arithmetic is exact integers on both engines; one window shuffle on
+# user_id, rendered in per-row micro-units before the frame sum.
+# Ties (equal timestamps) are RANGE-frame peers on both engines by
+# SQL semantics, so the aggregate is well-defined without a
+# tiebreaker column.
+# --------------------------------------------------------------------------
+@declared("x75_time_range_frame", """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS te,
+         CAST(floor(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL)
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(sum(vm) OVER w AS BIGINT) AS sum_trailing_1h_micro
+FROM o
+WINDOW w AS (PARTITION BY user_id ORDER BY te
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id""")
+def x75(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "event_id",
+                  (F.unix_micros("ts") / F.lit(1_000_000))
+                   .cast("bigint").alias("te"),
+                  F.floor(F.col("value") * F.lit(1e6))
+                   .cast("bigint").alias("vm")))
+    w = (Window.partitionBy("user_id").orderBy("te")
+               .rangeBetween(-3600, Window.currentRow))
+    return (ev.select("user_id", "event_id",
+                      F.count("*").over(w).cast("bigint")
+                       .alias("n_trailing_1h"),
+                      F.sum("vm").over(w).cast("bigint")
+                       .alias("sum_trailing_1h_micro"))
+              .orderBy("user_id", "event_id"))
