@@ -85,6 +85,30 @@ QUERIES = {
         SELECT event_id, user_id, value FROM events_sf1
         WHERE value IS NOT NULL
         ORDER BY value DESC, event_id LIMIT 100""",
+    # sessionization islands (x45/x71's shape: lag + running sum + agg)
+    "sessionize": """
+        SELECT user_id, snum, CAST(count(*) AS BIGINT) AS n_events FROM (
+          SELECT user_id, sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS snum
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM (SELECT user_id, ts, event_id,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ts
+                  FROM events_sf1) t) t2) t3
+        GROUP BY user_id, snum""",
+    # time-based RANGE frame (x75's shape: trailing-hour count per key)
+    "time_range_frame": """
+        SELECT user_id, event_id,
+               CAST(count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_1h
+        FROM events_sf1""",
 }
 
 
