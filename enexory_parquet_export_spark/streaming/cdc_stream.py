@@ -133,3 +133,67 @@ def windowed_counts(changelog: DataFrame, *, window: str = "1 hour",
             .groupBy(F.window("event_time", window).alias("w"), "op")
             .agg(F.count("*").alias("n_events"))
             .select(F.col("w.start").alias("window_start"), "op", "n_events"))
+
+
+def stream_binlog_text(spark: SparkSession, path: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """``readStream`` over a directory of rotated binlog pseudo-SQL
+    TEXT segments — the reference's literal input form (the
+    ``parse_binlogs.sh`` tail), not a pre-typed changelog.
+
+    ``wholetext`` makes each arriving segment ONE row, so per-file
+    line numbers are exact regardless of partitioning (same argument
+    as ``operators.binlog.read_binlog_dir``); a segment must be
+    complete when it lands, which rotation guarantees.
+    """
+    reader = (spark.readStream
+              .option("wholetext", "true")
+              .text(path)
+              .select(F.col("_metadata.file_path").alias("file"), "value"))
+    if max_files_per_trigger:
+        # re-apply: option must be set before .text(); rebuild instead
+        reader = (spark.readStream
+                  .option("wholetext", "true")
+                  .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                  .text(path)
+                  .select(F.col("_metadata.file_path").alias("file"), "value"))
+    return reader
+
+
+def start_binlog_text_stream(spark: SparkSession, binlog_dir: str,
+                             mirror_path: str, checkpoint: str, *,
+                             max_files_per_trigger: int | None = None,
+                             available_now: bool = True) -> StreamingQuery:
+    """End-to-end streaming CDC from RAW binlog text to the mirror:
+    tail the segment directory → parse pseudo-SQL → consolidate →
+    delete→update-if-exists→upsert merge, all inside ``foreachBatch``.
+
+    The parse uses window functions (block assembly), which Structured
+    Streaming forbids on the unbounded plan — but each micro-batch is
+    a STATIC frame inside ``foreachBatch``, where the full batch
+    relational plan (including windows) is legal.  This is the same
+    layering the reference uses: mysqlbinlog writes a complete text
+    segment; the consolidator processes whole segments.
+
+    Exactly-once story: checkpointed file-source offsets (each segment
+    is consumed once) + idempotent per-day overwrite in the merge.
+    """
+    from ..operators.binlog import parse_binlog_text
+
+    raw = stream_binlog_text(spark, binlog_dir,
+                             max_files_per_trigger=max_files_per_trigger)
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        lines = batch.select(
+            "file",
+            F.posexplode(F.split("value", "\n")).alias("line_no", "line"))
+        changelog = parse_binlog_text(lines)
+        merge_batch(batch.sparkSession, changelog, mirror_path)
+
+    writer = (raw.writeStream
+              .foreachBatch(_apply)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

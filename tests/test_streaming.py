@@ -188,3 +188,79 @@ def test_change_detect_stream_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     want = {tuple(r) for r in detect_changes_batch(polls).collect()}
     assert got == want
+
+
+@pytest.mark.slow
+def test_binlog_text_stream_end_to_end(spark, sf_dir, tmp_path):
+    """Raw pseudo-SQL segments streamed into the mirror must produce
+    the same final table as the batch path (parse → consolidate →
+    merge) applied to all segments at once."""
+    from enexory_parquet_export_spark.operators.binlog import (
+        parse_binlog_text,
+        read_binlog_dir,
+        render_binlog_text,
+    )
+    from enexory_parquet_export_spark.operators.cdc import (
+        consolidate,
+        apply_changes,
+        derive_changelog,
+    )
+    from enexory_parquet_export_spark.streaming.cdc_stream import (
+        start_binlog_text_stream,
+    )
+    from enexory_parquet_export_spark.sources.tables import load_table
+    from enexory_parquet_export_spark.sources.writer import (
+        read_day_partitioned,
+    )
+
+    log = derive_changelog(load_table(spark, sf_dir, "events").limit(1500))
+    split = log.agg(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY seq)")
+                    .alias("m")).collect()[0]["m"]
+    txt = render_binlog_text(log)
+    bdir = str(tmp_path / "binlogs")
+    # two rotated segments: rotation is TIME-ordered, so the first
+    # segment holds the earlier half of the seq range — under that
+    # ordering, streamed per-segment apply must equal one-shot batch
+    # apply exactly (later segment's events win, as they should)
+    txt.filter(F.col("seq") <= split).select("line") \
+       .coalesce(1).write.mode("append").text(bdir)
+    txt.filter(F.col("seq") > split).select("line") \
+       .coalesce(1).write.mode("append").text(bdir)
+
+    mirror = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    # lexicographic file order == write order here (part files share a
+    # prefix; the two appends produce distinct task UUIDs but the file
+    # source processes by modification time per trigger)
+    q = start_binlog_text_stream(spark, bdir, mirror, ckpt,
+                                 max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = {(r["day"], r["pk"]): (r["date_time"], r["value"], r["ts_epoch"])
+           for r in read_day_partitioned(spark, mirror).collect()}
+
+    # batch reference with the SAME semantics the stream claims:
+    # sequential per-segment consolidate→merge (one-shot apply of all
+    # segments at once is a DIFFERENT contract — an I in segment 1
+    # followed by a U in segment 2 survives sequential apply but a
+    # one-shot consolidation collapses the pair to the U, which an
+    # empty base then drops)
+    all_log = parse_binlog_text(read_binlog_dir(spark, bdir))
+    base = spark.createDataFrame(
+        [], "day string, pk bigint, date_time string, value double, "
+            "ts_epoch bigint")
+    # apply segments in the same order the file source does: oldest
+    # modification time first (lexicographic part-file names carry a
+    # random task UUID, so name order is meaningless)
+    import os
+
+    files = sorted((r["file"] for r in
+                    all_log.select("file").distinct().collect()),
+                   key=lambda u: os.path.getmtime(u.removeprefix("file:")))
+    want_df = base
+    for f in files:
+        want_df = apply_changes(want_df,
+                                consolidate(all_log.filter(F.col("file") == f)))
+    want = {(r["day"], r["pk"]): (r["date_time"], r["value"], r["ts_epoch"])
+            for r in want_df.collect()}
+    assert got and got == want
