@@ -524,9 +524,9 @@ def q20(spark, sf_dir):
 # --------------------------------------------------------------------------
 @declared("q21_window_frame_movsum", """
 SELECT event_id, user_id,
-       sum(CAST(floor(value * 100.0) AS BIGINT)) OVER (
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY event_id
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_sum_cents
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_cents
 FROM events ORDER BY event_id""")
 def q21(spark, sf_dir):
     # per-element floor-to-cents BIGINT, then exact integer window sum —

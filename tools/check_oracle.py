@@ -61,6 +61,79 @@ def normalize(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return out
 
 
+def duck_tag(t: str) -> str:
+    """Canonical class tag for a DuckDB DESCRIBE column_type string."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"list<{duck_tag(t[:-2])}>"
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
+        return "decimal"  # always driver-unsafe on the oracle side
+    m = {"BIGINT": "int64", "UBIGINT": "int64", "INTEGER": "int32",
+         "UINTEGER": "int32", "SMALLINT": "int16", "USMALLINT": "int16",
+         "TINYINT": "int8", "UTINYINT": "int8", "DOUBLE": "float64",
+         "FLOAT": "float32", "REAL": "float32", "VARCHAR": "str",
+         "BLOB": "bin", "BOOLEAN": "bool", "DATE": "date"}
+    if t in m:
+        return m[t]
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t.startswith(("LIST", "MAP")):
+        return t.lower()
+    return t.lower()
+
+
+def spark_tag(dt) -> str:
+    """Canonical class tag for a Spark DataType (mirror of duck_tag)."""
+    from pyspark.sql import types as T
+    m = {T.LongType: "int64", T.IntegerType: "int32", T.ShortType: "int16",
+         T.ByteType: "int8", T.DoubleType: "float64", T.FloatType: "float32",
+         T.BooleanType: "bool", T.StringType: "str", T.BinaryType: "bin",
+         T.DateType: "date"}
+    for k, v in m.items():
+        if isinstance(dt, k):
+            return v
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_tag(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    return dt.simpleString()
+
+
+def type_mismatches(sdf_schema, con, sql: str) -> list[str]:
+    """Engine-typed divergence the value-compare can't see (the q21/r1
+    class): DuckDB DESCRIBE types vs Spark schema, per column.  A duck
+    HUGEINT/DECIMAL (e.g. un-cast sum(BIGINT) → int128) hash-mismatches
+    in the driver even when every value is equal."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as exc:  # DESCRIBE unsupported for this statement
+        return [f"DESCRIBE failed: {exc}"]
+    dtypes = {r[0]: duck_tag(r[1]) for r in desc}
+    stypes = {f.name: spark_tag(f.dataType) for f in sdf_schema.fields}
+    bad = []
+    for c in sorted(set(dtypes) & set(stypes)):
+        d, s = dtypes[c], stypes[c]
+        if d == s:
+            continue
+        if "decimal" in (d, s):
+            bad.append(f"{c}: duck={d} spark={s} (DRIVER-RED class: "
+                       f"wrap with CAST(... AS BIGINT/DOUBLE))")
+        elif d.rstrip("0123456789") != s.rstrip("0123456789") \
+                or d.startswith("float") != s.startswith("float"):
+            bad.append(f"{c}: duck={d} spark={s} (numeric-class mismatch)")
+        else:
+            # width-only difference (int32 vs int64): the driver compares
+            # fetched python values, which erase width — warn, don't fail
+            print(f"  [type-width note: {c} duck={d} spark={s}]")
+    return bad
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -119,6 +192,13 @@ def main() -> int:
         except Exception as exc:
             failed.append((name, f"ORACLE ERROR: {exc}"))
             print(f"✗ {name}: oracle error: {str(exc)[:500]}")
+            continue
+        tbad = type_mismatches(sdf.schema, con, oracles[name])
+        if tbad:
+            failed.append((name, f"typed divergence: {tbad}"))
+            print(f"✗ {name}: typed divergence (driver hashes types):")
+            for line in tbad:
+                print(f"    {line}")
             continue
         if sorted(scols) != sorted(dcols):
             failed.append((name, f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}"))
