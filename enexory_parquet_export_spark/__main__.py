@@ -110,11 +110,21 @@ def main(argv: list[str] | None = None) -> int:
         from . import pipeline
         out.update(rewritten_days=pipeline.repair(spark, args.mirror))
     elif args.cmd == "binlog-apply":
-        from .operators.binlog import parse_binlog_text, read_binlog_dir
+        from .operators.binlog import (
+            assign_global_seq,
+            parse_binlog_text,
+            read_binlog_dir,
+        )
         from .sources.writer import list_days
         from .streaming.cdc_stream import merge_batch
 
-        changelog = parse_binlog_text(read_binlog_dir(spark, args.binlog_text))
+        # seq from parse is a per-file line number; rebase it onto the
+        # segment rotation order so one-shot consolidation across many
+        # segments equals the reference's sequential per-segment apply
+        # (parse_binlogs.sh pipes each segment through ./consolidate in
+        # ls-sort order — last-event-wins must respect that order)
+        changelog = assign_global_seq(
+            parse_binlog_text(read_binlog_dir(spark, args.binlog_text)))
         merge_batch(spark, changelog, args.mirror)
         out.update(mirror_days=len(list_days(spark, args.mirror)))
 

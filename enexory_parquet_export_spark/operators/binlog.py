@@ -59,8 +59,11 @@ def parse_binlog_text(lines: DataFrame, *, file_col: str = "file",
     (consolidate.cpp:303-316).
     """
     t = F.trim(F.col(text_col))
+    has_mtime = "file_mtime" in lines.columns
+    extra = [F.col("file_mtime")] if has_mtime else []
     base = (lines.select(F.col(file_col).alias("file"),
-                         F.col(line_no_col).alias("_ln"), t.alias("_t"))
+                         F.col(line_no_col).alias("_ln"), t.alias("_t"),
+                         *extra)
                  .filter(F.col("_t") != ""))
     op = _header_op(F.col("_t"))
     # assignment rows: @k = <value> — split at the FIRST '=' with
@@ -92,7 +95,7 @@ def parse_binlog_text(lines: DataFrame, *, file_col: str = "file",
         return F.max_by(F.when(cond, F.col("_v")),
                         F.when(cond, F.col("_ln")))
 
-    agg = (blocks.groupBy("file", "_blk")
+    agg = (blocks.groupBy("file", "_blk", *(["file_mtime"] if has_mtime else []))
            .agg(F.min("_ln").alias("seq"),
                 F.max_by(F.col("_hdr_op"),
                          F.when(F.col("_hdr_op").isNotNull(),
@@ -119,8 +122,63 @@ def parse_binlog_text(lines: DataFrame, *, file_col: str = "file",
     return (agg.select("file", "seq", pk.alias("pk"), "op",
                        dt.alias("date_time"), value.alias("value"),
                        ts.alias("ts_epoch"),
-                       F.substring(dt, 1, 10).alias("day"))
+                       F.substring(dt, 1, 10).alias("day"), *extra)
                .filter(F.col("pk") != 0))
+
+
+def assign_global_seq(changelog: DataFrame, *,
+                      stride: int = 1 << 40) -> DataFrame:
+    """Rebase per-file ``seq`` onto ONE global order across rotated
+    segments: ``seq' = file_rank * stride + seq``.
+
+    The reference applies segments strictly sequentially in index order
+    (parse_binlogs.sh:118,146-151: ``for f in $(ls … | sort)``), and
+    :func:`~..operators.cdc.consolidate`'s last-event-wins algebra is
+    equivalent to that sequential application ONLY when ``seq`` is
+    monotone ACROSS segments — ``parse_binlog_text``'s seq is a per-file
+    line number that restarts in every segment, so a one-shot
+    consolidation over >1 segment would compare line numbers between
+    files (an old segment's high line number beats a new segment's low
+    one) and collide on equal seqs.
+
+    Segment rank: by ``file_mtime`` first when the changelog carries it
+    (rotation finalizes segments in time order; ``read_binlog_dir`` /
+    the text stream attach it from ``_metadata``), then by the numeric
+    suffix of the file name (``mysql-bin.000001`` …; numeric compare
+    survives MySQL's index widening at 999999→1000000 where lexical
+    order breaks), then the name itself.  The rank is computed with one
+    window over the DISTINCT file list — bounded by segment count, a
+    few dozen rows on one partition — and broadcast back onto the
+    changelog; the data itself is never shuffled and nothing is
+    collected to the driver.
+
+    ``stride`` must exceed any within-file seq; 2^40 (~1.1e12 lines per
+    segment, ~8.4e6 segments in a BIGINT) is far beyond any real
+    mysqlbinlog output, and a violating row raises rather than silently
+    mis-ordering.
+    """
+    sfx = F.regexp_extract("file", r"(\d+)$", 1)
+    order_keys = [F.when(sfx != "", sfx.cast("bigint")).asc_nulls_last(),
+                  F.col("file")]
+    file_cols = ["file"]
+    if "file_mtime" in changelog.columns:
+        order_keys.insert(0, F.col("file_mtime").asc_nulls_last())
+        file_cols.append("file_mtime")
+    files = (changelog.select(*file_cols).distinct()
+             .withColumn("_frank",
+                         F.row_number().over(Window.orderBy(*order_keys))
+                         - F.lit(1))
+             .select("file", "_frank"))
+    cols = [c for c in changelog.columns if c != "file_mtime"]
+    checked_seq = F.when(
+        (F.col("seq") >= 0) & (F.col("seq") < F.lit(stride)), F.col("seq"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"assign_global_seq: per-file seq out of [0, {stride}): "),
+        F.col("seq").cast("string"))))
+    return (changelog.join(F.broadcast(files), "file")
+            .withColumn("seq",
+                        F.col("_frank") * F.lit(stride) + checked_seq)
+            .select(*cols))
 
 
 def render_binlog_text(changelog: DataFrame, *,
@@ -213,7 +271,10 @@ def read_binlog_dir(spark, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     raw = (spark.read.option("wholetext", True).text(path)
-           .select(F.input_file_name().alias("file"), "value"))
+           .select(F.col("_metadata.file_path").alias("file"),
+                   F.col("_metadata.file_modification_time")
+                    .alias("file_mtime"),
+                   "value"))
     return raw.select(
-        "file",
+        "file", "file_mtime",
         F.posexplode(F.split("value", "\n")).alias("line_no", "line"))

@@ -113,8 +113,7 @@ def start_cdc_merge_stream(changelog: DataFrame, mirror_path: str,
 
     writer = (changelog.writeStream
               .foreachBatch(_merge)
-              .option("checkpointLocation", checkpoint)
-              .outputMode("update"))
+              .option("checkpointLocation", checkpoint))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
@@ -146,18 +145,14 @@ def stream_binlog_text(spark: SparkSession, path: str,
     as ``operators.binlog.read_binlog_dir``); a segment must be
     complete when it lands, which rotation guarantees.
     """
-    reader = (spark.readStream
-              .option("wholetext", "true")
-              .text(path)
-              .select(F.col("_metadata.file_path").alias("file"), "value"))
+    reader = spark.readStream.option("wholetext", "true")
     if max_files_per_trigger:
-        # re-apply: option must be set before .text(); rebuild instead
-        reader = (spark.readStream
-                  .option("wholetext", "true")
-                  .option("maxFilesPerTrigger", str(max_files_per_trigger))
-                  .text(path)
-                  .select(F.col("_metadata.file_path").alias("file"), "value"))
-    return reader
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return (reader.text(path)
+            .select(F.col("_metadata.file_path").alias("file"),
+                    F.col("_metadata.file_modification_time")
+                     .alias("file_mtime"),
+                    "value"))
 
 
 def start_binlog_text_stream(spark: SparkSession, binlog_dir: str,
@@ -177,23 +172,29 @@ def start_binlog_text_stream(spark: SparkSession, binlog_dir: str,
 
     Exactly-once story: checkpointed file-source offsets (each segment
     is consumed once) + idempotent per-day overwrite in the merge.
+
+    A micro-batch may contain MANY segments (availableNow drains a
+    backlog into one batch); ``assign_global_seq`` rebases the per-file
+    line-number seq onto the segment rotation order first, so the
+    one-shot consolidation inside the batch is equivalent to the
+    reference's sequential per-segment apply regardless of trigger
+    batching.
     """
-    from ..operators.binlog import parse_binlog_text
+    from ..operators.binlog import assign_global_seq, parse_binlog_text
 
     raw = stream_binlog_text(spark, binlog_dir,
                              max_files_per_trigger=max_files_per_trigger)
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         lines = batch.select(
-            "file",
+            "file", "file_mtime",
             F.posexplode(F.split("value", "\n")).alias("line_no", "line"))
-        changelog = parse_binlog_text(lines)
+        changelog = assign_global_seq(parse_binlog_text(lines))
         merge_batch(batch.sparkSession, changelog, mirror_path)
 
     writer = (raw.writeStream
               .foreachBatch(_apply)
-              .option("checkpointLocation", checkpoint)
-              .outputMode("update"))
+              .option("checkpointLocation", checkpoint))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

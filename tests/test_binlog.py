@@ -162,3 +162,66 @@ def test_roundtrip_property(spark, rows):
             assert r["value"] == v
             assert r["ts_epoch"] == (ts if ts is not None else 0)
         assert r["day"] == dt[:10]
+
+
+def test_assign_global_seq_numeric_suffix_rank(spark):
+    """Segment rank must use the NUMERIC index (mysql-bin.999999 <
+    mysql-bin.1000000), where lexical order breaks at the widening."""
+    from enexory_parquet_export_spark.operators.binlog import assign_global_seq
+
+    df = spark.createDataFrame(
+        [("mysql-bin.1000000", 2), ("mysql-bin.999999", 5)],
+        "file string, seq bigint")
+    got = {r["file"]: r["seq"] for r in assign_global_seq(df).collect()}
+    assert got["mysql-bin.999999"] == 5                  # rank 0: unchanged
+    assert got["mysql-bin.1000000"] == (1 << 40) + 2     # rank 1: rebased
+    assert got["mysql-bin.1000000"] > got["mysql-bin.999999"]
+
+
+def test_assign_global_seq_prefers_mtime(spark):
+    """With a file_mtime column (rotation finalization order), time
+    beats name — part-file names carry random UUIDs."""
+    import datetime
+
+    from enexory_parquet_export_spark.operators.binlog import assign_global_seq
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime.datetime(2024, 1, 1, 0, 0, 1)
+    df = spark.createDataFrame(
+        [("part-aaaa.txt", 1, t1), ("part-zzzz.txt", 1, t0)],
+        "file string, seq bigint, file_mtime timestamp")
+    got = {r["file"]: r["seq"] for r in assign_global_seq(df).collect()}
+    assert got["part-zzzz.txt"] == 1            # older mtime → rank 0
+    assert got["part-aaaa.txt"] == (1 << 40) + 1
+    assert "file_mtime" not in assign_global_seq(df).columns
+
+
+def test_cross_segment_last_event_wins(spark):
+    """The ADVICE r2 hazard: an I at a HIGH line number in the older
+    segment vs a U at a LOW line number in the newer one.  Per-file seq
+    would let the old I win last-event-wins; the global rebase must make
+    one-shot consolidation equal the reference's sequential per-segment
+    apply (I then U on empty base → upsert carrying the U's payload)."""
+    from enexory_parquet_export_spark.operators.binlog import assign_global_seq
+
+    lines = spark.createDataFrame(
+        [("mysql-bin.000001", 100, f"INSERT INTO {TABLE_LIT}"),
+         ("mysql-bin.000001", 101, "SET"),
+         ("mysql-bin.000001", 102, "@1=1"),
+         ("mysql-bin.000001", 103, "@3='2024-03-01 10:00:00'"),
+         ("mysql-bin.000001", 104, "@4=1.0"),
+         ("mysql-bin.000001", 105, "@6=100"),
+         ("mysql-bin.000002", 1, f"UPDATE {TABLE_LIT}"),
+         ("mysql-bin.000002", 2, "SET"),
+         ("mysql-bin.000002", 3, "@1=1"),
+         ("mysql-bin.000002", 4, "@3='2024-03-01 10:00:00'"),
+         ("mysql-bin.000002", 5, "@4=2.0"),
+         ("mysql-bin.000002", 6, "@6=200")],
+        "file string, line_no bigint, line string")
+    log = assign_global_seq(parse_binlog_text(lines))
+    base = spark.createDataFrame(
+        [], "day string, pk bigint, date_time string, value double, "
+            "ts_epoch bigint")
+    rows = cdc.apply_changes(base, cdc.consolidate(log)).collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == 2.0 and rows[0]["ts_epoch"] == 200

@@ -264,3 +264,43 @@ def test_binlog_text_stream_end_to_end(spark, sf_dir, tmp_path):
     want = {(r["day"], r["pk"]): (r["date_time"], r["value"], r["ts_epoch"])
             for r in want_df.collect()}
     assert got and got == want
+
+
+def test_binlog_text_stream_one_shot_backlog(spark, tmp_path):
+    """The DEFAULT trigger path (no max_files_per_trigger): availableNow
+    drains a multi-segment backlog into ONE micro-batch.  With the
+    global seq rebase, that one-shot apply must equal the reference's
+    sequential per-segment contract — the cross-file I-then-U pair
+    survives as an upsert carrying the U's payload."""
+    from enexory_parquet_export_spark.operators.binlog import TABLE_LIT
+    from enexory_parquet_export_spark.sources.writer import (
+        read_day_partitioned,
+    )
+    from enexory_parquet_export_spark.streaming.cdc_stream import (
+        start_binlog_text_stream,
+    )
+
+    bdir = tmp_path / "binlogs"
+    bdir.mkdir()
+    (bdir / "seg-000001").write_text("\n".join([
+        f"INSERT INTO {TABLE_LIT}", "SET",
+        "@1=1", "@3='2024-03-01 10:00:00'", "@4=1.0", "@6=100",
+        f"INSERT INTO {TABLE_LIT}", "SET",
+        "@1=2", "@3='2024-03-01 11:00:00'", "@4=5.0", "@6=101",
+    ]))
+    (bdir / "seg-000002").write_text("\n".join([
+        f"UPDATE {TABLE_LIT}", "SET",          # low line numbers: the
+        "@1=1", "@3='2024-03-01 10:00:00'",    # per-file seq hazard
+        "@4=2.0", "@6=200",
+        f"DELETE FROM {TABLE_LIT}", "WHERE",
+        "@1=2", "@3='2024-03-01 11:00:00'",
+    ]))
+    mirror = str(tmp_path / "mirror")
+    q = start_binlog_text_stream(spark, str(bdir), mirror,
+                                 str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    rows = {r["pk"]: r for r in read_day_partitioned(spark, mirror).collect()}
+    # pk 1: I (seg 1) then U (seg 2) → upsert with the U's payload
+    # pk 2: I (seg 1) then D (seg 2) → gone
+    assert set(rows) == {1}
+    assert rows[1]["value"] == 2.0 and rows[1]["ts_epoch"] == 200
