@@ -24,26 +24,47 @@ DT_PATTERN = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$"
 
 DT_FORMAT = "yyyy-MM-dd HH:mm:ss"
 
+#: lax-parse fallback chain, tried in order (ADVICE r2): the reference
+#: normalizes through ``pd.to_datetime(errors="coerce")``
+#: (db_extractor.py:242-245), whose dateutil path also accepts
+#: date-only and slash-separated inputs.  An EXPLICIT format list keeps
+#: the engine deterministic (dateutil's full grammar is unspecifiable
+#: cross-engine) while covering the shapes the reference's feeds
+#: actually produce; anything else still → sentinel.
+LAX_DT_FORMATS: tuple[str, ...] = (
+    DT_FORMAT,                  # canonical 19-char
+    "yyyy-MM-dd'T'HH:mm:ss",    # ISO-8601 'T' separator
+    "yyyy-MM-dd",               # date-only → midnight
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy/MM/dd",
+)
+
+#: the same chain for the DuckDB oracle side (strptime dialect)
+LAX_DT_FORMATS_STRPTIME: tuple[str, ...] = (
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d",
+    "%Y/%m/%d %H:%M:%S",
+    "%Y/%m/%d",
+)
+
 
 def normalize_datetime(col: Column) -> Column:
     """string → timestamp → canonical 19-char string, sentinel on failure.
 
     Spark-first restatement of the reference's ``pd.to_datetime(...,
     errors="coerce") → strftime → fillna(sentinel)``
-    (Parquet Export/db_extractor.py:242-245).  ``try_to_timestamp``
-    keeps ANSI mode happy on malformed input.
-
-    INTENTIONALLY STRICTER than the reference at the normalization
-    boundary: pandas' dateutil fallback also accepts laxer inputs
-    (date-only ``2024-01-05``, ``2024/01/05``, …) which this engine
-    sentinels instead.  The single canonical format is the contract
-    both the storage layer (19-char validation, db_extractor.py:14,119)
-    and the DuckDB oracle (``try_strptime`` with the same one format,
-    declared query q04) enforce — accepting more here would make the
-    engine's output depend on a parser quirk the rest of the reference
-    pipeline itself rejects.
+    (Parquet Export/db_extractor.py:242-245): each ``try_to_timestamp``
+    in :data:`LAX_DT_FORMATS` is tried in order (ANSI-safe — malformed
+    input yields NULL, not an error), so date-only ``2024-01-05``
+    normalizes to ``2024-01-05 00:00:00`` exactly as pandas' lax parser
+    does, and only genuinely unparseable input collapses to the
+    sentinel.  Downstream row VALIDATION (O6, db_extractor.py:14,119)
+    still enforces the strict 19-char pattern — lax on ingest,
+    strict on audit, the reference's own split.
     """
-    parsed = F.try_to_timestamp(col, F.lit(DT_FORMAT))
+    parsed = F.coalesce(
+        *[F.try_to_timestamp(col, F.lit(f)) for f in LAX_DT_FORMATS])
     return F.coalesce(F.date_format(parsed, DT_FORMAT), F.lit(SENTINEL_DT))
 
 

@@ -34,7 +34,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.datetime import DT_PATTERN, SENTINEL_DT, normalize_datetime, utc2_render
+from .functions.datetime import (
+    DT_PATTERN,
+    LAX_DT_FORMATS_STRPTIME,
+    SENTINEL_DT,
+    normalize_datetime,
+    utc2_render,
+)
 from .operators import cdc
 from .operators.asof import asof_join_literal_probes
 from .operators.range_join import banded_prior_count
@@ -150,7 +156,8 @@ def q03(spark, sf_dir):
 @declared("q04_dt_normalize", f"""
 WITH {CHANGELOG_CTE}, {_CORRUPT_DT_SQL}
 SELECT seq, dt_raw,
-       coalesce(strftime(try_strptime(dt_raw, '%Y-%m-%d %H:%M:%S'),
+       coalesce(strftime(coalesce({", ".join(
+           f"try_strptime(dt_raw, '{f}')" for f in LAX_DT_FORMATS_STRPTIME)}),
                          '%Y-%m-%d %H:%M:%S'),
                 '{SENTINEL_DT}') AS dt_norm
 FROM corrupted ORDER BY seq""")

@@ -193,6 +193,13 @@ def zorder_key(cols: list, bits: int = 16):
     This is the standard multi-dimensional data-skipping layout
     (Morton curves; the technique behind OPTIMIZE ZORDER in
     lakehouse table formats), applied to plain parquet.
+
+    ``len(cols) * bits`` must fit below the BIGINT sign bit (≤ 63):
+    a top bit at position 63 would make half the keys negative and
+    sort BEFORE all positive ones, silently destroying the clustering
+    (ADVICE r2).  Each column is masked to ``bits`` wide so an
+    out-of-range rank corrupts only its own key, never a neighbor's
+    interleave lanes.
     """
     from functools import reduce
     from operator import add
@@ -200,13 +207,21 @@ def zorder_key(cols: list, bits: int = 16):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols × {bits} bits = {n * bits} bits "
+            f"overflows the BIGINT sign bit (max 63); lower bits to "
+            f"{63 // n} or rank fewer columns")
     terms = []
     for b in range(bits):
         for i, c in enumerate(cols):
-            # bit b of col i lands at interleaved position b*n + i
-            bit = F.shiftright(F.col(c) if isinstance(c, str) else c, b) \
-                   .bitwiseAND(F.lit(1))
-            terms.append(F.shiftleft(bit.cast("bigint"), b * n + i))
+            # bit b of col i lands at interleaved position b*n + i;
+            # the mask clamps ranks outside [0, 2^bits) to their low
+            # `bits` bits instead of bleeding into other lanes
+            col = F.col(c) if isinstance(c, str) else c
+            masked = col.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+            bit = F.shiftright(masked, b).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, b * n + i))
     return reduce(add, terms)
 
 

@@ -76,13 +76,11 @@ def _diff_one(prev: dict[str, Any], row: dict[str, Any]) -> list[tuple]:
                     f"{str(prev['is_online']).lower()}->"
                     f"{str(row['is_online']).lower()}"))
     if bool(prev.get("lag_alert")) != lag_alert:
-        # render exactly like Spark's double→string cast: NaN → 'NaN'
-        if lag is None:
-            lag_txt = "null"
-        elif pd.isna(lag):
-            lag_txt = "NaN"
-        else:
-            lag_txt = str(lag)
+        # NaN and SQL NULL both mean "no measurement" and BOTH render
+        # as 'null': Arrow hands the stream a float64 frame where a
+        # NULL lag is indistinguishable from NaN, so the batch twin
+        # collapses them identically (ADVICE r2)
+        lag_txt = "null" if (lag is None or pd.isna(lag)) else str(lag)
         out.append((node, seq, "lag_threshold", f"lag={lag_txt}"))
     err = row["last_error"]
     if err and err != prev.get("last_error"):
@@ -160,8 +158,11 @@ def detect_changes_batch(polls: DataFrame) -> DataFrame:
                      F.col("is_online").cast("string")).alias("detail"))),
         F.when(alert_flip, F.struct(
             F.lit("lag_threshold").alias("change_kind"),
+            # NaN collapses to 'null' exactly like SQL NULL — the
+            # stream side cannot tell them apart post-Arrow
             F.concat(F.lit("lag="),
-                     F.coalesce(F.col("lag_seconds").cast("string"),
+                     F.coalesce(F.nanvl("lag_seconds", F.lit(None))
+                                 .cast("string"),
                                 F.lit("null"))).alias("detail"))),
         F.when(new_err, F.struct(
             F.lit("new_error").alias("change_kind"),

@@ -205,3 +205,24 @@ def test_write_zordered_tightens_all_dimensions(spark, sf_dir, tmp_path):
     assert la < 64 and lb > 180
     # z-order: BOTH dims well under half the domain per file
     assert za < 128 and zb < 128, (za, zb)
+
+
+def test_zorder_key_overflow_guard_and_mask(spark):
+    """ADVICE r2: 4 cols × 16 bits would put the top interleave bit on
+    the BIGINT sign bit (negative keys sort first → clustering silently
+    destroyed) — must raise; and out-of-range ranks are masked into
+    their own lanes instead of corrupting neighbors."""
+    import pytest as _pytest
+
+    from enexory_parquet_export_spark.sources.writer import zorder_key
+
+    with _pytest.raises(ValueError, match="overflows"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+    zorder_key(["a", "b", "c"], bits=21)           # 63 bits: fine
+
+    # mask: rank 2^8 (out of range for bits=8) must NOT touch col b's
+    # lanes — key equals the in-range (0, 3) interleave
+    df = spark.createDataFrame([(256, 3), (0, 3)], "a bigint, b bigint")
+    keys = [r["z"] for r in
+            df.select(zorder_key(["a", "b"], bits=8).alias("z")).collect()]
+    assert keys[0] == keys[1] >= 0

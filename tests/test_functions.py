@@ -144,3 +144,35 @@ def test_approx_percentile_error_bound(spark, sf_dir):
             hi = vals[min(n - 1, target + slack)]
             assert lo <= got <= hi, \
                 f"{r['event_type']} p{frac}: {got} outside [{lo}, {hi}]"
+
+
+def test_normalize_datetime_lax_fallbacks(spark):
+    """ADVICE r2: the reference's pd.to_datetime(errors='coerce') also
+    parses date-only and slash/ISO inputs (db_extractor.py:242-245) —
+    the fallback chain must accept them, and the DuckDB strptime chain
+    must agree shape-for-shape."""
+    rows = [("2024-01-05",),               # date-only → midnight
+            ("2024-01-05T10:20:30",),      # ISO 'T' separator
+            ("2024/01/05 10:20:30",),      # slash datetime
+            ("2024/01/05",),               # slash date-only
+            ("01-05-2024",),               # ambiguous → still sentinel
+            ("2024-01-05 10:20",)]         # truncated time → sentinel
+    out = [r["v"] for r in one(spark, normalize_datetime(F.col("s")),
+                               rows, "s string")]
+    assert out == ["2024-01-05 00:00:00", "2024-01-05 10:20:30",
+                   "2024-01-05 10:20:30", "2024-01-05 00:00:00",
+                   SENTINEL_DT, SENTINEL_DT]
+
+    # the oracle-side chain produces the identical normalization
+    import duckdb
+
+    from enexory_parquet_export_spark.functions.datetime import (
+        LAX_DT_FORMATS_STRPTIME,
+    )
+    chain = ", ".join(f"try_strptime(s, '{f}')"
+                      for f in LAX_DT_FORMATS_STRPTIME)
+    duck = [duckdb.sql(
+        f"SELECT coalesce(strftime(coalesce({chain}), '%Y-%m-%d %H:%M:%S'),"
+        f" '{SENTINEL_DT}') FROM (SELECT '{r[0]}' AS s)").fetchone()[0]
+        for r in rows]
+    assert duck == out

@@ -142,6 +142,13 @@ POLLS = [
     ("c", 3, True, 5.0, "disk full"),   # same error as before '' → silent
     ("c", 4, True, float("nan"), None), # NaN lag → no alert flip
     ("c", 5, True, 700.0, ""),          # alert on; '' stays silent
+    # detail-render battery (ADVICE r2): an alert flip OFF via NULL lag
+    # and via NaN lag must render identically on both paths — Arrow
+    # erases the null/NaN distinction in the stream's float64 frame
+    ("d", 1, True, 700.0, None),        # alert on
+    ("d", 2, True, None, None),         # off via NULL → detail lag=null
+    ("d", 3, True, 650.0, None),        # alert on again
+    ("d", 4, True, float("nan"), None), # off via NaN → detail lag=null
 ]
 
 
@@ -159,7 +166,17 @@ def test_change_detect_batch_rules(spark):
     assert got == {("a", 2, "lag_threshold"), ("a", 3, "lag_threshold"),
                    ("a", 4, "online_flip"),
                    ("a", 4, "new_error"), ("b", 3, "new_error"),
-                   ("c", 1, "new_error"), ("c", 5, "lag_threshold")}
+                   ("c", 1, "new_error"), ("c", 5, "lag_threshold"),
+                   ("d", 1, "lag_threshold"), ("d", 2, "lag_threshold"),
+                   ("d", 3, "lag_threshold"), ("d", 4, "lag_threshold")}
+    details = {(r["node"], r["poll_seq"]): r["detail"]
+               for r in detect_changes_batch(polls).collect()
+               if r["change_kind"] == "lag_threshold"}
+    # NULL and NaN both render 'null' — matches the stream, where Arrow
+    # hands the state handler a float64 frame that cannot tell them apart
+    assert details[("d", 2)] == "lag=null"
+    assert details[("d", 4)] == "lag=null"
+    assert details[("d", 3)] == "lag=650.0"
 
 
 @pytest.mark.slow
