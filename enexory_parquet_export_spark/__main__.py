@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_source_args(p)
     p.add_argument("--mirror", required=True)
     p.add_argument("--min-date", default="2010-01-02")
+    p.add_argument("--replica", help="second mirror target (O27): day "
+                                     "partitions are byte-copied after "
+                                     "the sync, rsync-style")
 
     p = sub.add_parser("backfill", help="one-time historical backfill")
     _add_source_args(p)
@@ -71,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--binlog-text", required=True,
                    help="text files of mysqlbinlog pseudo-SQL")
     p.add_argument("--mirror", required=True)
+    p.add_argument("--replica", help="second mirror target (O27), "
+                                     "byte-copied after the merge")
+
+    p = sub.add_parser("export-ref",
+                       help="export the mirror in the reference's file "
+                            "layout: one YYYY-MM-DD.parquet per day")
+    p.add_argument("--mirror", required=True)
+    p.add_argument("--out", required=True)
     return top
 
 
@@ -127,6 +138,16 @@ def main(argv: list[str] | None = None) -> int:
             parse_binlog_text(read_binlog_dir(spark, args.binlog_text)))
         merge_batch(spark, changelog, args.mirror)
         out.update(mirror_days=len(list_days(spark, args.mirror)))
+    elif args.cmd == "export-ref":
+        from .sources.writer import read_day_partitioned, write_reference_layout
+        days = write_reference_layout(
+            read_day_partitioned(spark, args.mirror), args.out)
+        out.update(exported_days=len(days))
+
+    if getattr(args, "replica", None):
+        from .sources.writer import mirror_to_replica
+        out.update(replicated_days=len(
+            mirror_to_replica(spark, args.mirror, args.replica)))
 
     print(json.dumps(out))
     return 0 if out.get("matches", True) else 1

@@ -240,3 +240,100 @@ def write_zordered(df: DataFrame, path: str, rank_cols: list[str], *,
             if n_files is not None else part.repartitionByRange("_z"))
     (part.sortWithinPartitions("_z").drop("_z")
          .write.mode(mode).parquet(path))
+
+
+def write_reference_layout(df: DataFrame, path: str, *,
+                           day_col: str = "day") -> list[str]:
+    """Export in the REFERENCE'S file layout: one snappy parquet file
+    per day named ``YYYY-MM-DD.parquet`` flat under ``path`` — exactly
+    what ``db_extractor.py:15,211,247`` writes and what its repair pass
+    parses back out of the filename (db_extractor.py:160-163).
+
+    The engine's native mirror keeps the Hive ``day=`` layout; this
+    compat mode lets reference tooling (row_integrity.py, the repair
+    walk, downstream consumers globbing ``*.parquet``) consume the
+    mirror unchanged during a migration.  The ``day`` column lives in
+    the FILENAME only, matching the reference (its per-day files don't
+    carry the day as a column).
+
+    Mechanics: one day-partitioned write (one file per day via the
+    partition repartition), then a driver-side FS rename per day —
+    bounded by day count, metadata-only, the same class of operation
+    as :func:`list_days`.  Idempotent: an existing ``<day>.parquet``
+    is replaced atomically-per-day (delete + rename).
+
+    Returns the day keys written.
+    """
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "/_ref_export_tmp"
+    fs, jvm, _ = _hadoop_fs(spark, path)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))
+    (df.repartition(day_col)
+       .write.mode("overwrite").partitionBy(day_col).parquet(tmp))
+    written = []
+    try:
+        for day in list_days(spark, tmp):
+            part_dir = jvm.org.apache.hadoop.fs.Path(f"{tmp}/day={day}")
+            parts = [s.getPath() for s in fs.listStatus(part_dir)
+                     if s.getPath().getName().endswith(".parquet")]
+            if len(parts) != 1:  # repartition(day) guarantees one file
+                raise RuntimeError(
+                    f"expected exactly one part file for day {day}, "
+                    f"got {len(parts)}")
+            dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{day}.parquet")
+            if fs.exists(dest):
+                fs.delete(dest, False)
+            fs.rename(parts[0], dest)
+            written.append(day)
+    finally:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return sorted(written)
+
+
+def read_reference_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-layout export back, deriving ``day`` from the
+    ``YYYY-MM-DD.parquet`` filename — the inverse of
+    :func:`write_reference_layout` and the same filename-as-date parse
+    the reference's repair pass performs (db_extractor.py:160-163)."""
+    return (spark.read.parquet(path.rstrip("/") + "/*.parquet")
+            .withColumn("day", F.regexp_extract(
+                F.col("_metadata.file_path"),
+                r"(\d{4}-\d{2}-\d{2})\.parquet$", 1)))
+
+
+def mirror_to_replica(spark: SparkSession, primary: str, replica: str, *,
+                      days: list[str] | None = None) -> list[str]:
+    """Second-target mirror sink (O27): copy day-partitions
+    byte-for-byte from the primary mirror to a replica path.
+
+    The reference rsyncs its freshly-written day files to a second
+    mirror after every merge (parse_binlogs.sh:146-151); a byte copy of
+    the already-written partitions preserves that exactly — the replica
+    is a verbatim clone (hash-identical files), not a re-encode, and
+    re-running the copy for a day is idempotent (delete + copy).
+
+    ``days=None`` copies every partition; pass the touched-day list
+    after a merge for the reference's incremental behavior.  Driver-side
+    FS operation bounded by day count — the data bytes move through the
+    filesystem layer, never through Spark.
+    """
+    fs, jvm, _ = _hadoop_fs(spark, primary)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(replica))
+    copied = []
+    for day in (days if days is not None else list_days(spark, primary)):
+        src = jvm.org.apache.hadoop.fs.Path(f"{primary}/day={day}")
+        if not fs.exists(src):
+            continue
+        dst = jvm.org.apache.hadoop.fs.Path(f"{replica}/day={day}")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+                                               False, True, hconf)
+        copied.append(day)
+    # a day deleted on the primary disappears from the replica too
+    for day in list_days(spark, replica):
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{primary}/day={day}")):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{replica}/day={day}"),
+                      True)
+    return sorted(copied)

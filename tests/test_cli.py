@@ -64,3 +64,46 @@ def test_cli_binlog_apply(spark, sf_dir, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0
     assert rep["mirror_days"] > 0
+
+
+def test_cli_binlog_apply_with_replica_and_export_ref(spark, sf_dir,
+                                                      tmp_path, capsys):
+    """binlog-apply --replica (O27) + export-ref round-trip through the
+    CLI surface."""
+    import json
+
+    from enexory_parquet_export_spark.__main__ import main
+    from enexory_parquet_export_spark.operators.binlog import (
+        render_binlog_text,
+    )
+    from enexory_parquet_export_spark.operators.cdc import derive_changelog
+    from enexory_parquet_export_spark.sources.tables import load_table
+    from enexory_parquet_export_spark.sources.writer import (
+        read_day_partitioned,
+        read_reference_layout,
+    )
+
+    log = derive_changelog(load_table(spark, sf_dir, "events").limit(200))
+    txt_dir = str(tmp_path / "binlogs")
+    render_binlog_text(log).select("line").coalesce(1) \
+        .write.mode("overwrite").text(txt_dir)
+
+    mirror, replica = str(tmp_path / "m"), str(tmp_path / "rep")
+    rc = main(["binlog-apply", "--binlog-text", txt_dir,
+               "--mirror", mirror, "--replica", replica])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["mirror_days"] == rep["replicated_days"] > 0
+    prim = {tuple(r) for r in read_day_partitioned(spark, mirror).collect()}
+    assert prim == {tuple(r)
+                    for r in read_day_partitioned(spark, replica).collect()}
+
+    out_dir = str(tmp_path / "ref")
+    rc = main(["export-ref", "--mirror", mirror, "--out", out_dir])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_days = read_day_partitioned(spark, mirror) \
+        .select("day").distinct().count()
+    assert rc == 0 and rep["exported_days"] == n_days
+    back = read_reference_layout(spark, out_dir)
+    assert {tuple(r) for r in
+            back.select(*read_day_partitioned(spark, mirror).columns)
+                .collect()} == prim

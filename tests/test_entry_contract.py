@@ -133,3 +133,76 @@ def test_typed_divergence_detector_catches_uncast_window_sum():
     assert type_mismatches(schema, con, uncast), \
         "un-cast window sum (HUGEINT) must be flagged"
     assert not type_mismatches(schema, con, cast)
+
+
+def test_reference_layout_roundtrip(spark, tmp_path):
+    """Compat export (VERDICT r2 #7): one YYYY-MM-DD.parquet per day,
+    flat, day in the FILENAME only — reference tooling's layout
+    (db_extractor.py:15,211,247) — and the filename-parse read-back."""
+    from enexory_parquet_export_spark.sources.writer import (
+        read_reference_layout,
+        write_reference_layout,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, "2024-01-01 10:00:00", 9.0, 100),
+         ("2024-01-01", 2, "2024-01-01 11:00:00", 8.0, 101),
+         ("2024-01-02", 3, "2024-01-02 10:00:00", 7.0, 102)],
+        "day string, pk bigint, date_time string, value double, ts_epoch bigint")
+    out = str(tmp_path / "ref")
+    assert write_reference_layout(df, out) == ["2024-01-01", "2024-01-02"]
+    names = sorted(p.name for p in (tmp_path / "ref").iterdir()
+                   if not p.name.startswith((".", "_")))  # FS crc sidecars
+    assert names == ["2024-01-01.parquet", "2024-01-02.parquet"]
+
+    back = read_reference_layout(spark, out)
+    assert {(r["day"], r["pk"]) for r in back.collect()} == \
+        {("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)}
+    # the day column lives in the filename, not the file
+    raw_cols = spark.read.parquet(out + "/2024-01-01.parquet").columns
+    assert "day" not in raw_cols
+
+    # idempotent re-export replaces, never duplicates
+    write_reference_layout(df.filter(F.col("day") == "2024-01-01"), out)
+    assert sorted(p.name for p in (tmp_path / "ref").iterdir()
+                  if not p.name.startswith((".", "_"))) == names
+
+
+def test_mirror_to_replica_byte_identical(spark, tmp_path):
+    """O27 second-mirror sink: the replica is a verbatim byte clone of
+    the primary's day partitions (the reference rsyncs,
+    parse_binlogs.sh:146-151), and re-sync drops days the primary lost."""
+    import hashlib
+
+    from enexory_parquet_export_spark.sources.writer import (
+        mirror_to_replica,
+        write_day_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, 9.0), ("2024-01-02", 2, 8.0)],
+        "day string, pk bigint, value double")
+    primary, replica = str(tmp_path / "p"), str(tmp_path / "r")
+    write_day_partitioned(df, primary)
+    assert mirror_to_replica(spark, primary, replica) == \
+        ["2024-01-01", "2024-01-02"]
+
+    def day_hashes(root):
+        out = {}
+        for daydir in sorted(tmp_path.joinpath(root).iterdir()):
+            if not daydir.name.startswith("day="):
+                continue
+            for f in sorted(daydir.iterdir()):
+                if f.name.endswith(".parquet"):
+                    out[(daydir.name, f.name)] = hashlib.sha256(
+                        f.read_bytes()).hexdigest()
+        return out
+
+    assert day_hashes("p") == day_hashes("r") and day_hashes("p")
+
+    # primary loses a day → re-sync removes it from the replica
+    import shutil
+    shutil.rmtree(tmp_path / "p" / "day=2024-01-02")
+    mirror_to_replica(spark, primary, replica)
+    assert not (tmp_path / "r" / "day=2024-01-02").exists()
+    assert (tmp_path / "r" / "day=2024-01-01").exists()
