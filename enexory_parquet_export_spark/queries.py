@@ -67,6 +67,23 @@ def _log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.derive_changelog(_t(spark, sf_dir, "events"))
 
 
+def bounded_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """Total order for OUTPUT-BOUNDED results (top-k per item, filtered
+    candidate pairs, per-cluster representatives): one explicit reducer
+    + in-partition sort instead of a range-partitioned ORDER BY.
+
+    A range exchange first runs a SAMPLING job over its child to pick
+    partition bounds, re-executing the entire upstream plan — measured
+    2× on the ANN queries, whose upstream is an Arrow Python stage
+    (x38: 2.08 s → 1.00 s at sf0.1).  For corpus-sized results the
+    parallel range sort is correct and this helper must NOT be used;
+    for result-sized outputs the single reducer is the cheaper plan at
+    ANY scale: the expensive upstream stays fully parallel and only
+    the final, already-small result crosses one shuffle.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 #: FIXTURES.md §2.1 derivation, DuckDB dialect — shared CTE body.
 CHANGELOG_CTE = """
 changelog AS (
@@ -762,4 +779,4 @@ FROM r WHERE rn <= 3 ORDER BY vec_id, rnk""")
 def q29(spark, sf_dir):
     from .operators.similarity import cosine_topk_blocked
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk_blocked(emb, k=3).orderBy("vec_id", "rnk")
+    return bounded_sort(cosine_topk_blocked(emb, k=3), "vec_id", "rnk")

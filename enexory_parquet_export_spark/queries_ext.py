@@ -28,7 +28,7 @@ from .operators import cdc
 from .operators import dedup as D
 from .operators.binlog import parse_binlog_text, render_binlog_text
 from .operators.similarity import ann_lsh_topk, ivf_flat_topk, lsh_planes
-from .queries import CHANGELOG_CTE
+from .queries import CHANGELOG_CTE, bounded_sort
 from .sources.tables import load_table
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -105,9 +105,10 @@ SELECT id_a, id_b,
        CAST(floor(est * 1000000.0) AS BIGINT) AS est_micro
 FROM est WHERE est >= 0.5 ORDER BY id_a, id_b""")
 def x30(spark, sf_dir):
-    return (D.minhash_dup_pairs(_doc_corpus(spark, sf_dir),
-                                threshold=0.5, k=8, bands=4)
-            .orderBy("id_a", "id_b"))
+    return bounded_sort(
+        D.minhash_dup_pairs(_doc_corpus(spark, sf_dir),
+                            threshold=0.5, k=8, bands=4),
+        "id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -157,8 +158,9 @@ FROM shared
 WHERE shared * 1.0 / (na + nb - shared) >= 0.6
 ORDER BY id_a, id_b""")
 def x32(spark, sf_dir):
-    return (D.ngram_jaccard_pairs(_doc_corpus(spark, sf_dir), threshold=0.6)
-            .orderBy("id_a", "id_b"))
+    return bounded_sort(
+        D.ngram_jaccard_pairs(_doc_corpus(spark, sf_dir), threshold=0.6),
+        "id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -209,7 +211,7 @@ def x33(spark, sf_dir):
              .select("id_a", "id_b",
                      F.floor(F.col("cos") * F.lit(1000000.0))
                       .cast("bigint").alias("cos_micro"))
-             .orderBy("id_a", "id_b"))
+             .transform(bounded_sort, "id_a", "id_b"))
 
 
 # --------------------------------------------------------------------------
@@ -350,9 +352,9 @@ FROM r WHERE rn <= 3 ORDER BY vec_id, rnk"""
 def x38(spark, sf_dir):
     # 8 planes → 256 buckets: bucket self-joins stay tiny as the corpus
     # grows; the oracle embeds the identical plane literals.
-    return (ann_lsh_topk(_t(spark, sf_dir, "embeddings"),
-                         k=3, n_planes=8)
-            .orderBy("vec_id", "rnk"))
+    return bounded_sort(
+        ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=3, n_planes=8),
+        "vec_id", "rnk")
 
 
 # --------------------------------------------------------------------------
@@ -396,10 +398,10 @@ SELECT qid AS vec_id, nbr_id,
        CAST(rnk AS BIGINT) AS rnk
 FROM top WHERE rnk <= {_IVF_K} ORDER BY vec_id, rnk""")
 def x44(spark, sf_dir):
-    return (ivf_flat_topk(_t(spark, sf_dir, "embeddings"),
-                          k=_IVF_K, centroid_stride=_IVF_STRIDE,
-                          nprobe=_IVF_NPROBE)
-            .orderBy("vec_id", "rnk"))
+    return bounded_sort(
+        ivf_flat_topk(_t(spark, sf_dir, "embeddings"), k=_IVF_K,
+                      centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE),
+        "vec_id", "rnk")
 
 
 # --------------------------------------------------------------------------
@@ -839,7 +841,7 @@ def x55(spark, sf_dir):
     return (hits.groupBy("doc_id")
                 .agg(F.count("*").cast("bigint").alias("n_probes_hit"),
                      F.max("shared").cast("bigint").alias("max_shared"))
-                .orderBy("doc_id"))
+                .transform(bounded_sort, "doc_id"))
 
 
 # --------------------------------------------------------------------------
@@ -1038,7 +1040,7 @@ def x59(spark, sf_dir):
                      F.max("node").cast("bigint").alias("max_node"))
                 .select(F.col("label").cast("bigint").alias("label"),
                         "n_nodes", "min_node", "max_node")
-                .orderBy("label"))
+                .transform(bounded_sort, "label"))
 
 
 # --------------------------------------------------------------------------
@@ -1611,7 +1613,7 @@ def x68(spark, sf_dir):
              .filter(dist <= 3)
              .select("id_a", "id_b", "name_a", "name_b",
                      dist.cast("bigint").alias("dist"))
-             .orderBy("id_a", "id_b"))
+             .transform(bounded_sort, "id_a", "id_b"))
 
 
 # --------------------------------------------------------------------------
