@@ -1942,3 +1942,275 @@ def x75(spark, sf_dir):
                       F.sum("vm").over(w).cast("bigint")
                        .alias("sum_trailing_1h_micro"))
               .orderBy("user_id", "event_id"))
+
+
+# --------------------------------------------------------------------------
+# X76 segment-level boilerplate dedup — the C4/RefinedWeb "line dedup"
+# pass restated for a corpus with no newlines: a segment is a
+# non-overlapping 8-word chunk; a segment string occurring in ≥3
+# distinct documents is boilerplate (navigation banners, footers), and
+# each document reports how much of it is boilerplate.  A fixed 8-word
+# banner is prepended to every 7th document so the fixture exercises
+# the cross-document repeat the filter exists for (same injected-twin
+# pattern as x33/x55).
+# Scale: one explode (n/8 rows per doc), one hash agg on the segment
+# string (map-side combined), one equi-join back — never all-pairs.
+# --------------------------------------------------------------------------
+_SEG_W = 8
+_BOILER_MIN_DOCS = 3
+_BANNER = "follow us on social media and subscribe now"
+
+@declared("x76_segment_boilerplate", f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(CASE WHEN doc_id % 7 = 0
+                           THEN '{_BANNER}' || ' ' || text
+                           ELSE text END, ' ') AS ws
+  FROM documents),
+segs AS (
+  SELECT doc_id,
+         array_to_string(ws[(i.seg * {_SEG_W} + 1):(i.seg * {_SEG_W} + {_SEG_W})],
+                         ' ') AS segment
+  FROM d, LATERAL (SELECT unnest(range(0,
+           CAST(ceil(len(ws) / {_SEG_W}.0) AS BIGINT))) AS seg) i),
+freq AS (
+  SELECT segment, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY segment)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN f.ndocs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler
+FROM segs s JOIN freq f USING (segment)
+GROUP BY s.doc_id ORDER BY doc_id""")
+def x76(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(_BANNER), F.lit(" "), F.col("text")))
+         .otherwise(F.col("text")).alias("text"))
+    ws = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(ws) / F.lit(float(_SEG_W))).cast("int")
+    # chunking stays an array expression (≤ ~25 elements/doc) — the
+    # explode below is the only row inflation, n/8 rows per doc
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), nseg - F.lit(1)),
+        lambda i: F.array_join(F.slice(ws, i * _SEG_W + 1, _SEG_W), " "))
+    # hash BEFORE the frequency shuffle: the agg and the join back
+    # move 8-byte longs instead of ~45-byte segment strings (the x32
+    # pattern; a 64-bit collision merges two segments' doc counts with
+    # p < 1e-7 at any realistic segment cardinality)
+    segs = (docs.select("doc_id", F.explode(seg_arr).alias("_seg"))
+                .select("doc_id", F.xxhash64("_seg").alias("seg_h")))
+    freq = (segs.groupBy("seg_h")
+                .agg(F.countDistinct("doc_id").alias("ndocs")))
+    return (segs.join(freq, "seg_h")
+                .groupBy("doc_id")
+                .agg(F.count("*").cast("bigint").alias("n_segs"),
+                     F.sum(F.when(F.col("ndocs") >= _BOILER_MIN_DOCS, 1)
+                            .otherwise(0)).cast("bigint").alias("n_boiler"))
+                .transform(stable_sort, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X77 sequence packing — the pretraining batch-assembly op: documents
+# are concatenated in doc_id order and cut into fixed-capacity token
+# bins (capacity 256), so a document knows its first bin, its offset
+# within it, and how many bins it straddles.  Contiguous packing is
+# the standard streaming formulation (greedy first-fit is not
+# order-stable); one prefix-sum window expresses it exactly.
+# --------------------------------------------------------------------------
+_PACK_C = 256
+_PACK_BUCKET = 10_000  # doc_ids per prefix-sum bucket
+
+@declared("x77_sequence_pack", f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM t)
+SELECT doc_id, n_tokens,
+       start // {_PACK_C} AS bin_first,
+       start % {_PACK_C} AS bin_offset,
+       (start + n_tokens - 1) // {_PACK_C} - start // {_PACK_C} + 1
+         AS bins_spanned
+FROM c ORDER BY doc_id""")
+def x77(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"))
+    # TWO-LEVEL distributed prefix sum: a bare
+    # `Window.orderBy(doc_id)` is a single-partition sort — correct,
+    # but one task at any scale.  Fixed-width doc_id buckets preserve
+    # global order across buckets, so: (1) within-bucket running sums
+    # are a PARTITIONED window (parallel); (2) bucket totals cumsum on
+    # a #buckets-sized relation (tiny, the only serial step); (3) a
+    # broadcast join adds each bucket's offset back.  Same values as
+    # the global window, shuffles bounded by bucket count.
+    b = t.withColumn("_bkt", F.expr(f"doc_id DIV {_PACK_BUCKET}"))
+    in_w = (Window.partitionBy("_bkt").orderBy("doc_id")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    local = b.withColumn(
+        "_local", F.coalesce(F.sum("n_tokens").over(in_w), F.lit(0)))
+    totals = b.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+    off_w = (Window.orderBy("_bkt")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0)))
+    c = (local.join(F.broadcast(offsets.select("_bkt", "_off")), "_bkt")
+              .withColumn("start",
+                          (F.col("_off") + F.col("_local")).cast("bigint")))
+    return (c.select(
+                "doc_id", "n_tokens",
+                F.expr(f"start DIV {_PACK_C}").alias("bin_first"),
+                (F.col("start") % _PACK_C).alias("bin_offset"),
+                (F.expr(f"(start + n_tokens - 1) DIV {_PACK_C}")
+                 - F.expr(f"start DIV {_PACK_C}") + F.lit(1))
+                .alias("bins_spanned"))
+             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X78 quality filter cascade — the C4-style keep/drop decision as a
+# bitmask: minimum length, stopword presence, mean-token-length bound,
+# lexical diversity.  All flat codegen'd expressions; the mask makes
+# every individual filter's verdict auditable downstream (the form
+# real pipelines log for ablations).
+# --------------------------------------------------------------------------
+@declared("x78_quality_filter", """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT)
+           AS n_stop,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
+         n_chars
+  FROM t)
+SELECT doc_id,
+       CAST((CASE WHEN n_toks >= 20 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_stop * 1.0 / n_toks >= 0.02 THEN 2 ELSE 0 END)
+          + (CASE WHEN n_chars * 1.0 / n_toks <= 12.0 THEN 4 ELSE 0 END)
+          + (CASE WHEN n_dist * 1.0 / n_toks >= 0.25 THEN 8 ELSE 0 END)
+          AS BIGINT) AS mask,
+       CAST(n_toks >= 20
+            AND n_stop * 1.0 / n_toks >= 0.02
+            AND n_chars * 1.0 / n_toks <= 12.0
+            AND n_dist * 1.0 / n_toks >= 0.25 AS BOOLEAN) AS keep
+FROM f ORDER BY doc_id""")
+def x78(spark, sf_dir):
+    toks = F.split(F.col("text"), " ")
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+         .cast("bigint").alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_dist"),
+        F.length("text").cast("bigint").alias("n_chars"))
+    c1 = F.col("n_toks") >= 20
+    c2 = F.col("n_stop") * 1.0 / F.col("n_toks") >= 0.02
+    c3 = F.col("n_chars") * 1.0 / F.col("n_toks") <= 12.0
+    c4 = F.col("n_dist") * 1.0 / F.col("n_toks") >= 0.25
+    mask = (F.when(c1, 1).otherwise(0) + F.when(c2, 2).otherwise(0)
+            + F.when(c3, 4).otherwise(0) + F.when(c4, 8).otherwise(0))
+    return (t.select("doc_id", mask.cast("bigint").alias("mask"),
+                     (c1 & c2 & c3 & c4).alias("keep"))
+             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X79 deterministic shard export — training-data output layout: each
+# document hash-routes to one of 16 shards (engine-portable md5-60bit,
+# functions.hashing) and gets a stable position within its shard.  At
+# scale this IS the write plan for a sharded training corpus: one
+# shuffle on the shard key, per-shard position from one window.
+# --------------------------------------------------------------------------
+_N_SHARDS = 16
+
+@declared("x79_shard_export", f"""
+WITH h AS (
+  SELECT doc_id,
+         {portable_hash60_sql("'doc:' || CAST(doc_id AS VARCHAR)")}
+           % {_N_SHARDS} AS shard
+  FROM documents)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+            AS BIGINT) AS pos
+FROM h ORDER BY doc_id""")
+def x79(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from .functions.hashing import portable_hash60
+
+    h = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (portable_hash60(F.concat(F.lit("doc:"),
+                                  F.col("doc_id").cast("string")))
+         % _N_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (h.select("doc_id", F.col("shard").cast("bigint").alias("shard"),
+                     F.row_number().over(w).cast("bigint").alias("pos"))
+             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X80 bigram-LM fluency score — the perplexity-filter analog with no
+# model artifact: corpus bigram/unigram counts give each document the
+# mean conditional probability of its own bigrams.  Logs would differ
+# in the last ulp between libm implementations, so each bigram's
+# P(w2|w1) is floored to integer micro-units FIRST and summed exactly
+# (order-independent BIGINT sum), then integer-divided — bit-identical
+# across engines.  Scale: two hash aggs for the counts (map-side
+# combined), one broadcast-sized unigram join, one equi-join on the
+# bigram key; never all-pairs.
+# --------------------------------------------------------------------------
+@declared("x80_bigram_lm_score", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+big AS (
+  SELECT doc_id, ws[i.p] AS w1, ws[i.p + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, CAST(len(ws) AS BIGINT))) AS p) i),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(bc.c12 * 1000000.0 / uc.c1) AS BIGINT) AS p_micro
+  FROM big b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+             JOIN uc ON b.w1 = uc.w1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_micro) AS BIGINT) // count(*) AS mean_p_micro
+FROM scored GROUP BY doc_id ORDER BY doc_id""")
+def x80(spark, sf_dir):
+    ws = F.split(F.col("text"), " ")
+    toks = _t(spark, sf_dir, "documents").select("doc_id", ws.alias("ws"))
+    # positional bigrams: sequence over 1..len-1 (docs have ≥2 tokens)
+    big = toks.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda p: F.struct(F.element_at("ws", p).alias("w1"),
+                               F.element_at("ws", p + 1).alias("w2"))))
+         .alias("bg")).select("doc_id", "bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    uc = big.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    scored = (big.join(bc, ["w1", "w2"])
+                 .join(F.broadcast(uc), "w1")
+                 .select("doc_id",
+                         F.floor(F.col("c12") * F.lit(1000000.0)
+                                 / F.col("c1")).cast("bigint")
+                          .alias("p_micro")))
+    return (scored.groupBy("doc_id")
+                  .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                       F.expr("CAST(sum(p_micro) AS BIGINT) DIV count(*)")
+                        .alias("mean_p_micro"))
+                  .transform(stable_sort, "doc_id"))
