@@ -172,6 +172,10 @@ def cdc_merge(events: DataFrame, split_seq=None) -> DataFrame:
     (consolidate.cpp:45-53).
     """
     log = derive_changelog(events)
+    # three consumers read the changelog (median agg, snapshot replay,
+    # tail consolidation) — materialize the derivation once instead of
+    # re-scanning events per branch
+    log = log.localCheckpoint(eager=False)
     if split_seq is None:
         # compute the median split INSIDE the plan: a 1-row aggregate
         # broadcast-crossed into the changelog — no driver collect, no
