@@ -176,3 +176,66 @@ def test_normalize_datetime_lax_fallbacks(spark):
         f" '{SENTINEL_DT}') FROM (SELECT '{r[0]}' AS s)").fetchone()[0]
         for r in rows]
     assert duck == out
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """x77 contiguous packing: offsets within capacity, bins contiguous
+    across consecutive docs, spans consistent with token counts."""
+    import __spark_entry__ as entrymod
+
+    rows = (entrymod.queries()["x77_sequence_pack"](spark, sf_dir)
+            .orderBy("doc_id").collect())
+    C = 256
+    assert rows
+    expected_start = 0
+    for r in rows:
+        assert 0 <= r["bin_offset"] < C
+        assert r["bin_first"] * C + r["bin_offset"] == expected_start
+        last_tok = expected_start + r["n_tokens"] - 1
+        assert r["bins_spanned"] == last_tok // C - r["bin_first"] + 1
+        expected_start += r["n_tokens"]
+
+
+def test_segment_boilerplate_banner_detected(spark, sf_dir):
+    """x76: every banner-injected doc (doc_id % 7 == 0) reports at
+    least its banner segment as boilerplate; n_boiler ≤ n_segs."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["x76_segment_boilerplate"](spark, sf_dir) \
+        .collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert all(r["n_boiler"] <= r["n_segs"] for r in rows)
+    banner_docs = [r for i, r in by_id.items() if i % 7 == 0]
+    assert banner_docs
+    assert all(r["n_boiler"] >= 1 for r in banner_docs)
+
+
+def test_shard_export_balanced_and_stable(spark, sf_dir):
+    """x79: positions are 1..n_shard dense per shard; hashing spreads
+    docs across all 16 shards at fixture scale."""
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["x79_shard_export"](spark, sf_dir).collect()
+    shards = defaultdict(list)
+    for r in rows:
+        shards[r["shard"]].append(r["pos"])
+    assert len(shards) == 16
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    sizes = sorted(len(v) for v in shards.values())
+    assert sizes[0] > 0 and sizes[-1] < 3 * sizes[0]  # rough balance
+
+
+def test_bigram_lm_score_bounds(spark, sf_dir):
+    """x80: mean conditional probability lies in (0, 1e6] micro-units
+    and a doc of pure repeated bigrams would score 1e6 — spot-check
+    bounds and the n_bigrams accounting."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["x80_bigram_lm_score"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["mean_p_micro"] <= 1_000_000
+        assert r["n_bigrams"] >= 1
