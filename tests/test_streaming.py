@@ -321,3 +321,37 @@ def test_binlog_text_stream_one_shot_backlog(spark, tmp_path):
     # pk 2: I (seg 1) then D (seg 2) → gone
     assert set(rows) == {1}
     assert rows[1]["value"] == 2.0 and rows[1]["ts_epoch"] == 200
+
+
+@pytest.mark.slow
+def test_pack_stream_equals_batch(spark, tmp_path):
+    """Stateful per-shard sequence packing: the stream (one BIGINT of
+    state per shard) must assign every document the same
+    (bin, offset) slots as the batch prefix-sum twin when it drains
+    the same corpus in doc_id order."""
+    from enexory_parquet_export_spark.streaming.packing import (
+        pack_batch,
+        pack_stream,
+    )
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(300)]
+    schema = "doc_id bigint, n_tokens bigint"
+    src = str(tmp_path / "docs")
+    # three append files in doc_id order — the source's batch order
+    for lo in range(0, 300, 100):
+        (spark.createDataFrame(rows[lo:lo + 100], schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "out")
+    q = (pack_stream(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            pack_batch(spark.createDataFrame(rows, schema)).collect()}
+    assert got == want and len(got) == 300
