@@ -112,6 +112,89 @@ QUERIES = {
 }
 
 
+#: round-3 text-pipeline shapes on the scaled documents table.  The
+#: two engines' list/lateral dialects differ, so each entry is a
+#: (spark_sql, duck_sql) PAIR expressing the identical logical work
+#: (same explodes, same aggregations, same joins) — the harness times
+#: work, it does not diff results, and each engine uses its native
+#: 64-bit hash for the segment key.
+DOC_QUERIES = {
+    # x76 core: segment explode → frequency hash agg → join back
+    "segment_boilerplate": (
+        """
+        WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM docs_sf1),
+        segs AS (
+          SELECT doc_id,
+                 xxhash64(array_join(slice(ws, seg * 8 + 1, 8), ' ')) AS h
+          FROM w LATERAL VIEW explode(sequence(0,
+               CAST(ceil(size(ws) / 8.0) AS INT) - 1)) t AS seg),
+        freq AS (SELECT h, count(DISTINCT doc_id) AS nd
+                 FROM segs GROUP BY h)
+        SELECT s.doc_id, count(*) AS n_segs,
+               sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS n_boiler
+        FROM segs s JOIN freq f USING (h) GROUP BY s.doc_id""",
+        """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM docs_sf1),
+        segs AS (
+          SELECT doc_id,
+                 hash(array_to_string(ws[(i.seg * 8 + 1):(i.seg * 8 + 8)],
+                                      ' ')) AS h
+          FROM w, LATERAL (SELECT unnest(range(0,
+               CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS seg) i),
+        freq AS (SELECT h, count(DISTINCT doc_id) AS nd
+                 FROM segs GROUP BY h)
+        SELECT s.doc_id, count(*) AS n_segs,
+               sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS n_boiler
+        FROM segs s JOIN freq f USING (h) GROUP BY s.doc_id"""),
+    # x80 core: bigram explode → two count aggs → join back → per-doc agg
+    "bigram_lm": (
+        """
+        WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM docs_sf1),
+        big AS (
+          SELECT doc_id, element_at(ws, p) AS w1,
+                 element_at(ws, p + 1) AS w2
+          FROM t LATERAL VIEW explode(sequence(1, size(ws) - 1)) x AS p),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+        SELECT b.doc_id, count(*) AS n,
+               CAST(floor(sum(floor(c12 * 1000000.0 / c1))
+                          / count(*)) AS BIGINT) AS m
+        FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        GROUP BY b.doc_id""",
+        """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM docs_sf1),
+        big AS (
+          SELECT doc_id, ws[i.p] AS w1, ws[i.p + 1] AS w2
+          FROM t, LATERAL (SELECT unnest(range(1,
+               CAST(len(ws) AS BIGINT))) AS p) i),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+        SELECT b.doc_id, count(*) AS n,
+               CAST(floor(sum(floor(c12 * 1000000.0 / c1))
+                          / count(*)) AS BIGINT) AS m
+        FROM big b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+                   JOIN uc ON b.w1 = uc.w1
+        GROUP BY b.doc_id"""),
+}
+
+
+def build_scaled_docs(spark, copies: int) -> str:
+    path = os.path.join(SCRATCH, f"docs_x{copies}.parquet")
+    if os.path.exists(path):
+        return path
+    from pyspark.sql import functions as F
+
+    from enexory_parquet_export_spark.sources.tables import load_table
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = spark.range(copies).select(F.col("id").alias("_i"))
+    out = docs.crossJoin(F.broadcast(idx)).select(
+        (F.col("doc_id") + F.col("_i") * 1_000_000).alias("doc_id"), "text")
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
 def build_scaled(spark, copies: int) -> str:
     path = os.path.join(SCRATCH, f"events_x{copies}.parquet")
     if os.path.exists(path):
@@ -159,9 +242,22 @@ def main() -> int:
     print(f"rows: {n:,} ({copies}× sf0.1)")
     print(f"| query | duckdb sec | spark sec | ratio |")
     print(f"|---|---|---|---|")
-    for name, sql in QUERIES.items():
+    doc_copies = 20
+    if "--doc-copies" in sys.argv:
+        doc_copies = int(sys.argv[sys.argv.index("--doc-copies") + 1])
+    dpath = build_scaled_docs(spark, doc_copies)
+    spark.read.parquet(dpath).createOrReplaceTempView("docs_sf1")
+    con.execute(f"CREATE VIEW docs_sf1 AS SELECT * "
+                f"FROM read_parquet('{dpath}/*.parquet')")
+    nd = spark.sql("SELECT count(*) FROM docs_sf1").collect()[0][0]
+    print(f"docs rows: {nd:,} ({doc_copies}× sf0.1)")
+
+    paired = {name: (sql, sql) for name, sql in QUERIES.items()}
+    paired.update(DOC_QUERIES)
+    for name, (sql_spark, sql_duck) in paired.items():
         if only is not None and name not in only:
             continue
+        sql = sql_spark  # spark side below; duck side uses sql_duck
         # best-of-2 per engine: first Spark execution pays one-off
         # whole-stage-codegen JIT and first DuckDB execution pays OS
         # page-cache fill — steady-state is the number that scales
@@ -170,7 +266,7 @@ def main() -> int:
         # .arrow(): near-zero-copy columnar export — python-object
         # fetchall() would bill DuckDB millions of row conversions
         # that Spark's noop sink doesn't pay
-        td = min(_timed(lambda: con.execute(sql).arrow())
+        td = min(_timed(lambda: con.execute(sql_duck).arrow())
                  for _ in range(2))
         print(f"| {name} | {td:.2f} | {ts:.2f} | {ts/td:.2f}× |")
     return 0
