@@ -2220,3 +2220,55 @@ def x80(spark, sf_dir):
                        F.expr("CAST(sum(p_micro) AS BIGINT) DIV count(*)")
                         .alias("mean_p_micro"))
                   .transform(stable_sort, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X81 embedding quantization — int8-range storage compression for
+# vector corpora: global per-DIMENSION min/max (one 64-row aggregate)
+# scales every component into [0, 255].  The standard pre-step before
+# shipping embeddings to an ANN index or training shard (4× smaller
+# than float32).  Exact cross-engine: the affine scale is the same
+# IEEE divide/multiply on both sides and the code floors to BIGINT
+# per component BEFORE any aggregation, so the per-vector summaries
+# (sum/min/max/first of the quantized components) are
+# order-independent integers.  Scale: one explode, one 64-row
+# broadcast, two hash aggs — never all-pairs, no Python.
+# --------------------------------------------------------------------------
+@declared("x81_embedding_quantize", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT vec_id, i.p, v[i.p] AS x
+       FROM e, LATERAL (SELECT unnest(range(1,
+            CAST(len(v) + 1 AS BIGINT))) AS p) i),
+ds AS (SELECT p, min(x) AS mn, max(x) AS mx FROM ex GROUP BY p),
+q AS (SELECT vec_id, p,
+             CASE WHEN mx > mn
+                  THEN CAST(floor((x - mn) / (mx - mn) * 255.0) AS BIGINT)
+                  ELSE 0 END AS qv
+      FROM ex JOIN ds USING (p))
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS dims,
+       CAST(sum(qv) AS BIGINT) AS q_sum,
+       CAST(min(qv) AS BIGINT) AS q_min,
+       CAST(max(qv) AS BIGINT) AS q_max,
+       CAST(max(CASE WHEN p = 1 THEN qv END) AS BIGINT) AS q_first
+FROM q GROUP BY vec_id ORDER BY vec_id""")
+def x81(spark, sf_dir):
+    ex = (_t(spark, sf_dir, "embeddings")
+          .select("vec_id", F.posexplode(F.col("embedding")
+                                          .cast("array<double>"))
+                             .alias("pos", "x"))
+          .localCheckpoint(eager=False))  # dim stats + quant both read it
+    ds = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    qv = F.when(F.col("mx") > F.col("mn"),
+                F.floor((F.col("x") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn")) * F.lit(255.0))
+                 .cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    q = ex.join(F.broadcast(ds), "pos").select("vec_id", "pos", qv.alias("qv"))
+    return (q.groupBy("vec_id")
+             .agg(F.count("*").cast("bigint").alias("dims"),
+                  F.sum("qv").cast("bigint").alias("q_sum"),
+                  F.min("qv").cast("bigint").alias("q_min"),
+                  F.max("qv").cast("bigint").alias("q_max"),
+                  F.max(F.when(F.col("pos") == 0, F.col("qv")))
+                   .cast("bigint").alias("q_first"))
+             .transform(stable_sort, "vec_id"))
