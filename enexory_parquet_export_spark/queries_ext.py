@@ -2272,3 +2272,77 @@ def x81(spark, sf_dir):
                   F.max(F.when(F.col("pos") == 0, F.col("qv")))
                    .cast("bigint").alias("q_first"))
              .transform(stable_sort, "vec_id"))
+
+
+# --------------------------------------------------------------------------
+# X82 dedup RESOLUTION — the step after cluster assembly (x59): every
+# document maps to its cluster's canonical representative (highest
+# n_chars, ties to the lowest doc_id; isolated documents are their own
+# canonical) and gets a keep/drop verdict.  This is the op that turns
+# near-dup PAIRS into an actually-deduplicated corpus.  Same synthetic
+# star/chain edge set as x59; the oracle recomputes the transitive
+# closure with a recursive CTE.  Scale: the iterative components
+# operator (O(log d) rounds) + one window per cluster + one join.
+# --------------------------------------------------------------------------
+@declared("x82_dedup_resolve", """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS a, doc_id - doc_id % 3 AS b FROM documents
+  WHERE doc_id % 3 > 0
+  UNION ALL
+  SELECT d.doc_id, d.doc_id + 1 FROM documents d
+  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 50 = 0),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+complabels AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.label, d.doc_id) AS label
+  FROM documents d LEFT JOIN complabels c ON c.node = d.doc_id),
+canon AS (
+  SELECT label, doc_id AS canonical_id FROM (
+    SELECT label, doc_id,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM labeled) t WHERE rn = 1)
+SELECT l.doc_id,
+       CAST(c.canonical_id AS BIGINT) AS canonical_id,
+       l.doc_id = c.canonical_id AS is_kept
+FROM labeled l JOIN canon c USING (label)
+ORDER BY doc_id""")
+def x82(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from .operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ids = docs.select("doc_id")
+    stars = (ids.filter(F.col("doc_id") % 3 > 0)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") - F.col("doc_id") % 3).alias("id_b")))
+    existing = ids.select(F.col("doc_id").alias("_x"))
+    chain = (ids.filter(F.col("doc_id") % 50 == 0)
+             .join(existing, F.col("doc_id") + 1 == F.col("_x"))
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b")))
+    comp = connected_components(stars.unionByName(chain)) \
+        .withColumnRenamed("node", "doc_id")
+    labeled = (docs.join(comp, "doc_id", "left")
+               .withColumn("label", F.coalesce("label", "doc_id")))
+    w = (Window.partitionBy("label")
+               .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+    canon = (labeled.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select("label", F.col("doc_id").alias("canonical_id")))
+    # canon is cluster-count-sized (corpus-proportional) — no broadcast
+    # hint; AQE promotes it when it is actually small
+    return (labeled.join(canon, "label")
+            .select("doc_id",
+                    F.col("canonical_id").cast("bigint").alias("canonical_id"),
+                    (F.col("doc_id") == F.col("canonical_id"))
+                    .alias("is_kept"))
+            .transform(stable_sort, "doc_id"))
