@@ -141,12 +141,18 @@ def assign_global_seq(changelog: DataFrame, *,
     files (an old segment's high line number beats a new segment's low
     one) and collide on equal seqs.
 
-    Segment rank: by ``file_mtime`` first when the changelog carries it
-    (rotation finalizes segments in time order; ``read_binlog_dir`` /
-    the text stream attach it from ``_metadata``), then by the numeric
-    suffix of the file name (``mysql-bin.000001`` …; numeric compare
-    survives MySQL's index widening at 999999→1000000 where lexical
-    order breaks), then the name itself.  The rank is computed with one
+    Segment rank: the reference reads ``mysql-bin.index``
+    (parse_binlogs.sh:69-70 sets ``BINLOG_INDEX``; :95-108
+    ``parse_index`` drives the file loop), and MySQL appends to the
+    index in creation order — which for ``mysql-bin.NNNNNN`` names IS
+    the numeric-suffix order.  So rank by the numeric suffix FIRST
+    (numeric compare survives MySQL's index widening at
+    999999→1000000 where lexical order breaks), then by ``file_mtime``
+    when the changelog carries it (``read_binlog_dir`` / the text
+    stream attach it from ``_metadata``) — the tiebreak for
+    UUID-named part files with no numeric suffix, and robust to
+    rsync/copy without timestamp preservation perturbing mtimes of
+    numbered segments — then the name itself.  The rank is computed with one
     window over the DISTINCT file list — bounded by segment count, a
     few dozen rows on one partition — and broadcast back onto the
     changelog; the data itself is never shuffled and nothing is
@@ -162,7 +168,10 @@ def assign_global_seq(changelog: DataFrame, *,
                   F.col("file")]
     file_cols = ["file"]
     if "file_mtime" in changelog.columns:
-        order_keys.insert(0, F.col("file_mtime").asc_nulls_last())
+        # mtime is a TIEBREAK after the numeric suffix (index order),
+        # never the primary key: copied/rsynced segments without
+        # timestamp preservation must not reorder numbered segments
+        order_keys.insert(1, F.col("file_mtime").asc_nulls_last())
         file_cols.append("file_mtime")
     files = (changelog.select(*file_cols).distinct()
              .withColumn("_frank",

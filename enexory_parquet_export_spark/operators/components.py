@@ -55,8 +55,10 @@ def connected_components(edges: DataFrame, *,
                          .alias("_p")))
         # pointer jump: follow one hop through the label graph
         # (label ← label(label)) — collapses chains logarithmically.
-        # The changed flag rides along so convergence costs a count on
-        # the checkpointed result, not a fresh old⋈new join per round.
+        # The changed flag rides along, and the checkpoint is LAZY so
+        # the convergence count below is the action that materializes
+        # it — ONE job per round (materialize + count fused), not an
+        # eager-checkpoint job followed by a count job.
         lut = prop.select(F.col("node").alias("_p"),
                           F.col("_p").alias("_ll"))
         new_labels = (prop.join(lut, "_p", "left")
@@ -64,7 +66,7 @@ def connected_components(edges: DataFrame, *,
                               F.coalesce("_ll", "_p").alias("label"),
                               (F.coalesce("_ll", "_p") != F.col("_old"))
                                .alias("_chg"))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
         labels = new_labels.select("node", "label")
         if new_labels.filter("_chg").count() == 0:
             return labels

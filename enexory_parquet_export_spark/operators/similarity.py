@@ -232,7 +232,8 @@ def effective_stride(n_rows: int, stride: int, cap: int) -> int:
 
 def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
                   nprobe: int = 2, vec_col: str = "embedding",
-                  codebook_cap: int = 4096) -> DataFrame:
+                  codebook_cap: int = 4096,
+                  require_stride: int | None = None) -> DataFrame:
     """IVF-flat approximate NN: coarse quantizer → inverted lists →
     probe ``nprobe`` nearest lists → exact cosine rerank.
 
@@ -266,6 +267,15 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # HARD-bounded at codebook_cap rows: the stride widens with the
     # corpus (one count job) so the collect is O(cap), never O(N/stride)
     stride = effective_stride(base.count(), centroid_stride, codebook_cap)
+    if require_stride is not None and stride != require_stride:
+        # A fixed-stride oracle (x44 hardcodes vec_id % 17) silently
+        # diverges once the codebook cap widens the stride — fail
+        # loudly instead of producing a silent engine/oracle mismatch.
+        raise ValueError(
+            f"ivf_flat_topk: codebook_cap={codebook_cap} widened the "
+            f"stride to {stride} (declared {require_stride}) at this "
+            f"corpus size — the declared oracle no longer matches; "
+            f"re-derive the oracle stride or raise the cap")
     cent_rows = sorted(
         base.filter(F.col("vec_id") % stride == 0).collect(),
         key=lambda r: r["vec_id"])

@@ -715,7 +715,14 @@ def q25(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Q26 set-containment maximum analog (O20: HA/orchestrator.py:584-633 —
-# GTID subset partial order, restated over per-user event-type sets)
+# GTID subset partial order, restated over per-user event-type sets).
+# CONTRACT: the pairwise theta join (nested loop) is node-count-bounded
+# by construction — the reference operator compares GTID sets across
+# the handful of nodes in one replication cluster, and this analog
+# keeps the probe side bounded (`user_a % 10 = 0` decimates it 10×).
+# If the fixture ever grows the probe side past O(10³), re-block it
+# (e.g. bucket both sides on a set-hash prefix) before scaling up —
+# the pairwise shape is faithful to the reference, not a plan defect.
 # --------------------------------------------------------------------------
 @declared("q26_set_containment", """
 WITH sets AS (

@@ -398,9 +398,13 @@ SELECT qid AS vec_id, nbr_id,
        CAST(rnk AS BIGINT) AS rnk
 FROM top WHERE rnk <= {_IVF_K} ORDER BY vec_id, rnk""")
 def x44(spark, sf_dir):
+    # require_stride: the declared oracle hardcodes vec_id % 17 — if a
+    # fixture bump ever makes the codebook cap widen the stride, the
+    # engine raises instead of silently diverging from the oracle
     return bounded_sort(
         ivf_flat_topk(_t(spark, sf_dir, "embeddings"), k=_IVF_K,
-                      centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE),
+                      centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE,
+                      require_stride=_IVF_STRIDE),
         "vec_id", "rnk")
 
 
@@ -1041,7 +1045,12 @@ def x59(spark, sf_dir):
                      F.max("node").cast("bigint").alias("max_node"))
                 .select(F.col("label").cast("bigint").alias("label"),
                         "n_nodes", "min_node", "max_node")
-                .transform(bounded_sort, "label"))
+                # cluster count here is corpus-proportional (~N/3
+                # labels in the synthetic graph), so the result is
+                # corpus-sized: parallel range sort over the
+                # materialized aggregate, NOT bounded_sort's single
+                # reducer (which is for output-bounded results only)
+                .transform(stable_sort, "label"))
 
 
 # --------------------------------------------------------------------------
@@ -2175,8 +2184,11 @@ def x79(spark, sf_dir):
 # P(w2|w1) is floored to integer micro-units FIRST and summed exactly
 # (order-independent BIGINT sum), then integer-divided — bit-identical
 # across engines.  Scale: two hash aggs for the counts (map-side
-# combined), one broadcast-sized unigram join, one equi-join on the
-# bigram key; never all-pairs.
+# combined), two equi-joins (bigram key, unigram key) — both UNHINTED:
+# the unigram/bigram count tables grow with corpus vocabulary (a web
+# corpus has 10⁸⁺ distinct tokens), so a broadcast hint would be a
+# scale-killer; AQE promotes either side to broadcast when it is
+# actually small (same rule as x82).  Never all-pairs.
 # --------------------------------------------------------------------------
 @declared("x80_bigram_lm_score", """
 WITH toks AS (
@@ -2198,8 +2210,12 @@ FROM scored GROUP BY doc_id ORDER BY doc_id""")
 def x80(spark, sf_dir):
     ws = F.split(F.col("text"), " ")
     toks = _t(spark, sf_dir, "documents").select("doc_id", ws.alias("ws"))
-    # positional bigrams: sequence over 1..len-1 (docs have ≥2 tokens)
-    big = toks.select(
+    # positional bigrams: sequence over 1..len-1.  The size ≥ 2 guard
+    # matters: Spark's sequence(1, 0) defaults to step -1 and yields
+    # [1, 0], and element_at(ws, 0) then throws at runtime — with the
+    # filter a 1-token document degrades to zero bigram rows exactly
+    # like the oracle's range(1, len).
+    big = toks.filter(F.size("ws") >= 2).select(
         "doc_id",
         F.explode(F.transform(
             F.sequence(F.lit(1), F.size("ws") - 1),
@@ -2209,8 +2225,10 @@ def x80(spark, sf_dir):
         .localCheckpoint(eager=False)  # three consumers: bc, uc, join
     bc = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
     uc = big.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    # NO broadcast hint on uc: the unigram table is vocabulary-sized
+    # (unbounded in the corpus) — AQE promotes it when actually small
     scored = (big.join(bc, ["w1", "w2"])
-                 .join(F.broadcast(uc), "w1")
+                 .join(uc, "w1")
                  .select("doc_id",
                          F.floor(F.col("c12") * F.lit(1000000.0)
                                  / F.col("c1")).cast("bigint")
