@@ -55,10 +55,14 @@ def connected_components(edges: DataFrame, *,
                          .alias("_p")))
         # pointer jump: follow one hop through the label graph
         # (label ← label(label)) — collapses chains logarithmically.
-        # The changed flag rides along, and the checkpoint is LAZY so
-        # the convergence count below is the action that materializes
-        # it — ONE job per round (materialize + count fused), not an
-        # eager-checkpoint job followed by a count job.
+        # The changed flag rides along so convergence costs a count on
+        # the checkpointed result, not a fresh old⋈new join per round.
+        # The checkpoint must be EAGER: a lazy one (tried round 4 to
+        # fuse materialize+count into one job) lets the next round's
+        # two consumers of `labels` race its first materialization and
+        # recompute the full lineage, compounding per round — measured
+        # x59 2.7 s → 24 s at sf0.1.  The per-round count job on
+        # already-persisted partitions is noise by comparison.
         lut = prop.select(F.col("node").alias("_p"),
                           F.col("_p").alias("_ll"))
         new_labels = (prop.join(lut, "_p", "left")
@@ -66,7 +70,7 @@ def connected_components(edges: DataFrame, *,
                               F.coalesce("_ll", "_p").alias("label"),
                               (F.coalesce("_ll", "_p") != F.col("_old"))
                                .alias("_chg"))
-                      .localCheckpoint(eager=False))
+                      .localCheckpoint(eager=True))
         labels = new_labels.select("node", "label")
         if new_labels.filter("_chg").count() == 0:
             return labels
