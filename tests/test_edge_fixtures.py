@@ -1,0 +1,134 @@
+"""Edge-case fixtures for the newest declared queries (round-3 verdict
+item 8): branches the sf fixtures never reach.
+
+- x81's degenerate dimension (``mn == mx`` → qv must be 0, not a
+  divide-by-zero NaN) — the sf embeddings have no constant dimension.
+- x77's bucket boundary: the two-level prefix sum partitions doc_ids
+  into ``_PACK_BUCKET``-wide buckets, but sf0.001–0.1 fixtures hold
+  < 10 000 docs, so the cross-bucket offset path (and empty-bucket
+  gaps) never executes there.
+- x80's 1-token document (round-3 advice): ``sequence(1, 0)`` steps
+  backwards in Spark, so an unguarded plan throws at runtime while the
+  oracle emits zero bigrams.
+
+Each test writes a tiny parquet table into a tmp dir shaped exactly
+like a fixture dir and calls the DECLARED query black-box — the same
+code path the driver exercises, no internals duplicated.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from enexory_parquet_export_spark import queries_ext as qx
+
+
+def _write(spark, tmp_path, name, rows, schema) -> str:
+    (spark.createDataFrame(rows, schema)
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(tmp_path / f"{name}.parquet")))
+    return str(tmp_path)
+
+
+def test_x81_degenerate_constant_dimension(spark, tmp_path):
+    # dim 0 is constant across the corpus (mn == mx): every quantized
+    # value must be exactly 0, never NaN/divide-by-zero; dim 1 varies.
+    rows = [(0, [5.0, 0.0], 1), (1, [5.0, 1.0], 1), (2, [5.0, 2.0], 1)]
+    d = _write(spark, tmp_path, "embeddings", rows,
+               "vec_id bigint, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in
+           qx.SPARK_QUERIES["x81_embedding_quantize"](spark, d).collect()}
+    # q_first is dim 0 → the degenerate branch → 0 for every vector
+    assert [out[i]["q_first"] for i in (0, 1, 2)] == [0, 0, 0]
+    # dim 1 spans [0, 2] → quantized 0 / 127 / 255
+    assert [out[i]["q_max"] for i in (0, 1, 2)] == [0, 127, 255]
+    assert all(out[i]["dims"] == 2 for i in (0, 1, 2))
+
+
+def test_x81_single_vector_all_dims_degenerate(spark, tmp_path):
+    # one vector: every dimension has mn == mx == x → all-zero output
+    d = _write(spark, tmp_path, "embeddings", [(7, [3.5, -1.0, 0.0], 0)],
+               "vec_id bigint, embedding array<float>, label int")
+    row = qx.SPARK_QUERIES["x81_embedding_quantize"](spark, d).collect()[0]
+    assert (row["q_sum"], row["q_min"], row["q_max"], row["q_first"]) \
+        == (0, 0, 0, 0)
+
+
+def _doc(doc_id: int, n_tokens: int):
+    return (doc_id, " ".join("w" for _ in range(n_tokens)),
+            "en", "synth", 2 * n_tokens - 1)
+
+
+def test_x77_token_run_crosses_pack_bucket_edge(spark, tmp_path):
+    """Docs on both sides of the 10 000-doc_id bucket edge, with a full
+    empty-bucket gap before the next occupied bucket: the cross-bucket
+    offset join must reproduce the single-window global prefix sum."""
+    cap, bucket = qx._PACK_C, qx._PACK_BUCKET
+    docs = [
+        _doc(bucket - 2, 100),       # last-but-one id of bucket 0
+        _doc(bucket - 1, 200),       # last id of bucket 0
+        _doc(bucket, 300),           # first id of bucket 1
+        _doc(bucket + 1, 57),
+        _doc(3 * bucket + 5, 40),    # bucket 3 — bucket 2 entirely empty
+    ]
+    d = _write(spark, tmp_path, "documents", docs,
+               "doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+    got = {r["doc_id"]: r for r in
+           qx.SPARK_QUERIES["x77_sequence_pack"](spark, d).collect()}
+    # oracle: plain running start positions in doc_id order
+    start, expect = 0, {}
+    for doc_id, text, *_ in docs:
+        n = len(text.split(" "))
+        expect[doc_id] = (start, start // cap, start % cap,
+                          (start + n - 1) // cap - start // cap + 1)
+        start += n
+    for doc_id, (_, bin_first, bin_offset, spanned) in expect.items():
+        r = got[doc_id]
+        assert (r["bin_first"], r["bin_offset"], r["bins_spanned"]) \
+            == (bin_first, bin_offset, spanned), f"doc {doc_id}"
+
+
+def test_x77_doc_ending_exactly_at_bin_edge(spark, tmp_path):
+    # 256 tokens fill bin 0 exactly: bins_spanned == 1, and the next
+    # doc starts at offset 0 of bin 1 (no off-by-one at the capacity)
+    cap = qx._PACK_C
+    d = _write(spark, tmp_path, "documents",
+               [_doc(0, cap), _doc(1, 1)],
+               "doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+    got = {r["doc_id"]: r for r in
+           qx.SPARK_QUERIES["x77_sequence_pack"](spark, d).collect()}
+    assert (got[0]["bin_first"], got[0]["bin_offset"],
+            got[0]["bins_spanned"]) == (0, 0, 1)
+    assert (got[1]["bin_first"], got[1]["bin_offset"],
+            got[1]["bins_spanned"]) == (1, 0, 1)
+
+
+def test_x80_one_token_document_yields_no_bigrams(spark, tmp_path):
+    # 'solo' has no space → zero bigram rows for it, not a runtime
+    # element_at(ws, 0) error; the two-token doc scores normally
+    d = _write(spark, tmp_path, "documents",
+               [(0, "solo", "en", "synth", 4),
+                (1, "a b", "en", "synth", 3)],
+               "doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+    rows = qx.SPARK_QUERIES["x80_bigram_lm_score"](spark, d).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["n_bigrams"] == 1 and rows[0]["mean_p_micro"] == 1000000
+
+
+@pytest.mark.parametrize("n_vec", [30])
+def test_x44_require_stride_raises_when_cap_binds(spark, n_vec):
+    # require_stride must fail LOUDLY when codebook_cap widens the
+    # stride (round-3 advice: the declared oracle hardcodes % 17)
+    from enexory_parquet_export_spark.operators.similarity import (
+        ivf_flat_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(n_vec)],
+        "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="widened the stride"):
+        ivf_flat_topk(emb, k=1, centroid_stride=2, nprobe=2,
+                      codebook_cap=5, require_stride=2)
