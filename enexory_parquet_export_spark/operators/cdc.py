@@ -164,6 +164,52 @@ def apply_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
     )
 
 
+def merge_into_sql(base_table: str, changes_rel: str, *,
+                   key_cols: tuple[str, ...] = ("day", "pk"),
+                   payload_cols: tuple[str, ...] = ("date_time", "value",
+                                                    "ts_epoch"),
+                   op_col: str = "op") -> str:
+    """The ACID-lakehouse twin of :func:`apply_changes`: one ``MERGE
+    INTO`` statement with identical semantics (delete →
+    update-if-exists → insert-as-upsert, consolidate.cpp:184-214).
+
+    The repo's SHIPPED contract is the portable full-outer+CASE above —
+    it runs on any Spark, is oracle-checkable against DuckDB, and with
+    AQE gets the same broadcast-vs-shuffle physical choice a MERGE
+    would.  On a Delta/Iceberg deployment the transactional path is
+    usually preferable (atomic commit, file-level skipping of untouched
+    partitions, concurrent-writer safety); this generator emits that
+    statement so the two paths cannot drift — it is the single source
+    of truth for the clause order, and pytest pins its text against
+    ``apply_changes``'s rule table.  ``changes_rel`` must be a
+    CONSOLIDATED relation (one row per key, :func:`consolidate`), which
+    is also what MERGE itself requires (multiple source matches on one
+    target row raise).
+
+    Clause mapping, per consolidated key:
+
+    * ``op='D'`` + matched   → ``DELETE``  (not matched: no-op — a
+      delete of an absent key vanishes, as in the reference);
+    * ``op='U'`` + matched   → ``UPDATE``  (not matched: no-op —
+      update-to-missing-pk is silently dropped, consolidate.cpp:194);
+    * ``op='I'``             → matched ``UPDATE`` / not-matched
+      ``INSERT`` — the unconditional upsert.
+    """
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in payload_cols)
+    all_cols = ", ".join((*key_cols, *payload_cols))
+    src_vals = ", ".join(f"s.{c}" for c in (*key_cols, *payload_cols))
+    return (
+        f"MERGE INTO {base_table} t\n"
+        f"USING {changes_rel} s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED AND s.{op_col} = 'D' THEN DELETE\n"
+        f"WHEN MATCHED AND s.{op_col} IN ('U', 'I') THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED AND s.{op_col} = 'I' THEN\n"
+        f"  INSERT ({all_cols}) VALUES ({src_vals})"
+    )
+
+
 def cdc_merge(events: DataFrame, split_seq=None) -> DataFrame:
     """End-to-end Q23: derive changelog → snapshot base at the median
     seq → consolidate the tail → merge.  Returns the final mirror with
