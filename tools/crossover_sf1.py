@@ -180,6 +180,103 @@ DOC_QUERIES = {
 }
 
 
+def build_scaled_emb(spark, copies: int) -> str:
+    """Scaled embeddings: each copy is component-perturbed (±0.01,
+    deterministic in (copy, dim)) so the copies occupy distinct LSH
+    buckets / IVF lists the way a real corpus would — 500 identical
+    copies of 2 000 vectors would collapse into ≤2 000 bucket patterns
+    and grossly overstate bucket skew."""
+    path = os.path.join(SCRATCH, f"emb_x{copies}.parquet")
+    if os.path.exists(path):
+        return path
+    from pyspark.sql import functions as F
+
+    from enexory_parquet_export_spark.sources.tables import load_table
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = spark.range(copies).select(F.col("id").alias("_i"))
+    pert = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, d: x + ((F.col("_i") * 31 + d * 7) % 1009 - 504)
+        / F.lit(50000.0))
+    out = emb.crossJoin(F.broadcast(idx)).select(
+        (F.col("vec_id") + F.col("_i") * 1_000_000).alias("vec_id"),
+        pert.alias("embedding"), "label")
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _duck_vec_lit(vals) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in vals) + "]"
+
+
+def duck_lsh_sql(n_planes: int, dim: int, k: int) -> str:
+    """DuckDB twin of ann_lsh_topk: sign-of-projection bucket per
+    plane (same deterministic md5 coefficients), pair join within
+    bucket, exact cosine rerank."""
+    from enexory_parquet_export_spark.operators.similarity import lsh_planes
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {_duck_vec_lit(p)}) >= 0 "
+        f"THEN '1' ELSE '0' END)" for p in lsh_planes(n_planes, dim))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM emb_sf1),
+        b AS (SELECT vec_id, v, {bits} AS blk FROM e),
+        p AS (SELECT a.vec_id, c.vec_id AS nbr_id,
+                     list_dot_product(a.v, c.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM b a JOIN b c
+                ON a.blk = c.blk AND a.vec_id <> c.vec_id),
+        r AS (SELECT vec_id, nbr_id, cos,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, nbr_id) AS rn
+              FROM p)
+        SELECT vec_id, nbr_id,
+               CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micro, rn
+        FROM r WHERE rn <= {k}"""
+
+
+def duck_ivf_sql(stride: int, nprobe: int, k: int) -> str:
+    """DuckDB twin of ivf_flat_topk at an explicit stride (x44's oracle
+    shape, parameterized)."""
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM emb_sf1),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e
+                 WHERE vec_id % {stride} = 0),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+          FROM e CROSS JOIN cent c),
+        ranked AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, cid ASC) AS pr
+          FROM scored),
+        probes AS (SELECT vec_id AS qid, cid FROM ranked
+                   WHERE pr <= {nprobe}),
+        idx AS (SELECT vec_id AS nbr_id, cid FROM ranked WHERE pr = 1),
+        cand AS (SELECT DISTINCT qid, nbr_id
+                 FROM probes JOIN idx USING (cid) WHERE qid <> nbr_id),
+        rer AS (
+          SELECT c.qid, c.nbr_id,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM cand c JOIN e a ON a.vec_id = c.qid
+                      JOIN e b ON b.vec_id = c.nbr_id),
+        top AS (SELECT qid, nbr_id, cos,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, nbr_id ASC)
+                         AS rnk
+                FROM rer)
+        SELECT qid AS vec_id, nbr_id,
+               CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micro, rnk
+        FROM top WHERE rnk <= {k}"""
+
+
 def build_scaled_docs(spark, copies: int) -> str:
     path = os.path.join(SCRATCH, f"docs_x{copies}.parquet")
     if os.path.exists(path):
