@@ -2364,3 +2364,278 @@ def x82(spark, sf_dir):
                     (F.col("doc_id") == F.col("canonical_id"))
                     .alias("is_kept"))
             .transform(stable_sort, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X83 corpus mixture sampling — language-rebalancing for a training
+# mix: each language gets a target keep-rate (upsampling rare
+# languages, downsampling the dominant one), and each document draws a
+# deterministic uniform from the portable md5 hash of its id, so the
+# SAME documents are kept on every engine and every run (the property
+# a reproducible data recipe needs; cf. x51's split router).  Scale:
+# one scan, zero shuffles before the output sort — the decision is a
+# pure per-row expression.
+# --------------------------------------------------------------------------
+_MIX_RATE_MICRO = (("en", 350_000), ("de", 750_000), ("es", 850_000),
+                   ("fr", 800_000), ("zh", 950_000))
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in _MIX_RATE_MICRO)
+    return f"CASE lang {whens} ELSE 1000000 END"
+
+
+@declared("x83_mixture_sample", f"""
+SELECT doc_id, lang,
+       CAST({portable_hash60_sql("'mix:' || CAST(doc_id AS VARCHAR)")}
+            % 1000000 AS BIGINT) AS u_micro,
+       ({portable_hash60_sql("'mix:' || CAST(doc_id AS VARCHAR)")}
+            % 1000000) < {_mix_rate_sql()} AS kept
+FROM documents ORDER BY doc_id""")
+def x83(spark, sf_dir):
+    from .functions.hashing import portable_hash60
+
+    rate = F.lit(1_000_000)
+    for lang, r in _MIX_RATE_MICRO:
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    u = portable_hash60(F.concat(F.lit("mix:"),
+                                 F.col("doc_id").cast("string"))) % 1_000_000
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    u.cast("bigint").alias("u_micro"),
+                    (u < rate).alias("kept"))
+            .transform(stable_sort, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X84 Zipf vocabulary head — rank/frequency table of the top-100
+# tokens with cumulative corpus share: the standard vocabulary audit
+# before tokenizer training (is the head heavy? how much mass do 100
+# types cover?).  Scale: one explode + one hash agg (map-side
+# combined) + a DISTRIBUTED top-k (TakeOrderedAndProject — never a
+# global sort of the vocabulary) + a window over the 100 survivors.
+# The grand total rides in via a 1-row broadcast cross join.
+# --------------------------------------------------------------------------
+_ZIPF_K = 100
+
+@declared("x84_zipf_head", f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT {_ZIPF_K})
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+       token, cnt,
+       CAST(floor(sum(cnt) OVER (ORDER BY cnt DESC, token
+                                 ROWS UNBOUNDED PRECEDING)
+                  * 1000000.0 / total) AS BIGINT) AS cum_micro
+FROM top, tot ORDER BY rank""")
+def x84(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    c = (_t(spark, sf_dir, "documents")
+         .select(F.explode(F.split("text", " ")).alias("token"))
+         .groupBy("token").agg(F.count("*").cast("bigint").alias("cnt")))
+    tot = c.agg(F.sum("cnt").cast("bigint").alias("total"))
+    # distributed top-k: orderBy+limit plans TakeOrderedAndProject
+    # (per-partition heads + driver merge of K rows), NOT a vocab sort
+    top = c.orderBy(F.col("cnt").desc(), "token").limit(_ZIPF_K)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (top.crossJoin(F.broadcast(tot))
+            .select(F.row_number().over(w).cast("bigint").alias("rank"),
+                    "token", "cnt",
+                    F.floor(F.sum("cnt").over(run) * F.lit(1000000.0)
+                            / F.col("total")).cast("bigint")
+                     .alias("cum_micro"))
+            .orderBy("rank"))
+
+
+# --------------------------------------------------------------------------
+# X85 containment (quote) detection — the ASYMMETRIC near-dup case
+# exact Jaccard (x32) misses: a short document embedded inside a long
+# one scores low symmetric Jaccard but containment ≈ 1.  Fixture: a
+# derived corpus of 8-token snippets (first 8 tokens of every 7th
+# document); each snippet is scored against the base corpus by
+# |S∩D| / |S| over distinct 3-shingles.  Scale: the snippet side is
+# small by construction (a query set, like x55 decontamination), the
+# join is a shingle-hash equi-join — never all-pairs — and the agg
+# counts DISTINCT shared shingles per (snippet, doc).
+# --------------------------------------------------------------------------
+_SNIP_MOD, _SNIP_TOKS, _CONT_THRESH_MICRO = 7, 8, 800_000
+
+@declared("x85_containment", f"""
+WITH snip AS (
+  SELECT doc_id + 2000000 AS snip_id,
+         array_to_string(string_split(text, ' ')[1:{_SNIP_TOKS}], ' ') AS text
+  FROM documents WHERE doc_id % {_SNIP_MOD} = 0),
+ss AS (
+  SELECT DISTINCT snip_id, hash(s) AS h FROM (
+    SELECT snip_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+    FROM (SELECT snip_id, string_split(text, ' ') AS t FROM snip))),
+sn AS (SELECT snip_id, CAST(count(*) AS BIGINT) AS nsh FROM ss GROUP BY snip_id),
+ds AS (
+  SELECT DISTINCT doc_id, hash(s) AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+shared AS (
+  SELECT ss.snip_id, ds.doc_id, CAST(count(*) AS BIGINT) AS shr
+  FROM ss JOIN ds USING (h) GROUP BY ss.snip_id, ds.doc_id)
+SELECT s.snip_id, s.doc_id,
+       CAST(floor(s.shr * 1000000.0 / n.nsh) AS BIGINT) AS cont_micro
+FROM shared s JOIN sn n USING (snip_id)
+WHERE s.shr * 1000000.0 / n.nsh >= {_CONT_THRESH_MICRO}
+ORDER BY snip_id, doc_id""")
+def x85(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    snip = (docs.filter(F.col("doc_id") % _SNIP_MOD == 0)
+            .select((F.col("doc_id") + 2_000_000).alias("snip_id"),
+                    F.array_join(F.slice(toks, 1, _SNIP_TOKS), " ")
+                     .alias("text")))
+
+    def shingle_hashes(df, id_col):
+        t = F.split("text", " ")
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1),
+                F.element_at(t, i + 2)))
+        return (df.select(id_col, F.explode(sh).alias("s"))
+                  .select(id_col, F.xxhash64("s").alias("h"))
+                  .distinct())
+
+    ss = shingle_hashes(snip, "snip_id")
+    # the snippet shingle set is read twice (size + join): tiny, but
+    # distinct() above already bounds it; no checkpoint needed
+    sn = ss.groupBy("snip_id").agg(F.count("*").cast("bigint").alias("nsh"))
+    ds = shingle_hashes(docs, "doc_id")
+    shared = (ss.join(ds, "h")
+                .groupBy("snip_id", "doc_id")
+                .agg(F.count("*").cast("bigint").alias("shr")))
+    cont = F.col("shr") * F.lit(1000000.0) / F.col("nsh")
+    return (shared.join(sn, "snip_id")
+            .filter(cont >= _CONT_THRESH_MICRO)
+            .select("snip_id", "doc_id",
+                    F.floor(cont).cast("bigint").alias("cont_micro"))
+            .transform(bounded_sort, "snip_id", "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X86 sliding-window chunking — the RAG/pretraining context chunker:
+# each document splits into fixed-width token windows with overlap
+# (width 32, stride 24), so every token is covered and window starts
+# are deterministic.  Output is one row per chunk with a portable
+# content hash for downstream chunk-level dedup.  Scale: a pure
+# projection explode (zero shuffles before the output sort), ~n/24
+# rows per doc.
+# --------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 32, 24
+
+@declared("x86_chunk_windows", f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n, i.c AS chunk_idx,
+         i.c * {_CHUNK_S} AS start_tok,
+         array_to_string(toks[(i.c * {_CHUNK_S} + 1)
+                              :(i.c * {_CHUNK_S} + {_CHUNK_W})], ' ') AS chunk
+  FROM t, LATERAL (SELECT unnest(range(0,
+       CAST(ceil(greatest(n - {_CHUNK_W}, 0) / {_CHUNK_S}.0) AS BIGINT) + 1))
+       AS c) i)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(n - start_tok, {_CHUNK_W}) AS BIGINT) AS n_chunk_toks,
+       {portable_hash60_sql("chunk")} AS chunk_h
+FROM c ORDER BY doc_id, chunk_idx""")
+def x86(spark, sf_dir):
+    from .functions.hashing import portable_hash60
+
+    toks = F.split("text", " ")
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"),
+        F.size(toks).cast("bigint").alias("n"))
+    n_chunks = (F.ceil(F.greatest(F.col("n") - _CHUNK_W, F.lit(0))
+                       / F.lit(float(_CHUNK_S))).cast("bigint") + 1)
+    start = F.col("chunk_idx") * _CHUNK_S
+    chunk = F.array_join(F.slice("toks", start + 1, _CHUNK_W), " ")
+    # the explode carries the token array along, so the chunk slice is
+    # join-free — one projection explode, no shuffle before the sort
+    c = t.select(
+        "doc_id", "n", "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    return (c.select(
+                "doc_id",
+                F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+                start.cast("bigint").alias("start_tok"),
+                F.least(F.col("n") - start, F.lit(_CHUNK_W))
+                 .cast("bigint").alias("n_chunk_toks"),
+                portable_hash60(chunk).alias("chunk_h"))
+            .transform(stable_sort, "doc_id", "chunk_idx"))
+
+
+# --------------------------------------------------------------------------
+# X87 embedding outlier score — per-label centroid distance in
+# QUANTIZED integer space: components floor to millis (BIGINT), the
+# centroid is the exact integer component-sum (order-independent — a
+# float mean would differ in the last ulp between engines), and
+# cos(v, centroid) uses the algebraic identity
+# cos(v, Σc/n) = cos(v, Σc), so no division by n ever happens in
+# integer space.  The training-pipeline use: flag vectors far from
+# their own cluster's center (mislabeled / junk embeddings) before
+# ANN indexing.  Scale: one explode, one (label, pos) hash agg
+# (640 rows), one 640-row broadcast join, one per-vector agg.
+# --------------------------------------------------------------------------
+@declared("x87_embedding_outlier", """
+WITH ex AS (
+  SELECT vec_id, label, i.p AS pos,
+         CAST(floor(v[i.p] * 1000) AS BIGINT) AS qx
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings) e,
+       LATERAL (SELECT unnest(range(1, CAST(len(v) + 1 AS BIGINT))) AS p) i),
+cent AS (
+  SELECT label, pos, CAST(sum(qx) AS BIGINT) AS cs
+  FROM ex GROUP BY label, pos),
+parts AS (
+  SELECT ex.vec_id, ex.label,
+         CAST(sum(ex.qx * c.cs) AS BIGINT) AS ndot,
+         CAST(sum(ex.qx * ex.qx) AS BIGINT) AS nv
+  FROM ex JOIN cent c ON ex.label = c.label AND ex.pos = c.pos
+  GROUP BY ex.vec_id, ex.label),
+cn AS (SELECT label, CAST(sum(cs * cs) AS BIGINT) AS nc
+       FROM cent GROUP BY label)
+SELECT p.vec_id, p.label,
+       CAST(floor(p.ndot * 1000000.0 / (sqrt(p.nv) * sqrt(c.nc)))
+            AS BIGINT) AS cos_micro
+FROM parts p JOIN cn c USING (label)
+ORDER BY vec_id""")
+def x87(spark, sf_dir):
+    ex = (_t(spark, sf_dir, "embeddings")
+          .select("vec_id", "label",
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos0", "x"))
+          .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+                  F.floor(F.col("x") * 1000).cast("bigint").alias("qx"))
+          .localCheckpoint(eager=False))  # centroid agg + join both read
+    cent = (ex.groupBy("label", "pos")
+              .agg(F.sum("qx").cast("bigint").alias("cs")))
+    parts = (ex.join(F.broadcast(cent), ["label", "pos"])
+               .groupBy("vec_id", "label")
+               .agg(F.sum(F.col("qx") * F.col("cs")).cast("bigint")
+                     .alias("ndot"),
+                    F.sum(F.col("qx") * F.col("qx")).cast("bigint")
+                     .alias("nv")))
+    cn = cent.groupBy("label").agg(F.sum(F.col("cs") * F.col("cs"))
+                                    .cast("bigint").alias("nc"))
+    return (parts.join(F.broadcast(cn), "label")
+            .select("vec_id", "label",
+                    F.floor(F.col("ndot") * F.lit(1000000.0)
+                            / (F.sqrt("nv") * F.sqrt("nc")))
+                     .cast("bigint").alias("cos_micro"))
+            .transform(stable_sort, "vec_id"))

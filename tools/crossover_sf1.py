@@ -366,6 +366,55 @@ def main() -> int:
         td = min(_timed(lambda: con.execute(sql_duck).arrow())
                  for _ in range(2))
         print(f"| {name} | {td:.2f} | {ts:.2f} | {ts/td:.2f}× |")
+
+    # ---- round-4: vector family (x38 lsh_rerank / x44 ivf_probe) --------
+    # Spark side runs the ENGINE OPERATOR (pandas-UDF kernels, the real
+    # product path); DuckDB runs the equivalent generated SQL.  Both
+    # get the same scale-adapted knobs: n_planes grows log2 with the
+    # corpus (bucket occupancy ~constant), the IVF stride grows ~√N
+    # (assignment and candidate work balanced).
+    import math
+
+    vec_copies = 125
+    if "--vec-copies" in sys.argv:
+        vec_copies = int(sys.argv[sys.argv.index("--vec-copies") + 1])
+    vec_shapes = {"lsh_rerank", "ivf_probe"}
+    if only is not None:
+        vec_shapes &= only
+    if vec_shapes:
+        from enexory_parquet_export_spark.operators.similarity import (
+            ann_lsh_topk,
+            ivf_flat_topk,
+        )
+        epath = build_scaled_emb(spark, vec_copies)
+        sedf = spark.read.parquet(epath)
+        con.execute(f"CREATE VIEW emb_sf1 AS SELECT * "
+                    f"FROM read_parquet('{epath}/*.parquet')")
+        nv = sedf.count()
+        n_planes = max(8, int(math.ceil(math.log2(max(nv, 2) / 4.0))))
+        stride = max(17, int(math.sqrt(nv)))
+        print(f"emb rows: {nv:,} ({vec_copies}× sf0.1); "
+              f"n_planes={n_planes}, ivf_stride={stride}")
+
+        def _noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        runs = {
+            "lsh_rerank": (
+                lambda: _noop(ann_lsh_topk(sedf, k=3, n_planes=n_planes)),
+                duck_lsh_sql(n_planes, 64, 3)),
+            "ivf_probe": (
+                lambda: _noop(ivf_flat_topk(sedf, k=3,
+                                            centroid_stride=stride,
+                                            nprobe=2)),
+                duck_ivf_sql(stride, 2, 3)),
+        }
+        for name in sorted(vec_shapes):
+            sfn, dsql = runs[name]
+            ts = min(_timed(sfn) for _ in range(2))
+            td = min(_timed(lambda: con.execute(dsql).arrow())
+                     for _ in range(2))
+            print(f"| {name} | {td:.2f} | {ts:.2f} | {ts/td:.2f}× |")
     return 0
 
 
