@@ -241,17 +241,23 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     corpus itself (every ``centroid_stride``-th vec_id) instead of
     k-means — reproducible on any engine with zero training state, and
     the centroid count grows with the corpus as real IVF practice
-    wants (≈N/stride lists).  Assignment and probing are one
-    broadcast-join + one window over (vector × centroid) scores;
-    candidates are an equi-join on the list id — never all-pairs.
+    wants (≈N/stride lists).  Assignment/probing is one vectorized
+    Arrow pass per vector; rerank is a grouped BLOCK KERNEL per
+    inverted list (probe vectors × list members scored inside numpy),
+    so pair scores never materialize as rows — the same way faiss
+    scans list blocks.
 
-    Scale posture: the centroid set is the only broadcast (tiny) and is
-    HARD-capped at ``codebook_cap`` entries — the stride widens
-    automatically when N/stride would exceed it, so driver memory stays
-    O(cap) at any corpus size.  The big sides touch exactly two
-    shuffles (assignment window, rerank window), both on bounded keys.
-    At 100 TB you'd swap the strided quantizer for trained centroids —
-    the plan shape is unchanged.
+    Scale posture: the centroid set is the only driver-side state and
+    is HARD-capped at ``codebook_cap`` entries — the stride widens
+    automatically when N/stride would exceed it, so driver memory
+    stays O(cap) at any corpus size.  Shuffled volume is
+    O((1+nprobe)·N) vector rows (the list grouping) plus the
+    nprobe·k-per-query winners (the final window) — crossover-measured
+    at 250k vectors: the r3 candidate-pair join shipped ~250 GB and
+    never finished; this shape runs in seconds.  Per-task memory is
+    one list's |Q_c|×|M_c| score block — bounded by list size, which
+    the stride controls (√N-ish by default; trained balanced centroids
+    at 100 TB, same plan shape).
 
     Returns ``vec_id, nbr_id, cos_micro, rnk`` (same contract as
     :func:`ann_lsh_topk`).
@@ -306,33 +312,68 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # per-VECTOR Arrow traffic (one row each), not per (vector×centroid)
     # pair — the crossJoin formulation shipped the vectors |centroids|
     # times and measured ~7× slower.  The lazy localCheckpoint cuts the
-    # plan: `assigned` feeds BOTH join branches (index + probes), and
+    # plan: `assigned` feeds BOTH branches below (index + probes), and
     # without it each branch re-executes the Arrow probe stage — the
     # fused single evaluation measured 1.33 s → 0.96 s at sf0.1 and
     # halves the Python-stage work at any scale.
     assigned = (base.withColumn("_probes",
                                 _probe_lists.asNondeterministic()("v"))
                     .localCheckpoint(eager=False))
-    index = assigned.select(F.col("vec_id").alias("nbr_id"),
-                            F.col("v").alias("nv"),
+    # Rerank is a GROUPED BLOCK KERNEL per inverted list, not a
+    # candidate pair join: the r3 pair formulation materialized
+    # N·nprobe·|list| rows each carrying TWO full vectors — ~250 GB of
+    # Arrow traffic at 250k vectors / stride 500 (measured: it simply
+    # never finished in the crossover).  Here each member row ships
+    # ONCE and each query vector ``nprobe`` times (O((1+nprobe)·N)
+    # rows total), and the |Q_c|×|M_c| pair scores exist only inside
+    # the per-list numpy block.  Per-dim accumulation keeps the IEEE
+    # op order identical to the scalar fold (oracle-exact).  The
+    # per-list top-k then reduces to a global window over ≤ nprobe·k
+    # rows per query — valid because each nbr lives in exactly ONE
+    # list (its pr=1 assignment): the global top-k equals the top-k of
+    # the per-list winners and no (qid, nbr) pair repeats.
+    index = assigned.select(F.lit(0).alias("_role"), "vec_id", "v",
                             F.element_at("_probes", 1).alias("cid"))
-    probes = assigned.select(F.col("vec_id").alias("qid"),
-                             F.col("v").alias("qv"),
+    probes = assigned.select(F.lit(1).alias("_role"), "vec_id", "v",
                              F.explode("_probes").alias("cid"))
-    # each nbr owns exactly ONE list (its pr=1 assignment), so a
-    # (qid, nbr) pair arises at most once — no dedup needed
-    cos = cos_pairs_udf()
-    cand = (probes.join(index, "cid")
-                  .filter(F.col("qid") != F.col("nbr_id"))
-                  .withColumn("_c", cos("qv", "nv")))
+
+    def _rerank_block(pdf):
+        m = pdf[pdf["_role"] == 0]
+        q = pdf[pdf["_role"] == 1]
+        if len(m) == 0 or len(q) == 0:
+            return pd.DataFrame(columns=["qid", "nbr_id", "cos"])
+        mid = m["vec_id"].to_numpy()
+        qid = q["vec_id"].to_numpy()
+        M = np.stack(m["v"].to_numpy()).astype(np.float64)
+        Q = np.stack(q["v"].to_numpy()).astype(np.float64)
+        dots = np.zeros((len(Q), len(M)))
+        nq = np.zeros(len(Q))
+        nm = np.zeros(len(M))
+        for i in range(Q.shape[1]):          # ordered fold per element
+            dots += np.multiply.outer(Q[:, i], M[:, i])
+            nq += Q[:, i] * Q[:, i]
+            nm += M[:, i] * M[:, i]
+        cs = dots / (np.sqrt(nq)[:, None] * np.sqrt(nm)[None, :])
+        cs[qid[:, None] == mid[None, :]] = -np.inf   # exclude self
+        out = []
+        for r in range(len(Q)):
+            order = np.lexsort((mid, -cs[r]))[:k]
+            out.extend((qid[r], mid[c], cs[r, c]) for c in order
+                       if cs[r, c] != -np.inf)
+        return pd.DataFrame(out, columns=["qid", "nbr_id", "cos"])
+
+    per_list = (index.unionByName(probes)
+                .groupBy("cid")
+                .applyInPandas(_rerank_block,
+                               "qid bigint, nbr_id bigint, cos double"))
     rw = (Window.partitionBy("qid")
-                .orderBy(F.col("_c").desc(), F.col("nbr_id").asc()))
-    return (cand.withColumn("rnk", F.row_number().over(rw))
-                .filter(F.col("rnk") <= k)
-                .select(F.col("qid").alias("vec_id"), "nbr_id",
-                        F.floor(F.col("_c") * F.lit(1000000.0))
-                         .cast("bigint").alias("cos_micro"),
-                        F.col("rnk").cast("bigint").alias("rnk")))
+                .orderBy(F.col("cos").desc(), F.col("nbr_id").asc()))
+    return (per_list.withColumn("rnk", F.row_number().over(rw))
+                    .filter(F.col("rnk") <= k)
+                    .select(F.col("qid").alias("vec_id"), "nbr_id",
+                            F.floor(F.col("cos") * F.lit(1000000.0))
+                             .cast("bigint").alias("cos_micro"),
+                            F.col("rnk").cast("bigint").alias("rnk")))
 
 
 def lsh_bucket_udf(planes: list[list[float]]):
