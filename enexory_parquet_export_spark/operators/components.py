@@ -43,7 +43,7 @@ def connected_components(edges: DataFrame, *,
     # directly from the adjacency — one fewer full round in the loop
     labels = (adj.groupBy(F.col("a").alias("node"))
                  .agg(F.least(F.min("b"), F.first("a")).alias("label")))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # candidate label per node: min over self and neighbors' labels
         nbr = (adj.join(labels.withColumnRenamed("node", "b")
                               .withColumnRenamed("label", "_nl"), "b")
@@ -57,12 +57,12 @@ def connected_components(edges: DataFrame, *,
         # (label ← label(label)) — collapses chains logarithmically.
         # The changed flag rides along so convergence costs a count on
         # the checkpointed result, not a fresh old⋈new join per round.
-        # The checkpoint must be EAGER: a lazy one (tried round 4 to
-        # fuse materialize+count into one job) lets the next round's
-        # two consumers of `labels` race its first materialization and
-        # recompute the full lineage, compounding per round — measured
-        # x59 2.7 s → 24 s at sf0.1.  The per-round count job on
-        # already-persisted partitions is noise by comparison.
+        # The checkpoint must be EAGER — both single-job alternatives
+        # measured WORSE at sf0.1: a lazy localCheckpoint lets the next
+        # round's two consumers race the first materialization and
+        # recompute the full lineage (2.7 s → 24 s); persist() keeps
+        # the full nested lineage alive so each round re-analyzes a
+        # growing tree and reads columnar cache (1.4 s → 2.5 s).
         lut = prop.select(F.col("node").alias("_p"),
                           F.col("_p").alias("_ll"))
         new_labels = (prop.join(lut, "_p", "left")
@@ -72,6 +72,17 @@ def connected_components(edges: DataFrame, *,
                                .alias("_chg"))
                       .localCheckpoint(eager=True))
         labels = new_labels.select("node", "label")
-        if new_labels.filter("_chg").count() == 0:
+        # skip the round-0 convergence count: with the fused min-label
+        # init, a graph that is ALREADY converged after one propagation
+        # round is a degenerate edge list (isolated pairs), and dedup
+        # graphs take 2-3 rounds — so round 0's count almost always
+        # reports "changed" and is a pure extra job.  Worst case
+        # (degenerate graph) costs one no-op round, the same price as
+        # the count it replaces.
+        if it > 0 and new_labels.filter("_chg").count() == 0:
             return labels
+    # max_iter exhausted: the loop above never counted round max_iter-1
+    # as converged if it==0 was the only round — verify before failing
+    if max_iter == 1 and new_labels.filter("_chg").count() == 0:
+        return labels
     raise RuntimeError(f"components did not converge in {max_iter} rounds")

@@ -1047,10 +1047,13 @@ def x59(spark, sf_dir):
                         "n_nodes", "min_node", "max_node")
                 # cluster count here is corpus-proportional (~N/3
                 # labels in the synthetic graph), so the result is
-                # corpus-sized: parallel range sort over the
-                # materialized aggregate, NOT bounded_sort's single
-                # reducer (which is for output-bounded results only)
-                .transform(stable_sort, "label"))
+                # corpus-sized: parallel range sort, NOT bounded_sort's
+                # single reducer (output-bounded results only).  Plain
+                # orderBy rather than stable_sort: the sort's upstream
+                # is the loop's own eager checkpoint + one hash agg, so
+                # the range-sampling pass re-reads cached partitions —
+                # stable_sort's extra checkpoint job buys nothing here.
+                .orderBy("label"))
 
 
 # --------------------------------------------------------------------------
@@ -2499,14 +2502,15 @@ def x85(spark, sf_dir):
                      .alias("text")))
 
     def shingle_hashes(df, id_col):
-        t = F.split("text", " ")
-        sh = F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1),
-                F.element_at(t, i + 2)))
-        return (df.select(id_col, F.explode(sh).alias("s"))
-                  .select(id_col, F.xxhash64("s").alias("h"))
+        # flat-codegen shingle build (posexplode + lead window, the
+        # x32 shape) — the array-lambda transform formulation is
+        # interpreted per element and measured ~6× slower on the
+        # corpus side (3.9 s → 0.6 s for the whole query at sf0.1)
+        ex = D._exploded_shingles(df.withColumnRenamed(id_col, "doc_id"),
+                                  id_col="doc_id", text_col="text",
+                                  shingle_n=3)
+        return (ex.select(F.col("doc_id").alias(id_col),
+                          F.xxhash64("s").alias("h"))
                   .distinct())
 
     ss = shingle_hashes(snip, "snip_id")
