@@ -415,6 +415,62 @@ def main() -> int:
             td = min(_timed(lambda: con.execute(dsql).arrow())
                      for _ in range(2))
             print(f"| {name} | {td:.2f} | {ts:.2f} | {ts/td:.2f}× |")
+
+    # ---- round-4: iterative components (x59/x82 family) -----------------
+    # At sf0.1 these queries sit on Spark's per-job dispatch floor
+    # (~7 jobs for a 2-round loop) while DuckDB's recursive CTE is
+    # milliseconds; this shape tests the same star/chain graph at real
+    # size, where the pointer-jumping loop is O(E log d) work and the
+    # CTE's reach-set fixpoint is not.
+    if only is None or "components" in (only or set()):
+        comp_nodes = 10_000_000
+        if "--comp-nodes" in sys.argv:
+            comp_nodes = int(sys.argv[sys.argv.index("--comp-nodes") + 1])
+        from pyspark.sql import functions as F
+
+        from enexory_parquet_export_spark.operators.components import (
+            connected_components,
+        )
+        N = comp_nodes
+        ids = spark.range(N).select(F.col("id").alias("doc_id"))
+        stars = (ids.filter(F.col("doc_id") % 3 > 0)
+                 .select(F.col("doc_id").alias("id_a"),
+                         (F.col("doc_id") - F.col("doc_id") % 3)
+                         .alias("id_b")))
+        chn = (ids.filter((F.col("doc_id") % 50 == 0)
+                          & (F.col("doc_id") + 1 < N))
+               .select(F.col("doc_id").alias("id_a"),
+                       (F.col("doc_id") + 1).alias("id_b")))
+        cedges = stars.unionByName(chn)
+
+        def _comp_run():
+            (connected_components(cedges).groupBy("label")
+             .agg(F.count("*").alias("n")).agg(F.count("*"), F.sum("n"))
+             .write.format("noop").mode("overwrite").save())
+
+        ts = min(_timed(_comp_run) for _ in range(2))
+        duck_comp = f"""
+            WITH RECURSIVE ids AS (
+              SELECT unnest(range(0, {N})) AS doc_id),
+            e0 AS (
+              SELECT doc_id AS a, doc_id - doc_id % 3 AS b FROM ids
+              WHERE doc_id % 3 > 0
+              UNION ALL
+              SELECT doc_id, doc_id + 1 FROM ids
+              WHERE doc_id % 50 = 0 AND doc_id + 1 < {N}),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT reach.node, edges.b
+              FROM reach JOIN edges ON reach.r = edges.a),
+            labels AS (SELECT node, min(r) AS label FROM reach
+                       GROUP BY node)
+            SELECT count(DISTINCT label), count(*) FROM labels"""
+        td = _timed(lambda: con.execute(duck_comp).fetchall())
+        print(f"components nodes: {N:,}")
+        print(f"| components | {td:.2f} | {ts:.2f} | {ts/td:.2f}× |")
     return 0
 
 
