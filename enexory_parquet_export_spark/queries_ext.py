@@ -2336,8 +2336,6 @@ SELECT l.doc_id,
 FROM labeled l JOIN canon c USING (label)
 ORDER BY doc_id""")
 def x82(spark, sf_dir):
-    from pyspark.sql.window import Window
-
     from .operators.components import connected_components
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -2354,11 +2352,13 @@ def x82(spark, sf_dir):
         .withColumnRenamed("node", "doc_id")
     labeled = (docs.join(comp, "doc_id", "left")
                .withColumn("label", F.coalesce("label", "doc_id")))
-    w = (Window.partitionBy("label")
-               .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
-    canon = (labeled.withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") == 1)
-             .select("label", F.col("doc_id").alias("canonical_id")))
+    # canonical per cluster = argmax(n_chars, ties → lowest doc_id):
+    # ONE hash agg (max_by over a struct ordered (n_chars, -doc_id)),
+    # not a per-cluster window — no partition sort, map-side combined,
+    # the same consolidation idiom as the CDC merge (max_by, q24)
+    canon = (labeled.groupBy("label")
+             .agg(F.expr("max_by(doc_id, named_struct('nc', n_chars, "
+                         "'nd', -doc_id))").alias("canonical_id")))
     # canon is cluster-count-sized (corpus-proportional) — no broadcast
     # hint; AQE promotes it when it is actually small
     return (labeled.join(canon, "label")
