@@ -234,3 +234,76 @@ def test_merge_clause_table_matches_apply_changes(spark, seed):
     actual = {pk: v for (_, pk), v in
               merged_dict(apply_changes(base, changes)).items()}
     assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: consolidation + clause-table apply ≡ TRUE sequential
+# replay.  The reference never applies events one at a time — it
+# consolidates into maps first — but its CLAIM (consolidate.cpp:56-109
+# + 184-214) is that the consolidated apply equals sequential
+# semantics: I upserts, U updates-if-exists, D deletes.  The engine's
+# CASE/WHEN encoding (apply_changes) and the MERGE clause table
+# (merge_into_sql) both implement the consolidated form; this property
+# pins the algebra itself against the sequential definition with
+# shrinking, covering orderings the seeded differential tests may miss
+# (U-before-I on a missing key, D-then-U, I-D-I chains, ...).
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    HAVE_HYP = True
+except ImportError:          # pragma: no cover
+    HAVE_HYP = False
+
+
+def consolidate_pure(events):
+    """Mirror of operators.cdc.consolidate's algebra on plain tuples:
+    events = [(seq, pk, op, value)] with unique seqs → {pk: (op, val)}."""
+    by_key = {}
+    for seq, pk, op, value in sorted(events):
+        k = by_key.setdefault(pk, {"last_i": -1, "last_d": -1, "last": None})
+        if op == "I":
+            k["last_i"] = seq
+        elif op == "D":
+            k["last_d"] = seq
+        k["last"] = value
+    return {pk: ("I" if k["last_i"] > k["last_d"]
+                 else "D" if k["last_d"] >= 0 else "U", k["last"])
+            for pk, k in by_key.items()}
+
+
+def sequential_replay(base, events):
+    state = dict(base)
+    for seq, pk, op, value in sorted(events):
+        if op == "I":
+            state[pk] = value
+        elif op == "U":
+            if pk in state:
+                state[pk] = value
+        else:
+            state.pop(pk, None)
+    return state
+
+
+if HAVE_HYP:
+    _events = st.lists(
+        st.tuples(st.integers(0, 10_000),            # seq (dedup below)
+                  st.integers(0, 6),                 # pk — forced collisions
+                  st.sampled_from("IUD"),
+                  st.integers(0, 99).map(float)),
+        max_size=40).map(
+            lambda evs: [(s, pk, op, v)
+                         for s, (pk, op, v) in
+                         zip(sorted({e[0] for e in evs}),
+                             [(e[1], e[2], e[3]) for e in evs])])
+    _base = st.dictionaries(st.integers(0, 6), st.integers(0, 99).map(float),
+                            max_size=5)
+
+    @settings(max_examples=300, deadline=None)
+    @given(base=_base, events=_events)
+    def test_consolidated_apply_equals_sequential_replay(base, events):
+        cons = consolidate_pure(events)
+        merged = run_merge_clauses(
+            base, [(pk, op, v) for pk, (op, v) in cons.items()])
+        assert merged == sequential_replay(base, events)
