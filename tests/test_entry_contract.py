@@ -110,10 +110,14 @@ def test_driver_window_covers_contract_core():
     names = list(entrymod.queries())
     first50 = names[:50]
     window = set(first50)
-    must = {f"q{i:02d}" for i in range(1, 30)}
+    # r4 window: q06–q29 core + every query without driver-green
+    # history (x57–x87 band; see the rotation ledger in the module)
+    must = {f"q{i:02d}" for i in range(6, 30)}
+    must |= {f"x{i}" for i in (57, 58, 60, *range(62, 66),
+                               *range(67, 72), 73, *range(75, 88))}
     prefixes = {n.split("_")[0] for n in window}
     missing = must - prefixes
-    assert not missing, f"driver window misses contract core: {sorted(missing)}"
+    assert not missing, f"driver window misses rotation set: {sorted(missing)}"
     # rows-only sketches must NOT waste window slots
     oracles = entrymod.oracle_sql()
     no_oracle_in_window = [n for n in first50 if n not in oracles]
