@@ -81,6 +81,33 @@ def _exploded_shingles(docs: DataFrame, *, id_col: str, text_col: str,
     return ex.distinct() if distinct else ex
 
 
+def row_signature(text: Column, *, k: int = 8, shingle_n: int = 3) -> Column:
+    """Per-ROW MinHash signature as ``array<bigint>`` — no aggregation,
+    pure expressions only, so it is legal BEFORE a stateful operator in
+    a Structured Streaming query (aggregate-then-stateful is not).
+
+    Values are identical to :func:`minhash_signatures` (same
+    ``hash_family`` constants over the same shingle strings); NULL when
+    the document is too short for one shingle, mirroring the batch
+    path's drop-empty filter.  The array-lambda evaluation is
+    interpreted per element — acceptable on the streaming ingest path
+    where per-batch volume is bounded; the batch corpus path keeps the
+    exploded + hash-agg form.
+    """
+    sh = shingles(tokens(text), shingle_n)
+    base = lambda x: portable_hash60(x) % F.lit(MERSENNE_P)  # noqa: E731
+
+    def slot(i):
+        # single-arg lambda only: a second parameter would be bound by
+        # F.transform to the ARRAY INDEX, shadowing the slot constant
+        return lambda x: (F.lit(2 * i + 1) * base(x)
+                          + F.lit(7919 * (i + 1))) % F.lit(MERSENNE_P)
+
+    mins = [F.array_min(F.transform(sh, slot(i))) for i in range(k)]
+    return F.when(F.size(sh) > 0, F.array(*mins)) \
+            .otherwise(F.lit(None).cast("array<bigint>"))
+
+
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 8,
                        shingle_n: int = 3) -> DataFrame:

@@ -355,3 +355,71 @@ def test_pack_stream_equals_batch(spark, tmp_path):
     want = {tuple(r) for r in
             pack_batch(spark.createDataFrame(rows, schema)).collect()}
     assert got == want and len(got) == 300
+
+
+def test_row_signature_matches_batch_signatures(spark, sf_dir):
+    """row_signature (pure expressions, stream-legal) must equal the
+    exploded+agg batch signature bit-for-bit on every doc."""
+    from enexory_parquet_export_spark.operators.dedup import (
+        minhash_signatures,
+        row_signature,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    batch = minhash_signatures(docs, k=8)
+    row = (docs.select("doc_id", row_signature(F.col("text"), k=8)
+                       .alias("sig"))
+               .filter(F.col("sig").isNotNull()))
+    joined = (batch.withColumnRenamed("sig", "bsig")
+              .join(row.withColumnRenamed("sig", "rsig"), "doc_id",
+                    "full_outer"))
+    bad = joined.filter(
+        F.col("bsig").isNull() | F.col("rsig").isNull()
+        | (F.col("bsig") != F.col("rsig"))).count()
+    assert bad == 0
+
+
+@pytest.mark.slow
+def test_neardup_stream_equals_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup candidates over an in-order
+    append stream must equal the batch twin's event set — including
+    bucket_cap truncation and exact integer est_micro values."""
+    from enexory_parquet_export_spark.streaming.neardup_stream import (
+        neardup_batch,
+        neardup_stream,
+    )
+
+    from conftest import SF_DIR
+    base = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    twins = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        F.concat("text", F.lit(" zz0 zz1 zz2"))
+                         .alias("text"))
+    corpus = base.unionByName(twins).orderBy("doc_id").collect()
+
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "docs")
+    rows = [(r["doc_id"], r["text"]) for r in corpus]
+    step = max(1, len(rows) // 3)
+    for lo in range(0, len(rows), step):
+        (spark.createDataFrame(rows[lo:lo + step], schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "out")
+    q = (neardup_stream(stream, bucket_cap=8).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            neardup_batch(spark.createDataFrame(rows, schema),
+                          bucket_cap=8).collect()}
+    assert got == want
+    # the derived twins are near-identical: every twin pair must be hit
+    twin_hits = {(a, b) for a, b, _ in got if a - 1_000_000 == b}
+    assert len(twin_hits) > 0
