@@ -2643,3 +2643,53 @@ def x87(spark, sf_dir):
                             / (F.sqrt("nv") * F.sqrt("nc")))
                      .cast("bigint").alias("cos_micro"))
             .transform(stable_sort, "vec_id"))
+
+
+# --------------------------------------------------------------------------
+# X88 ingest-order near-dup — the DECLARED twin of the streaming
+# MinHash-LSH dedup operator (streaming/neardup_stream.py): a document
+# collides with every EARLIER document (ingest order = doc_id order)
+# that was among the first `cap` admissions of a shared LSH band
+# bucket.  This is exactly what the stateful stream computes per
+# micro-batch, so the oracle here checks the streaming semantics —
+# including the bucket_cap state bound — not just a batch
+# reformulation.  Scale: one window over band rows (rank admissions)
+# + one band-key equi-join; integer-exact est so engines agree
+# bit-for-bit.
+# --------------------------------------------------------------------------
+_NEARDUP_CAP = 8
+
+@declared("x88_ingest_neardup", f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3 THEN {_SHINGLES}
+                   ELSE [] END AS s
+       FROM toks),
+sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM sh WHERE len(s) > 0),
+bands AS (
+  SELECT doc_id, sig,
+         concat(b, ':', sig[2*b + 1], ':', sig[2*b + 2]) AS band_key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+members AS (
+  SELECT band_key, doc_id AS nbr_id, sig AS nsig,
+         row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+  FROM bands),
+pairs AS (
+  SELECT d.doc_id, m.nbr_id,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> CASE WHEN d.sig[i] = m.nsig[i] THEN 1 ELSE 0 END))
+              AS BIGINT) AS mtc
+  FROM bands d JOIN members m USING (band_key)
+  WHERE m.rn <= {_NEARDUP_CAP} AND m.nbr_id < d.doc_id)
+SELECT DISTINCT doc_id, nbr_id,
+       CAST(mtc * 1000000 AS BIGINT) // 8 AS est_micro
+FROM pairs WHERE mtc * 1000000 >= 500000 * 8
+ORDER BY doc_id, nbr_id""")
+def x88(spark, sf_dir):
+    from .streaming.neardup_stream import neardup_batch
+
+    return bounded_sort(
+        neardup_batch(_doc_corpus(spark, sf_dir), k=8, bands=4,
+                      threshold=0.5, bucket_cap=_NEARDUP_CAP),
+        "doc_id", "nbr_id")
