@@ -2693,3 +2693,49 @@ def x88(spark, sf_dir):
         neardup_batch(_doc_corpus(spark, sf_dir), k=8, bands=4,
                       threshold=0.5, bucket_cap=_NEARDUP_CAP),
         "doc_id", "nbr_id")
+
+
+# --------------------------------------------------------------------------
+# X89 deterministic global shuffle — the training-order permutation:
+# every document gets a stable position in a pseudo-random order
+# (md5-hash order, ties broken by doc_id), the step between curation
+# and sharded export (x79).  A naive row_number() OVER (ORDER BY h)
+# is a single-partition sort at scale; here the hash's own top bits
+# bucket the permutation (buckets are hash-ordered, so cross-bucket
+# order is free), within-bucket ranks are a partitioned window, and
+# bucket offsets cumsum on a ≤4096-row relation — the x77 two-level
+# prefix-sum idiom applied to ordering instead of token counts.
+# --------------------------------------------------------------------------
+_SHUF_BUCKET_SHIFT = 1 << 48   # top 12 of the 60 hash bits → 4096 buckets
+
+@declared("x89_global_shuffle", f"""
+WITH h AS (
+  SELECT doc_id,
+         {portable_hash60_sql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS hv
+  FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS pos
+FROM h ORDER BY doc_id""")
+def x89(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from .functions.hashing import portable_hash60
+
+    h = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        portable_hash60(F.concat(F.lit("shuf:"),
+                                 F.col("doc_id").cast("string")))
+        .alias("hv"))
+    b = h.withColumn("_bkt", F.expr(f"hv DIV {_SHUF_BUCKET_SHIFT}"))
+    in_w = Window.partitionBy("_bkt").orderBy("hv", "doc_id")
+    local = b.withColumn("_lrank", F.row_number().over(in_w))
+    counts = b.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    off_w = (Window.orderBy("_bkt")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+    return (local.join(F.broadcast(offsets.select("_bkt", "_off")), "_bkt")
+            .select("doc_id",
+                    (F.col("_off") + F.col("_lrank")).cast("bigint")
+                    .alias("pos"))
+            .transform(stable_sort, "doc_id"))
