@@ -233,7 +233,8 @@ def effective_stride(n_rows: int, stride: int, cap: int) -> int:
 def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
                   nprobe: int = 2, vec_col: str = "embedding",
                   codebook_cap: int = 4096,
-                  require_stride: int | None = None) -> DataFrame:
+                  require_stride: int | None = None,
+                  max_block: int = 8192) -> DataFrame:
     """IVF-flat approximate NN: coarse quantizer → inverted lists →
     probe ``nprobe`` nearest lists → exact cosine rerank.
 
@@ -272,7 +273,8 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # do in practice (faiss keeps the coarse quantizer in memory) —
     # HARD-bounded at codebook_cap rows: the stride widens with the
     # corpus (one count job) so the collect is O(cap), never O(N/stride)
-    stride = effective_stride(base.count(), centroid_stride, codebook_cap)
+    n_rows = base.count()
+    stride = effective_stride(n_rows, centroid_stride, codebook_cap)
     if require_stride is not None and stride != require_stride:
         # A fixed-stride oracle (x44 hardcodes vec_id % 17) silently
         # diverges once the codebook cap widens the stride — fail
@@ -316,9 +318,20 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # without it each branch re-executes the Arrow probe stage — the
     # fused single evaluation measured 1.33 s → 0.96 s at sf0.1 and
     # halves the Python-stage work at any scale.
+    # Chunking only matters when SOME list could exceed max_block; for
+    # a corpus at or under it (every sf fixture) the whole machinery
+    # compiles away and the plan is byte-identical to the unchunked
+    # one — keeping x44's small-scale floor intact (+~1 s measured for
+    # the sizes agg + eager checkpoint otherwise).
+    chunking = n_rows > max_block
+    # EAGER when chunking: three consumers (index, probes, and the
+    # chunk-size broadcast) — broadcast exchanges execute concurrently,
+    # so a lazy checkpoint would be raced and the Arrow probe stage
+    # computed 3× (the by_doc lesson from the PPJoin path).  Lazy
+    # otherwise: the two union branches fuse into one evaluation.
     assigned = (base.withColumn("_probes",
                                 _probe_lists.asNondeterministic()("v"))
-                    .localCheckpoint(eager=False))
+                    .localCheckpoint(eager=chunking))
     # Rerank is a GROUPED BLOCK KERNEL per inverted list, not a
     # candidate pair join: the r3 pair formulation materialized
     # N·nprobe·|list| rows each carrying TWO full vectors — ~250 GB of
@@ -328,14 +341,53 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # rows total), and the |Q_c|×|M_c| pair scores exist only inside
     # the per-list numpy block.  Per-dim accumulation keeps the IEEE
     # op order identical to the scalar fold (oracle-exact).  The
-    # per-list top-k then reduces to a global window over ≤ nprobe·k
-    # rows per query — valid because each nbr lives in exactly ONE
-    # list (its pr=1 assignment): the global top-k equals the top-k of
-    # the per-list winners and no (qid, nbr) pair repeats.
+    # per-list top-k then reduces to a global window over bounded rows
+    # per query — valid because each nbr lives in exactly ONE
+    # list+chunk (its pr=1 assignment): the global top-k equals the
+    # top-k of the per-chunk winners and no (qid, nbr) pair repeats.
+    #
+    # HOT-LIST CHUNKING (the 1M-vector crossover finding): with a
+    # strided quantizer over CLUSTERED data a few lists grab huge
+    # memberships, and one list = one task made the rerank straggle
+    # (9 tasks still running after 20+ min at 1M vectors).  Lists and
+    # probe sets larger than ``max_block`` split into hash chunks and
+    # the group key becomes (cid, qchunk, mchunk): probes replicate
+    # across member chunks and members across probe chunks — every
+    # (qid, nbr) pair still meets exactly once, per-task memory is
+    # bounded by max_block², and the inherent hot-list work spreads
+    # over chunks² tasks instead of one straggler.  (The real 100 TB
+    # fix is balanced trained centroids; this bounds the damage for
+    # any quantizer.)
     index = assigned.select(F.lit(0).alias("_role"), "vec_id", "v",
                             F.element_at("_probes", 1).alias("cid"))
     probes = assigned.select(F.lit(1).alias("_role"), "vec_id", "v",
                              F.explode("_probes").alias("cid"))
+    pre = index.unionByName(probes)
+    is_m = F.col("_role") == 0
+    if chunking:
+        sizes = (pre.groupBy("cid").agg(
+            F.greatest(F.lit(1), F.ceil(
+                F.sum(is_m.cast("int")) / max_block)).cast("int")
+             .alias("_nm"),
+            F.greatest(F.lit(1), F.ceil(
+                F.sum((~is_m).cast("int")) / max_block)).cast("int")
+             .alias("_nq")))
+        own_n = F.when(is_m, F.col("_nm")).otherwise(F.col("_nq"))
+        other_n = F.when(is_m, F.col("_nq")).otherwise(F.col("_nm"))
+        own_ch = F.pmod(F.xxhash64("vec_id"), own_n)
+        chunked = (pre.join(F.broadcast(sizes), "cid")
+                   .select("_role", "vec_id", "v", "cid",
+                           own_ch.alias("_och"),
+                           F.explode(F.sequence(F.lit(0), other_n - 1))
+                            .alias("_xch")))
+        qch = F.when(is_m, F.col("_xch")).otherwise(F.col("_och"))
+        mch = F.when(is_m, F.col("_och")).otherwise(F.col("_xch"))
+        chunked = chunked.select("_role", "vec_id", "v", "cid",
+                                 qch.alias("_qch"), mch.alias("_mch"))
+    else:
+        chunked = pre.select("_role", "vec_id", "v", "cid",
+                             F.lit(0).alias("_qch"),
+                             F.lit(0).alias("_mch"))
 
     def _rerank_block(pdf):
         m = pdf[pdf["_role"] == 0]
@@ -362,8 +414,8 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
                        if cs[r, c] != -np.inf)
         return pd.DataFrame(out, columns=["qid", "nbr_id", "cos"])
 
-    per_list = (index.unionByName(probes)
-                .groupBy("cid")
+    per_list = (chunked
+                .groupBy("cid", "_qch", "_mch")
                 .applyInPandas(_rerank_block,
                                "qid bigint, nbr_id bigint, cos double"))
     rw = (Window.partitionBy("qid")
