@@ -234,7 +234,7 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
                   nprobe: int = 2, vec_col: str = "embedding",
                   codebook_cap: int = 4096,
                   require_stride: int | None = None,
-                  max_block: int = 8192) -> DataFrame:
+                  max_block: int = 4096) -> DataFrame:
     """IVF-flat approximate NN: coarse quantizer → inverted lists →
     probe ``nprobe`` nearest lists → exact cosine rerank.
 
@@ -384,6 +384,17 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
         mch = F.when(is_m, F.col("_och")).otherwise(F.col("_xch"))
         chunked = chunked.select("_role", "vec_id", "v", "cid",
                                  qch.alias("_qch"), mch.alias("_mch"))
+        # EXPLICIT spread on the group key: the grouped kernel's own
+        # exchange is AQE-coalesced by BYTES, which is blind to the
+        # |Q|×|M| numpy compute per group — measured as one straggler
+        # task holding ~60 hot blocks at 1M vectors (the same
+        # AQE-blind-inflation class as the PPJoin candidate spread).
+        # A user repartition with an explicit count is preserved by
+        # AQE and the groupBy reuses the partitioning (no second
+        # exchange).
+        n_parts = max(4 * int(emb.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200")), 128)
+        chunked = chunked.repartition(n_parts, "cid", "_qch", "_mch")
     else:
         chunked = pre.select("_role", "vec_id", "v", "cid",
                              F.lit(0).alias("_qch"),

@@ -409,12 +409,14 @@ def main() -> int:
                                             nprobe=2)),
                 duck_ivf_sql(stride, 2, 3)),
         }
+        # best-of-1 at vector scale: runs are minutes long, so JIT /
+        # page-cache amortize within the run and a second rep only
+        # doubles the experiment's wall clock
         for name in sorted(vec_shapes):
             sfn, dsql = runs[name]
-            ts = min(_timed(sfn) for _ in range(2))
-            td = min(_timed(lambda: con.execute(dsql).arrow())
-                     for _ in range(2))
-            print(f"| {name} | {td:.2f} | {ts:.2f} | {ts/td:.2f}× |")
+            ts = _timed(sfn)
+            td = _timed(lambda: con.execute(dsql).arrow())
+            print(f"| {name} | {td:.2f} | {ts:.2f} | {ts/td:.2f}× |", flush=True)
 
     # ---- round-4: iterative components (x59/x82 family) -----------------
     # At sf0.1 these queries sit on Spark's per-job dispatch floor
