@@ -2739,3 +2739,71 @@ def x89(spark, sf_dir):
                     (F.col("_off") + F.col("_lrank")).cast("bigint")
                     .alias("pos"))
             .transform(stable_sort, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X90 curriculum length bins — assign every document to a decile bin
+# of the token-count distribution and report per-bin boundaries and
+# stats (the standard curriculum/length-bucketing audit before
+# sequence packing; cf. x77's packer, which consumes such bins).
+#
+# The naive formulation is ``ntile(10) OVER (ORDER BY n_tokens)`` — a
+# GLOBAL SORT of the corpus through one range exchange, and ntile's
+# tie-splitting is engine-defined (same count, different members), so
+# it is both unscalable and not oracle-comparable.  Instead the bin is
+# defined on the VALUE CDF: aggregate to the distinct-length histogram
+# (bounded by max document length, thousands of rows at any corpus
+# size — documents have bounded length by pipeline contract), window
+# over that small relation only (cumulative count), assign
+# ``bin = ceil(cdf * 10)``, and broadcast the ≤thousands-row boundary
+# table back onto the corpus for one map-side join + one hash agg.
+# Ties share a bin by construction, so engines agree exactly; all
+# arithmetic is integer counts with one double division whose operands
+# are exact integers (deterministic on both engines).  At 100 TB the
+# corpus is touched exactly twice (histogram agg, assignment join) and
+# nothing corpus-sized is ever sorted or windowed.
+# --------------------------------------------------------------------------
+_N_BINS = 10
+
+
+@declared("x90_length_bins", f"""
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS nt FROM documents),
+h AS (SELECT nt, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY nt),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+b AS (
+  SELECT nt,
+         CAST(ceil(sum(c) OVER (ORDER BY nt ROWS UNBOUNDED PRECEDING)
+                   * {_N_BINS}.0 / n) AS BIGINT) AS bin
+  FROM h, tot)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(nt) AS BIGINT) AS min_toks,
+       CAST(max(nt) AS BIGINT) AS max_toks,
+       CAST(floor(sum(nt) * 1000000.0 / count(*)) AS BIGINT)
+           AS avg_toks_micro
+FROM t JOIN b USING (nt) GROUP BY bin ORDER BY bin""")
+def x90(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    t = (_t(spark, sf_dir, "documents")
+         .select(F.size(F.split("text", " ")).cast("bigint").alias("nt")))
+    h = t.groupBy("nt").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # h is the bounded distinct-length relation: the single-partition
+    # window below runs over ≤(max doc length) rows, never the corpus.
+    n = h.agg(F.sum("c").cast("bigint").alias("n"))
+    cum_w = (Window.orderBy("nt")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+    b = (h.crossJoin(F.broadcast(n))
+          .select("nt",
+                  F.ceil(F.sum("c").over(cum_w) * F.lit(float(_N_BINS))
+                         / F.col("n")).cast("bigint").alias("bin")))
+    return (t.join(F.broadcast(b), "nt")
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.min("nt").cast("bigint").alias("min_toks"),
+                  F.max("nt").cast("bigint").alias("max_toks"),
+                  F.floor(F.sum("nt") * F.lit(1000000.0)
+                          / F.count(F.lit(1)))
+                   .cast("bigint").alias("avg_toks_micro"))
+             .transform(bounded_sort, "bin"))

@@ -415,18 +415,30 @@ def main() -> int:
         # DNF here — its pair-row join formulation materializes the
         # |Q|x|M| candidate space with full vectors and can exhaust
         # temp disk where the engine's block kernels never materialize
-        # pairs; record that as a result instead of crashing.
+        # pairs; record that as a result instead of crashing.  A wall
+        # timeout (--duck-timeout, default 20 min) interrupts the
+        # statement so the spill doesn't exhaust the host disk first.
+        duck_timeout = 1200.0
+        if "--duck-timeout" in sys.argv:
+            duck_timeout = float(
+                sys.argv[sys.argv.index("--duck-timeout") + 1])
+        import threading
         for name in sorted(vec_shapes):
             sfn, dsql = runs[name]
             ts = _timed(sfn)
             print(f"{name}: spark {ts:.2f}s", flush=True)
+            timer = threading.Timer(duck_timeout, con.interrupt)
+            timer.start()
             try:
                 td = _timed(lambda: con.execute(dsql).arrow())
                 print(f"| {name} | {td:.2f} | {ts:.2f} | {ts/td:.2f}× |",
                       flush=True)
             except Exception as exc:
-                print(f"| {name} | DNF | {ts:.2f} | — |  "
-                      f"(duckdb: {str(exc)[:140]})", flush=True)
+                print(f"| {name} | DNF(>{duck_timeout:.0f}s or spill) "
+                      f"| {ts:.2f} | — |  (duckdb: {str(exc)[:140]})",
+                      flush=True)
+            finally:
+                timer.cancel()
 
     # ---- round-4: iterative components (x59/x82 family) -----------------
     # At sf0.1 these queries sit on Spark's per-job dispatch floor
