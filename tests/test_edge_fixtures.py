@@ -132,3 +132,34 @@ def test_x44_require_stride_raises_when_cap_binds(spark, n_vec):
     with pytest.raises(ValueError, match="widened the stride"):
         ivf_flat_topk(emb, k=1, centroid_stride=2, nprobe=2,
                       codebook_cap=5, require_stride=2)
+
+
+def test_x90_uniform_length_collapses_to_top_bin(spark, tmp_path):
+    # every doc has the same token count: one CDF step straight to 1.0
+    # → a single bin (10) holding the whole corpus, no divide-by-zero
+    d = _write(spark, tmp_path, "documents",
+               [_doc(i, 7) for i in range(5)],
+               "doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+    rows = qx.SPARK_QUERIES["x90_length_bins"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bin"], r["n_docs"], r["min_toks"], r["max_toks"],
+            r["avg_toks_micro"]) == (10, 5, 7, 7, 7_000_000)
+
+
+def test_x90_heavy_tie_mass_shares_one_bin(spark, tmp_path):
+    # 8 docs of length 1 (80% of the mass) and 2 of length 2: ties
+    # share a bin by construction, so the corpus lands in exactly two
+    # bins — ceil(0.8*10)=8 and ceil(1.0*10)=10 — with gaps elsewhere
+    # (the behavior ntile(10) cannot reproduce deterministically).
+    docs = [_doc(i, 1) for i in range(8)] + [_doc(8, 2), _doc(9, 2)]
+    d = _write(spark, tmp_path, "documents", docs,
+               "doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+    got = {r["bin"]: r for r in
+           qx.SPARK_QUERIES["x90_length_bins"](spark, d).collect()}
+    assert sorted(got) == [8, 10]
+    assert (got[8]["n_docs"], got[8]["min_toks"], got[8]["max_toks"]) \
+        == (8, 1, 1)
+    assert (got[10]["n_docs"], got[10]["avg_toks_micro"]) == (2, 2_000_000)
