@@ -2807,3 +2807,63 @@ def x90(spark, sf_dir):
                           / F.count(F.lit(1)))
                    .cast("bigint").alias("avg_toks_micro"))
              .transform(bounded_sort, "bin"))
+
+
+# --------------------------------------------------------------------------
+# X91 robust outlier gate — per-source median/MAD fence on document
+# length (the robust-z filter pipelines use instead of mean/stddev,
+# which a single 1 GB crawl artifact would drag): flag docs with
+# |len − median| > 3·1.4826·MAD and report per-source counts.
+#
+# All comparisons are INTEGER-exact across engines: medians of BIGINTs
+# interpolate only at .0/.5, so ``2·median`` (med2) and
+# ``2·median(|2x − med2|)`` (mad4 = 4·MAD) are exactly-representable
+# integers, and the fence |x−med| > 4.4478·MAD becomes the pure-BIGINT
+# predicate ``20000·|2x − med2| > 44478·mad4`` — no float boundary
+# anywhere.  Shape: two exact-percentile hash aggs (memory bounded by
+# distinct lengths per source — bounded by the pipeline's document
+# length contract), each joined back via a broadcast of the
+# #sources-row table; the corpus is scanned twice, nothing is sorted.
+# Unlike x46's rank-window quantiles (per-group row_number over the
+# corpus), the percentile AGGREGATE never windows corpus-sized data.
+# --------------------------------------------------------------------------
+@declared("x91_robust_outlier", """
+WITH d0 AS (SELECT source, n_chars FROM documents),
+med AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT) AS med2
+  FROM d0 GROUP BY source),
+dev AS (
+  SELECT d0.source, n_docs, med2,
+         abs(2 * n_chars - med2) AS d
+  FROM d0 JOIN med USING (source)),
+mad AS (
+  SELECT source, CAST(quantile_cont(d, 0.5) * 2 AS BIGINT) AS mad4
+  FROM dev GROUP BY source)
+SELECT v.source, v.n_docs, v.med2, m.mad4,
+       CAST(sum(CASE WHEN 20000 * v.d > 44478 * m.mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev v JOIN mad m USING (source)
+GROUP BY v.source, v.n_docs, v.med2, m.mad4
+ORDER BY source""")
+def x91(spark, sf_dir):
+    d0 = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    med = (d0.groupBy("source")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  (F.percentile(F.col("n_chars"), F.lit(0.5)) * 2)
+                  .cast("bigint").alias("med2")))
+    dev = (d0.join(F.broadcast(med), "source")
+             .select("source", "n_docs", "med2",
+                     F.abs(2 * F.col("n_chars") - F.col("med2"))
+                      .alias("d")))
+    mad = (dev.groupBy("source")
+              .agg((F.percentile(F.col("d"), F.lit(0.5)) * 2)
+                   .cast("bigint").alias("mad4")))
+    return (dev.join(F.broadcast(mad), "source")
+               .groupBy("source", "n_docs", "med2", "mad4")
+               .agg(F.sum(F.when(20000 * F.col("d")
+                                 > 44478 * F.col("mad4"), 1)
+                           .otherwise(0)).cast("bigint")
+                     .alias("n_outliers"))
+               .select("source", "n_docs", "med2", "mad4", "n_outliers")
+               .transform(bounded_sort, "source"))

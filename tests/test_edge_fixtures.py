@@ -163,3 +163,31 @@ def test_x90_heavy_tie_mass_shares_one_bin(spark, tmp_path):
     assert (got[8]["n_docs"], got[8]["min_toks"], got[8]["max_toks"]) \
         == (8, 1, 1)
     assert (got[10]["n_docs"], got[10]["avg_toks_micro"]) == (2, 2_000_000)
+
+
+def test_x91_mad_zero_falls_back_to_any_deviation(spark, tmp_path):
+    # >half the docs sit exactly at the median → MAD = 0: the fence
+    # 20000*d > 44478*0 degrades to "any deviation is an outlier",
+    # consistently on both engines (no divide, no NaN)
+    docs = ([_doc(i, 5) for i in range(3)] + [_doc(3, 9)])
+    d = _write(spark, tmp_path, "documents", docs,
+               "doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+    r = qx.SPARK_QUERIES["x91_robust_outlier"](spark, d).collect()[0]
+    # n_chars = 2n-1: three docs at 9, one at 17 → med2=18, mad4=0
+    assert (r["n_docs"], r["med2"], r["mad4"], r["n_outliers"]) \
+        == (4, 18, 0, 1)
+
+
+def test_x91_even_count_half_integer_median(spark, tmp_path):
+    # even doc count with distinct central values: median interpolates
+    # at .5 — med2 must stay integer-exact (no float drift in the gate)
+    docs = [_doc(0, 1), _doc(1, 2), _doc(2, 3), _doc(3, 4)]
+    d = _write(spark, tmp_path, "documents", docs,
+               "doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+    r = qx.SPARK_QUERIES["x91_robust_outlier"](spark, d).collect()[0]
+    # n_chars = 1,3,5,7 → median 4 → med2 8; d = 6,2,2,6 → mad4 8
+    # fence: 20000*d > 44478*8 = 355824 → d > 17.79 → none
+    assert (r["n_docs"], r["med2"], r["mad4"], r["n_outliers"]) \
+        == (4, 8, 8, 0)
