@@ -36,18 +36,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Rotation ledger (driver-green rounds per band):
 #   r1–r3: q01–q29 + x30–x44, x45, x55, x56, x59, x66, x72  (core)
-#   r4 (this round): q10–q29 core + ALL 30 queries without a
+#   r4 (this round): q11–q29 core + ALL 31 queries without a
 #        driver-green row yet — the 21 never-checked x57, x58, x60,
-#        x62–x65, x67–x71, x73, x75–x82 plus the new x83–x91
-#        (q01–q09, green three times, sit out this round).  If every
+#        x62–x65, x67–x71, x73, x75–x82 plus the new x83–x92
+#        (q01–q10, green three times, sit out this round).  If every
 #        row passes, the whole inventory has driver-green history.
-#   r5+: re-cycle the x30–x44 band and q01–q09 back in; new queries
+#   r5+: re-cycle the x30–x44 band and q01–q10 back in; new queries
 #        always enter the window of the round they land in.
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(10, 30)),         # matched by prefix below
+    *(f"q{i:02d}" for i in range(11, 30)),         # matched by prefix below
     "x57", "x58", "x60", "x62", "x63", "x64", "x65",
     "x67", "x68", "x69", "x70", "x71", "x73",
-    *(f"x{i}" for i in range(75, 92)),             # x75..x91
+    *(f"x{i}" for i in range(75, 93)),             # x75..x92
 )
 
 

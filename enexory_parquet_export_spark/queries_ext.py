@@ -2867,3 +2867,56 @@ def x91(spark, sf_dir):
                      .alias("n_outliers"))
                .select("source", "n_docs", "med2", "mad4", "n_outliers")
                .transform(bounded_sort, "source"))
+
+
+# --------------------------------------------------------------------------
+# X92 cross-source duplicate overlap — the dedup PROVENANCE audit:
+# for every pair of sources, how many distinct document texts appear
+# in both (mirror sites, syndication, crawl overlap).  This is the
+# matrix that decides which source to demote when x82's resolution
+# picks canonical docs, and the standard pre-mix diagnostic before
+# x83's mixture weights.  The fixture corpus has no cross-source
+# duplicates, so (x85-style) the query derives a deterministic
+# mirror-site relation first: every 7th document is re-hosted by one
+# of three synthetic mirrors (doc_id % 3) — the re-hosting pattern
+# the audit exists to expose.
+#
+# Scale shape: texts are collapsed to xxhash64 fingerprints FIRST, so
+# the dedup shuffle and the self-join move 8-byte longs, never
+# document bodies (the x32 trade: per-pair counts are insensitive to
+# a single 64-bit collision).  After ``distinct``, each fingerprint
+# carries at most #sources rows, so the self-join's per-key fan-out
+# is bounded by a constant (≤#sources² pairs per text) — never
+# quadratic in the corpus — and the result is the ≤(#sources choose
+# 2)-row matrix.  The oracle joins on the raw text (exact), pinning
+# the fingerprint path's answer to the true one.
+# --------------------------------------------------------------------------
+@declared("x92_source_overlap", """
+WITH mir AS (
+  SELECT text, 'mirror_' || CAST(doc_id % 3 AS VARCHAR) AS source
+  FROM documents WHERE doc_id % 7 = 0),
+corpus AS (
+  SELECT text, source FROM documents
+  UNION ALL SELECT text, source FROM mir),
+d AS (SELECT DISTINCT text, source FROM corpus)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_texts
+FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b""")
+def x92(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.xxhash64("text").alias("h"), "source")
+    mir = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select(F.xxhash64("text").alias("h"),
+                       F.concat(F.lit("mirror_"),
+                                (F.col("doc_id") % 3).cast("string"))
+                        .alias("source")))
+    d = base.unionByName(mir).distinct()
+    a = d.select("h", F.col("source").alias("source_a"))
+    b = d.select("h", F.col("source").alias("source_b"))
+    return (a.join(b, "h")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("shared_texts"))
+             .transform(bounded_sort, "source_a", "source_b"))

@@ -110,13 +110,13 @@ def test_driver_window_covers_contract_core():
     names = list(entrymod.queries())
     first50 = names[:50]
     window = set(first50)
-    # r4 window: q10–q29 core + every query without driver-green
-    # history (x57–x91 band; see the rotation ledger in the module —
-    # q01–q09 sat out after three green rounds to make room for the
-    # r4 additions x83–x91)
-    must = {f"q{i:02d}" for i in range(10, 30)}
+    # r4 window: q11–q29 core + every query without driver-green
+    # history (x57–x92 band; see the rotation ledger in the module —
+    # q01–q10 sat out after three green rounds to make room for the
+    # r4 additions x83–x92)
+    must = {f"q{i:02d}" for i in range(11, 30)}
     must |= {f"x{i}" for i in (57, 58, 60, *range(62, 66),
-                               *range(67, 72), 73, *range(75, 92))}
+                               *range(67, 72), 73, *range(75, 93))}
     prefixes = {n.split("_")[0] for n in window}
     missing = must - prefixes
     assert not missing, f"driver window misses rotation set: {sorted(missing)}"
