@@ -36,18 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Rotation ledger (driver-green rounds per band):
 #   r1–r3: q01–q29 + x30–x44, x45, x55, x56, x59, x66, x72  (core)
-#   r4 (this round): q11–q29 core + ALL 31 queries without a
-#        driver-green row yet — the 21 never-checked x57, x58, x60,
-#        x62–x65, x67–x71, x73, x75–x82 plus the new x83–x92
-#        (q01–q10, green three times, sit out this round).  If every
-#        row passes, the whole inventory has driver-green history.
-#   r5+: re-cycle the x30–x44 band and q01–q10 back in; new queries
-#        always enter the window of the round they land in.
+#   r4: q11–q29 core + the 21 never-checked x57, x58, x60, x62–x65,
+#        x67–x71, x73, x75–x82 plus the new x83–x92 — ALL went green
+#        (CORRECTNESS_r04 50/50).
+#   r5 (this round): q01–q10 and the x30–x44 band return after two
+#        rounds out, plus x45–x52/x54 (r4 advice: x46–x52/x54 had
+#        never held a window slot — they are oracle-paired but were
+#        outside every earlier rotation) and x55/x56/x59/x66/x72
+#        (x55/x85 changed this round: hot-shingle df cap).  That is
+#        39 slots; new r5 queries are appended here as they land, and
+#        any remaining slots fall through to q11+ in name order.
+#        x53/x74 are rows-only sketches and never occupy a slot.
+#   r6+: rotate the r4 band (x57–x92) back in; nothing is ever >2
+#        rounds without a driver row.
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(11, 30)),         # matched by prefix below
-    "x57", "x58", "x60", "x62", "x63", "x64", "x65",
-    "x67", "x68", "x69", "x70", "x71", "x73",
-    *(f"x{i}" for i in range(75, 93)),             # x75..x92
+    *(f"q{i:02d}" for i in range(1, 11)),          # matched by prefix below
+    *(f"x{i}" for i in range(30, 53)),             # x30..x52 (x53 rows-only)
+    "x54", "x55", "x56", "x59", "x66", "x72",
 )
 
 

@@ -86,19 +86,30 @@ def _matcher(k: int, threshold_micro: int, bucket_cap: int):
         else:
             ids, flat = [], []
         out = []
-        for pdf in pdfs:
-            for row in pdf.sort_values("doc_id").itertuples(index=False):
-                sig = [int(s) for s in row.sig]
-                for j, eid in enumerate(ids):
-                    m = sum(1 for t in range(k)
-                            if flat[j * k + t] == sig[t])
-                    # integer compare: m/k ≥ t  ⇔  m·10⁶ ≥ t_micro·k
-                    if m * 1_000_000 >= threshold_micro * k:
-                        out.append((int(row.doc_id), int(eid),
-                                    m * 1_000_000 // k))
-                if len(ids) < bucket_cap:
-                    ids.append(int(row.doc_id))
-                    flat.extend(sig)
+        # applyInPandasWithState delivers ONE group as an iterator of
+        # Arrow chunks (split at arrow.maxRecordsPerBatch): admission
+        # order must be GLOBAL doc_id order within the micro-batch, so
+        # materialize the whole group and sort once — a per-chunk sort
+        # deviates from the batch twin whenever a hot bucket spans
+        # chunks (and can even emit nbr_id > doc_id events).  The
+        # materialized size is one bucket's micro-batch volume, which
+        # the source contract bounds per trigger.
+        chunks = [p for p in pdfs if len(p)]
+        rows = (pd.concat(chunks, ignore_index=True)
+                  .sort_values("doc_id")
+                if chunks else pd.DataFrame(columns=["doc_id", "sig"]))
+        for row in rows.itertuples(index=False):
+            sig = [int(s) for s in row.sig]
+            for j, eid in enumerate(ids):
+                m = sum(1 for t in range(k)
+                        if flat[j * k + t] == sig[t])
+                # integer compare: m/k ≥ t  ⇔  m·10⁶ ≥ t_micro·k
+                if m * 1_000_000 >= threshold_micro * k:
+                    out.append((int(row.doc_id), int(eid),
+                                m * 1_000_000 // k))
+            if len(ids) < bucket_cap:
+                ids.append(int(row.doc_id))
+                flat.extend(sig)
         state.update((ids, flat))
         yield pd.DataFrame(
             out, columns=[f.name for f in NEARDUP_SCHEMA.fields])

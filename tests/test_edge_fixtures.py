@@ -191,3 +191,71 @@ def test_x91_even_count_half_integer_median(spark, tmp_path):
     # fence: 20000*d > 44478*8 = 355824 → d > 17.79 → none
     assert (r["n_docs"], r["med2"], r["mad4"], r["n_outliers"]) \
         == (4, 8, 8, 0)
+
+
+_DOC_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+
+
+def _duck_docs(sf_dir: str):
+    import duckdb
+    con = duckdb.connect()
+    # Spark writes a part-file directory, not a single file
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    return con
+
+
+def test_x55_hot_shingle_df_cap(spark, tmp_path):
+    """An injected stop-shingle present in EVERY corpus doc (df 41 >
+    cap 32) is dropped from the inverted index on both engines: corpus
+    docs sharing ONLY boilerplate stay clean, the true contamination
+    twin is still flagged on its rare shingles, and the engine/oracle
+    outputs stay hash-identical with the cap active (the r4 weak-flag
+    fix — one hot key may no longer fan the equi-join out)."""
+    probe = ("alpha bravo charlie delta echo foxtrot golf hotel "
+             "common boiler plate")
+    docs = [(0, probe, "en", "synth", len(probe))]
+    for i in range(1, 41):
+        t = f"filler{i} junk{i} common boiler plate more{i} stuff{i}"
+        docs.append((i, t, "en", "synth", len(t)))
+    d = _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    got = sorted((r["doc_id"], r["n_probes_hit"], r["max_shared"])
+                 for r in qx.SPARK_QUERIES["x55_decontaminate"](
+                     spark, d).collect())
+    # only the derived twin of probe doc 0 is flagged: 9 shared
+    # shingles minus the capped stop-shingle = 8 ≥ _DECON_K; the 40
+    # boilerplate-only corpus docs share nothing after the cap
+    assert got == [(1000001, 1, 8)]
+    want = sorted(tuple(r) for r in _duck_docs(d).execute(
+        qx.ORACLE_SQL["x55_decontaminate"]).fetchall())
+    assert got == want
+
+
+def test_x85_irregular_whitespace_and_hot_shingle(spark, tmp_path):
+    """Two r4 advice items at once: (a) leading/double whitespace must
+    tokenize identically on both engines (the old oracle split on a
+    single literal space and kept empty tokens); (b) a stop-shingle in
+    40/41 docs exceeds the df cap, so a snippet made ONLY of
+    boilerplate matches nothing while a snippet of rare text still
+    scores containment 1.0 — engine and oracle agree exactly."""
+    base = ("alpha  bravo charlie  delta echo foxtrot golf hotel "
+            "india juliet")
+    docs = [(0, " " + base, "en", "synth", len(base))]
+    for i in range(1, 41):
+        if i == 14:  # snip source (14 % 7 == 0) that is PURE boilerplate
+            t = "common boiler plate common boiler plate common boiler plate"
+        else:
+            t = f"filler{i}  junk{i} common boiler plate  more{i}"
+        docs.append((i, t, "en", "synth", len(t)))
+    d = _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    got = sorted((r["snip_id"], r["doc_id"], r["cont_micro"])
+                 for r in qx.SPARK_QUERIES["x85_containment"](
+                     spark, d).collect())
+    want = sorted(tuple(r) for r in _duck_docs(d).execute(
+        qx.ORACLE_SQL["x85_containment"]).fetchall())
+    assert got == want
+    # rare-text snippet 0 self-matches at exactly 1.0 despite the
+    # irregular whitespace; the boilerplate snippet 14 is suppressed by
+    # the cap (2/3 < 0.8 once its hot shingle leaves the index)
+    assert got == [(2000000, 0, 1000000)]

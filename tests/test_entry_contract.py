@@ -110,13 +110,14 @@ def test_driver_window_covers_contract_core():
     names = list(entrymod.queries())
     first50 = names[:50]
     window = set(first50)
-    # r4 window: q11–q29 core + every query without driver-green
-    # history (x57–x92 band; see the rotation ledger in the module —
-    # q01–q10 sat out after three green rounds to make room for the
-    # r4 additions x83–x92)
-    must = {f"q{i:02d}" for i in range(11, 30)}
-    must |= {f"x{i}" for i in (57, 58, 60, *range(62, 66),
-                               *range(67, 72), 73, *range(75, 93))}
+    # r5 window: q01–q10 + x30–x52/x54 (x46–x52/x54 never held a slot
+    # before — r4 advice) + x55/x56/x59/x66/x72 (changed or due), with
+    # the tail falling through to q11+ in name order; the r4 band
+    # (x57–x92) sits out after its green round (see the rotation
+    # ledger in the module)
+    must = {f"q{i:02d}" for i in range(1, 11)}
+    must |= {f"x{i}" for i in range(30, 53)}        # x53 is rows-only
+    must |= {"x54", "x55", "x56", "x59", "x66", "x72"}
     prefixes = {n.split("_")[0] for n in window}
     missing = must - prefixes
     assert not missing, f"driver window misses rotation set: {sorted(missing)}"

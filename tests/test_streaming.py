@@ -423,3 +423,48 @@ def test_neardup_stream_equals_batch(spark, tmp_path):
     # the derived twins are near-identical: every twin pair must be hit
     twin_hits = {(a, b) for a, b, _ in got if a - 1_000_000 == b}
     assert len(twin_hits) > 0
+
+
+@pytest.mark.slow
+def test_neardup_stream_multichunk_group_admission_order(spark, tmp_path):
+    """A hot band bucket whose micro-batch rows span MULTIPLE Arrow
+    chunks (arrow.maxRecordsPerBatch below the bucket volume) must
+    still admit members in global doc_id order: the r4 matcher sorted
+    each chunk independently, which broke bucket_cap admission (and
+    could emit nbr_id > doc_id) whenever one group exceeded a chunk.
+    The source file is written in DESCENDING doc_id order so per-chunk
+    sorting cannot accidentally restore the global order."""
+    from enexory_parquet_export_spark.streaming.neardup_stream import (
+        neardup_batch,
+        neardup_stream,
+    )
+
+    # identical texts → every doc lands in the same band buckets →
+    # one hot group holding all 24 rows of the single micro-batch
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(24)]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "docs")
+    (spark.createDataFrame(list(reversed(rows)), schema)
+     .coalesce(1).write.mode("append").parquet(src))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = str(tmp_path / "out")
+        q = (neardup_stream(stream, bucket_cap=4).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            neardup_batch(spark.createDataFrame(rows, schema),
+                          bucket_cap=4).collect()}
+    assert got == want
+    assert all(a > b for a, b, _ in got)  # events always point backwards
