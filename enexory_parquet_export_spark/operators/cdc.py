@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.datetime import DT_FORMAT, day_key, utc2_render
+from ..session import materialize
 
 #: FIXTURES.md §2.1 — deterministic event_type → changelog op mapping
 OP_MAPPING = {"signup": "I", "view": "U", "click": "U",
@@ -221,7 +222,7 @@ def cdc_merge(events: DataFrame, split_seq=None) -> DataFrame:
     # three consumers read the changelog (median agg, snapshot replay,
     # tail consolidation) — materialize the derivation once instead of
     # re-scanning events per branch
-    log = log.localCheckpoint(eager=False)
+    log = log.transform(materialize, eager=False)
     if split_seq is None:
         # compute the median split INSIDE the plan: a 1-row aggregate
         # broadcast-crossed into the changelog — no driver collect, no

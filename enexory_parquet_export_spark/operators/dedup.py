@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_P, hash_family, portable_hash60
+from ..session import materialize
 
 #: whitespace tokenizer shared with the oracle (regexp_split_to_array)
 TOKEN_RE = r"\s+"
@@ -161,7 +162,7 @@ def minhash_dup_pairs(docs: DataFrame, *, threshold: float = 0.5,
     # join AND both verification sides read it — without this the
     # explode+agg signature build executes 3× (same idiom as the
     # PPJoin path below)
-    sigs = minhash_signatures(docs, k=k).localCheckpoint(eager=True)
+    sigs = minhash_signatures(docs, k=k).transform(materialize, eager=True)
     cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -291,7 +292,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
                              shingle_n=shingle_n)
           .select("doc_id", F.xxhash64("s").alias("h"))
           .distinct()
-          .localCheckpoint(eager=True))   # read twice below: freq + rank
+          .transform(materialize, eager=True))   # read twice below: freq + rank
     df_freq = ex.groupBy("h").agg(F.count("*").alias("_df"))
     # one row per doc: shingle hashes ordered rarest-first.  Materialized
     # EAGERLY (localCheckpoint) — the prefix branch and both broadcast
@@ -306,7 +307,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
                           F.col("nsh")
                           - F.ceil(F.lit(t) * F.col("nsh")).cast("int")
                           + F.lit(1))
-              .localCheckpoint(eager=True))
+              .transform(materialize, eager=True))
     prefixes = by_doc.select(
         "doc_id", "nsh",
         F.posexplode(F.slice(F.col("_ordered.h"),

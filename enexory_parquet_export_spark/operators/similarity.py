@@ -22,6 +22,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..session import materialize
 
 #: fixture embedding dimension (embeddings.embedding: array<float>[64])
 DIM = 64
@@ -354,7 +355,7 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # otherwise: the two union branches fuse into one evaluation.
     assigned = (base.withColumn("_probes",
                                 _probe_lists.asNondeterministic()("v"))
-                    .localCheckpoint(eager=chunking))
+                    .transform(materialize, eager=chunking))
     # Rerank is a GROUPED BLOCK KERNEL per inverted list, not a
     # candidate pair join: the r3 pair formulation materialized
     # N·nprobe·|list| rows each carrying TWO full vectors — ~250 GB of

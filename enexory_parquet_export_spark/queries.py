@@ -45,6 +45,7 @@ from .operators import cdc
 from .operators.asof import asof_join_literal_probes
 from .operators.range_join import banded_prior_count
 from .sources.tables import load_table
+from .session import materialize
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -98,7 +99,7 @@ def stable_sort(df: DataFrame, *cols: str) -> DataFrame:
     stays fully parallel (unlike :func:`bounded_sort`, which is only
     for output-bounded results).
     """
-    return df.localCheckpoint(eager=False).orderBy(*cols)
+    return df.transform(materialize, eager=False).orderBy(*cols)
 
 
 #: FIXTURES.md §2.1 derivation, DuckDB dialect — shared CTE body.

@@ -30,6 +30,7 @@ from .operators.binlog import parse_binlog_text, render_binlog_text
 from .operators.similarity import ann_lsh_topk, ivf_flat_topk, lsh_planes
 from .queries import CHANGELOG_CTE, bounded_sort, stable_sort
 from .sources.tables import load_table
+from .session import materialize
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -860,7 +861,7 @@ def x55(spark, sf_dir):
     sh = (D._exploded_shingles(docs2, id_col="doc_id", text_col="text",
                                shingle_n=3, distinct=True)
           .select("doc_id", F.xxhash64("s").alias("h"))
-          .localCheckpoint(eager=False))  # probe + corpus + df-cap read it
+          .transform(materialize, eager=False))  # probe + corpus + df-cap read it
     probe = (sh.filter(F.col("doc_id") % 100 == 0)
                .select(F.col("doc_id").alias("probe_id"), "h"))
     corpus0 = sh.filter(F.col("doc_id") % 100 != 0)
@@ -2050,7 +2051,7 @@ def x76(spark, sf_dir):
     # re-executes per consumer (measured 1.22 s → 0.18 s at sf0.1)
     segs = (docs.select("doc_id", F.explode(seg_arr).alias("_seg"))
                 .select("doc_id", F.xxhash64("_seg").alias("seg_h"))
-                .localCheckpoint(eager=False))
+                .transform(materialize, eager=False))
     freq = (segs.groupBy("seg_h")
                 .agg(F.countDistinct("doc_id").alias("ndocs")))
     return (segs.join(freq, "seg_h")
@@ -2259,7 +2260,7 @@ def x80(spark, sf_dir):
             lambda p: F.struct(F.element_at("ws", p).alias("w1"),
                                F.element_at("ws", p + 1).alias("w2"))))
          .alias("bg")).select("doc_id", "bg.w1", "bg.w2") \
-        .localCheckpoint(eager=False)  # three consumers: bc, uc, join
+        .transform(materialize, eager=False)  # three consumers: bc, uc, join
     bc = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
     uc = big.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
     # NO broadcast hint on uc: the unigram table is vocabulary-sized
@@ -2312,7 +2313,7 @@ def x81(spark, sf_dir):
           .select("vec_id", F.posexplode(F.col("embedding")
                                           .cast("array<double>"))
                              .alias("pos", "x"))
-          .localCheckpoint(eager=False))  # dim stats + quant both read it
+          .transform(materialize, eager=False))  # dim stats + quant both read it
     ds = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     qv = F.when(F.col("mx") > F.col("mn"),
                 F.floor((F.col("x") - F.col("mn"))
@@ -2568,7 +2569,7 @@ def x85(spark, sf_dir):
     # distinct() above already bounds it; no checkpoint needed
     sn = ss.groupBy("snip_id").agg(F.count("*").cast("bigint").alias("nsh"))
     ds0 = (shingle_hashes(docs, "doc_id")
-           .localCheckpoint(eager=False))  # df-cap agg + anti-join + join
+           .transform(materialize, eager=False))  # df-cap agg + anti-join + join
     nd = docs.agg(F.count("*").alias("ndocs"))
     hot = (ds0.groupBy("h").agg(F.count("*").alias("df"))
               .crossJoin(F.broadcast(nd))   # 1-row scalar, q24 idiom
@@ -2685,7 +2686,7 @@ def x87(spark, sf_dir):
                    .alias("pos0", "x"))
           .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
                   F.floor(F.col("x") * 1000).cast("bigint").alias("qx"))
-          .localCheckpoint(eager=False))  # centroid agg + join both read
+          .transform(materialize, eager=False))  # centroid agg + join both read
     cent = (ex.groupBy("label", "pos")
               .agg(F.sum("qx").cast("bigint").alias("cs")))
     parts = (ex.join(F.broadcast(cent), ["label", "pos"])

@@ -52,6 +52,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.dedup import minhash_signatures, row_signature
+from ..session import materialize
 
 #: output: one candidate event per (band, earlier admitted member) hit
 NEARDUP_SCHEMA = StructType([
@@ -156,7 +157,7 @@ def neardup_batch(docs: DataFrame, *, k: int = 8, bands: int = 4,
     a set-compare of the stream's events does.
     """
     rpb = k // bands
-    sigs = minhash_signatures(docs, k=k).localCheckpoint(eager=True)
+    sigs = minhash_signatures(docs, k=k).transform(materialize, eager=True)
     banded = sigs.select(
         "doc_id", "sig",
         F.explode(_band_keys(F.col("sig"), bands=bands,

@@ -16,9 +16,18 @@ scale-relevant facts:
 - ``codegen``    — whole-stage codegen span count (wider is better)
 - ``pushed``     — parquet scans with pushed filters vs full scans
 
+By default the audit disables every mid-plan materialization
+(``session.materialize`` honors SPARK_GRAFT_NO_MATERIALIZE=1), so the
+table covers the FULL lineage of queries that otherwise truncate their
+plan at a localCheckpoint (r4 verdict: the audit was blind upstream of
+checkpoints for ~10 queries).  Production runs keep the
+materializations — each call site carries a measured A/B win — so pass
+``--materialized`` to audit the exact shipped plan shape instead.
+
 Usage::
 
     python tools/explain_audit.py [sf_dir] [query ...] [--write-md]
+                                  [--materialized]
 
 ``--write-md`` rewrites EXPLAIN_AUDIT.md at the repo root.
 """
@@ -54,8 +63,15 @@ def audit_plan(plan: str) -> dict:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--write-md"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--write-md", "--materialized")]
     write_md = "--write-md" in sys.argv
+    full_lineage = "--materialized" not in sys.argv
+    if full_lineage:
+        # disable mid-plan localCheckpoints so EXPLAIN shows the whole
+        # lineage (env read per materialize() call, so setting it here
+        # before any query construction is sufficient)
+        os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -102,9 +118,18 @@ def main() -> int:
     print(f"\n{len(rows)} plans audited; red flags: {flagged or 'none'}")
 
     if write_md:
+        mode = ("full-lineage mode: every mid-plan localCheckpoint "
+                "disabled via SPARK_GRAFT_NO_MATERIALIZE, so queries "
+                "that materialize (stable_sort / materialize() call "
+                "sites — x43, x76, x80–x82, q24, …) are audited across "
+                "their ENTIRE plan, not just the post-checkpoint "
+                "suffix" if full_lineage else
+                "shipped-plan mode (--materialized): checkpointing "
+                "queries report only their post-checkpoint suffix")
         out = ["# EXPLAIN audit — declared-query physical plans",
                "",
-               f"Generated by `tools/explain_audit.py {sf_dir}`. "
+               f"Generated by `tools/explain_audit.py {sf_dir}` — "
+               f"{mode}. "
                "Columns: shuffle (Exchange) count, join strategies, "
                "whole-stage-codegen span count, parquet scans "
                "(with pushed filters), Arrow-batched Python evals, "
@@ -127,13 +152,11 @@ def main() -> int:
                 "threshold-broadcast cases (see the query docstrings); "
                 "every parquet scan without pushed filters is a "
                 "full-table aggregation input where there is no "
-                "predicate to push.  Caveat: queries that materialize "
-                "mid-plan (stable_sort / localCheckpoint — e.g. x43, "
-                "x76, x80–x82) report only the post-checkpoint plan "
-                "here, because the checkpointed prefix executes as its "
-                "own job; their upstream shuffle/codegen posture is "
-                "documented in the query docstrings and exercised by "
-                "the bench, not visible in this table.", ""]
+                "predicate to push.  Full-lineage mode means shuffle/"
+                "codegen/scan counts INCLUDE the stages that production "
+                "runs execute as separate checkpoint-prefix jobs — the "
+                "shipped plan shape (with its measured materialization "
+                "wins) is available via `--materialized`.", ""]
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "EXPLAIN_AUDIT.md")
         with open(path, "w") as fh:
