@@ -13,13 +13,20 @@ Output: one JSON line
    "queries": {"q01_...": sec, ...}, "sf": <sf>,
    "queries_steady": {...}, "value_steady": <total sec>}``
 
-``value``/``queries`` bill each query's FIRST execution — including
-its one-off whole-stage-codegen JIT (~0.3-1 s per unique plan), a
-compiler cost that exists once per plan regardless of data volume.
-``value_steady``/``queries_steady`` bill a second execution of the
-same plan, i.e. the per-run engine throughput that scales with rows.
-Both are reported so the split between compile latency and data-path
-speed is visible; the headline metric remains the first-run total.
+``value``/``queries`` bill each query's FIRST run — Python plan
+construction plus execution including its one-off whole-stage-codegen
+JIT (~0.3-1 s per unique plan), costs that exist once per plan
+regardless of data volume.  ``value_steady``/``queries_steady`` bill a
+complete SECOND run: the DataFrame is rebuilt from scratch and fully
+re-executed (re-running the same DataFrame object would silently skip
+its localCheckpointed prefix and under-report).  ``queries_build`` /
+``value_build`` decompose the steady run's construction phase for the
+analysis: for most queries it is pure py4j Column-building chatter
+(median ~0.1 s — the prepared-statement cost a production pipeline
+pays once), but for eager-checkpoint and iterative operators (x32,
+x59/x82, q24, …) construction legitimately executes data jobs, which
+is why build stays INSIDE the steady total instead of being excluded.
+The headline metric remains the first-run total.
 """
 
 from __future__ import annotations
@@ -68,27 +75,36 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    build: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
         try:
-            qs[name](spark, sf_dir).write.format("noop") \
-                                   .mode("overwrite").save()
+            df = qs[name](spark, sf_dir)   # plan construction billed here
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record failures as negative sentinel
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
             steady[name] = -1.0
             continue
-        t0 = time.perf_counter()  # second run: same plan, JIT amortized
-        qs[name](spark, sf_dir).write.format("noop") \
-                               .mode("overwrite").save()
+        # steady: rebuild the plan FRESH (any localCheckpoint prefix
+        # re-materializes inside the timed run); construction is timed
+        # into its own informational column but stays in the total
+        t0 = time.perf_counter()
+        df2 = qs[name](spark, sf_dir)
+        t1 = time.perf_counter()
+        build[name] = round(t1 - t0, 3)
+        df2.write.format("noop").mode("overwrite").save()
         steady[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_steady = round(sum(t for t in steady.values() if t >= 0), 3)
+    total_build = round(sum(t for t in build.values() if t >= 0), 3)
     print(json.dumps({"metric": "declared_set_wall", "value": total,
                       "unit": "sec", "queries": timings, "sf": sf,
                       "queries_steady": steady,
-                      "value_steady": total_steady}))
+                      "value_steady": total_steady,
+                      "queries_build": build,
+                      "value_build": total_build}))
     return 0
 
 

@@ -85,6 +85,26 @@ def bounded_sort(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
+def tiny_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """Total order for LOW-CARDINALITY results sitting directly above a
+    shuffle (grouped reports / rollups over bounded key domains): merge
+    the post-shuffle partitions into one task and sort there — no
+    range-sampling job (``orderBy``) and no extra exchange
+    (:func:`bounded_sort`'s ``repartition(1)``).
+
+    ONLY for results bounded by key-domain contract (tens to a few
+    thousand rows at ANY corpus size) whose immediate parent is an
+    exchange: ``coalesce(1)`` serializes its parent STAGE, so above an
+    unshuffled scan or a Python stage it would serialize that work too
+    — use :func:`bounded_sort` there.  The parent being a hash agg
+    keeps the plan scale-safe: map-side partials stay fully parallel
+    and only the bounded reduce collapses to one task.  A/B at sf0.1
+    (20-row grouped report, median of 7): orderBy 0.327 s,
+    repartition-sort 0.218 s, coalesce-sort 0.162 s, unsorted 0.138 s.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def stable_sort(df: DataFrame, *cols: str) -> DataFrame:
     """Total order for CORPUS-SIZED results above an expensive
     upstream: materialize once (lazy localCheckpoint), then let the
@@ -300,7 +320,7 @@ def q08(spark, sf_dir):
     total = clean.agg(F.max("date_time").alias("max_dt"),
                       F.min("date_time").alias("min_dt")) \
                  .select(F.lit("ALL").alias("day"), "max_dt", "min_dt")
-    return per_day.unionByName(total).orderBy("day")
+    return per_day.unionByName(total).transform(tiny_sort, "day")
 
 
 # --------------------------------------------------------------------------
@@ -316,7 +336,7 @@ def q09(spark, sf_dir):
     log = _log(spark, sf_dir)
     per_day = log.groupBy("day").agg(F.count("*").alias("cnt"))
     total = log.agg(F.count("*").alias("cnt")).select(F.lit("ALL").alias("day"), "cnt")
-    return per_day.unionByName(total).orderBy("day")
+    return per_day.unionByName(total).transform(tiny_sort, "day")
 
 
 # --------------------------------------------------------------------------
@@ -360,7 +380,7 @@ def q10(spark, sf_dir):
                       F.floor(F.col("_sq").cast("double") / F.col("count_order")
                               * F.lit(1000000.0))
                        .cast("bigint").alias("avg_qty_micro"))
-              .orderBy("l_returnflag", "l_linestatus"))
+              .transform(tiny_sort, "l_returnflag", "l_linestatus"))
 
 
 # --------------------------------------------------------------------------
@@ -372,7 +392,8 @@ SELECT day, count(DISTINCT pk) AS users FROM changelog
 GROUP BY day ORDER BY day""")
 def q11(spark, sf_dir):
     return (_log(spark, sf_dir).groupBy("day")
-            .agg(F.countDistinct("pk").alias("users")).orderBy("day"))
+            .agg(F.countDistinct("pk").alias("users"))
+            .transform(tiny_sort, "day"))
 
 
 # --------------------------------------------------------------------------
@@ -391,7 +412,7 @@ def q12(spark, sf_dir):
     return (keyed.rollup("month", "day").agg(F.count("*").alias("cnt"))
                  .select(F.coalesce("month", F.lit("ALL")).alias("month"),
                          F.coalesce("day", F.lit("ALL")).alias("day"), "cnt")
-                 .orderBy("month", "day"))
+                 .transform(tiny_sort, "month", "day"))
 
 
 # --------------------------------------------------------------------------
@@ -411,7 +432,7 @@ def q13(spark, sf_dir):
              .agg(F.count("*").alias("order_cnt"),
                   (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
                   .cast("bigint").alias("sum_price_cents"))
-             .orderBy("c_mktsegment"))
+             .transform(tiny_sort, "c_mktsegment"))
 
 
 # --------------------------------------------------------------------------

@@ -28,7 +28,7 @@ from .operators import cdc
 from .operators import dedup as D
 from .operators.binlog import parse_binlog_text, render_binlog_text
 from .operators.similarity import ann_lsh_topk, ivf_flat_topk, lsh_planes
-from .queries import CHANGELOG_CTE, bounded_sort, stable_sort
+from .queries import CHANGELOG_CTE, bounded_sort, stable_sort, tiny_sort
 from .sources.tables import load_table
 from .session import materialize
 
@@ -542,7 +542,7 @@ def x46(spark, sf_dir):
                      .cast("bigint").alias(f"{tag}_micro"))
     return (picked.select("event_type",
                           F.col("n").cast("bigint").alias("n_rows"), *outs)
-                  .orderBy("event_type"))
+                  .transform(tiny_sort, "event_type"))
 
 
 # --------------------------------------------------------------------------
@@ -573,7 +573,7 @@ def x47(spark, sf_dir):
                    F.sum("k").cast("bigint").alias("sum_k"),
                    F.min("k").cast("bigint").alias("min_k"),
                    F.max("k").cast("bigint").alias("max_k"))
-              .orderBy("event_type"))
+              .transform(tiny_sort, "event_type"))
 
 
 # --------------------------------------------------------------------------
@@ -640,7 +640,7 @@ def x49(spark, sf_dir):
     return (joined.groupBy("label")
                   .agg(F.count("*").cast("bigint").alias("n_rows"),
                        F.sum(micro).cast("bigint").alias("sum_value_micro"))
-                  .orderBy("label"))
+                  .transform(tiny_sort, "label"))
 
 
 # --------------------------------------------------------------------------
@@ -692,7 +692,7 @@ def x51(spark, sf_dir):
                 .groupBy("lang", "split")
                 .agg(F.count("*").cast("bigint").alias("n_docs"),
                      F.sum("n_chars").cast("bigint").alias("sum_chars"))
-                .orderBy("lang", "split"))
+                .transform(tiny_sort, "lang", "split"))
 
 
 # --------------------------------------------------------------------------
@@ -750,7 +750,7 @@ def x53(spark, sf_dir):
                     .alias("approx_users"),
                    F.approx_count_distinct("event_id", _APPROX_RSD)
                     .alias("approx_events"))
-              .orderBy("event_type"))
+              .transform(tiny_sort, "event_type"))
 
 
 # --------------------------------------------------------------------------
@@ -935,7 +935,7 @@ def x56(spark, sf_dir):
                     F.sum("n_hits").cast("bigint").alias("total_redactions"),
                     F.sum("chars_delta").cast("bigint")
                      .alias("chars_redacted_delta"))
-               .orderBy("source"))
+               .transform(tiny_sort, "source"))
 
 
 # --------------------------------------------------------------------------
@@ -1028,7 +1028,7 @@ def x58(spark, sf_dir):
                       .alias("cohort_day"),
                      F.col("offset_days").cast("bigint").alias("offset_days"),
                      "n_users")
-             .orderBy("cohort_day", "offset_days"))
+             .transform(tiny_sort, "cohort_day", "offset_days"))
 
 
 # --------------------------------------------------------------------------
@@ -1292,7 +1292,7 @@ def x41(spark, sf_dir):
             .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
                     F.col("n_nodes").cast("bigint").alias("n_nodes"),
                     "n_top", "split_brain", "writer", "has_quorum")
-            .orderBy("day"))
+            .transform(tiny_sort, "day"))
 
 
 # --------------------------------------------------------------------------
@@ -1324,7 +1324,7 @@ def x42(spark, sf_dir):
                   .alias("last_status"),
                  F.sum(F.when(F.col("event_type") == "error", 1)
                         .otherwise(0)).cast("bigint").alias("n_errors"))
-            .orderBy("node"))
+            .transform(tiny_sort, "node"))
 
 
 # --------------------------------------------------------------------------
@@ -1946,7 +1946,7 @@ def x74(spark, sf_dir):
                        .alias("p90_micro"),
                       F.floor(F.element_at("_p", 3) * 1e6).cast("bigint")
                        .alias("p99_micro"))
-              .orderBy("event_type"))
+              .transform(tiny_sort, "event_type"))
 
 
 # --------------------------------------------------------------------------
@@ -2486,7 +2486,7 @@ def x84(spark, sf_dir):
                     F.floor(F.sum("cnt").over(run) * F.lit(1000000.0)
                             / F.col("total")).cast("bigint")
                      .alias("cum_micro"))
-            .orderBy("rank"))
+            .transform(tiny_sort, "rank"))
 
 
 # --------------------------------------------------------------------------
@@ -2866,7 +2866,7 @@ def x90(spark, sf_dir):
                   F.floor(F.sum("nt") * F.lit(1000000.0)
                           / F.count(F.lit(1)))
                    .cast("bigint").alias("avg_toks_micro"))
-             .transform(bounded_sort, "bin"))
+             .transform(tiny_sort, "bin"))
 
 
 # --------------------------------------------------------------------------
@@ -2926,7 +2926,7 @@ def x91(spark, sf_dir):
                            .otherwise(0)).cast("bigint")
                      .alias("n_outliers"))
                .select("source", "n_docs", "med2", "mad4", "n_outliers")
-               .transform(bounded_sort, "source"))
+               .transform(tiny_sort, "source"))
 
 
 # --------------------------------------------------------------------------
@@ -2979,4 +2979,53 @@ def x92(spark, sf_dir):
              .filter(F.col("source_a") < F.col("source_b"))
              .groupBy("source_a", "source_b")
              .agg(F.count(F.lit(1)).cast("bigint").alias("shared_texts"))
-             .transform(bounded_sort, "source_a", "source_b"))
+             .transform(tiny_sort, "source_a", "source_b"))
+
+
+# --------------------------------------------------------------------------
+# X93 temporal novelty score — for every document, the fraction of its
+# distinct 3-shingles that FIRST appear in this document over ingest
+# (doc_id) order.  The curation metric that prunes late redundant
+# crawl snapshots: a re-crawl of mostly-seen text scores near 0, fresh
+# text near 1.  Scale: one exploded-shingle relation feeds (a) a
+# min(doc_id)-per-shingle hash agg (map-side combined, one output row
+# per shingle) and (b) a 1:1 equi-join back on the shingle hash — no
+# fan-out (the firsts side holds exactly one row per key), and a hot
+# stop-shingle only concentrates its own occurrences into one join
+# partition, which AQE's skew-join split handles (a window-min
+# formulation would hit the same skew WITHOUT the split, which only
+# applies to joins — hence the join shape).  Engines agree because
+# novelty counts shingle-set membership, not hash values.
+# --------------------------------------------------------------------------
+@declared("x93_novelty", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, hash(s) AS h FROM (
+    SELECT doc_id, unnest({_SHINGLES}) AS s
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents))),
+firsts AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(floor(sum(CASE WHEN f.first_doc = sh.doc_id
+                           THEN 1 ELSE 0 END) * 1000000.0 / count(*))
+            AS BIGINT) AS novelty_micro
+FROM sh JOIN firsts f USING (h)
+GROUP BY sh.doc_id ORDER BY doc_id""")
+def x93(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (D._exploded_shingles(docs, id_col="doc_id", text_col="text",
+                               shingle_n=3, distinct=True)
+          .select("doc_id", F.xxhash64("s").alias("h"))
+          .transform(materialize, eager=False))  # firsts + join both read
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (sh.join(firsts, "h")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("bigint").alias("n_shingles"),
+                   F.sum(novel).cast("bigint").alias("n_novel"))
+              .select("doc_id", "n_shingles", "n_novel",
+                      F.floor(F.col("n_novel") * F.lit(1000000.0)
+                              / F.col("n_shingles")).cast("bigint")
+                       .alias("novelty_micro"))
+              .transform(stable_sort, "doc_id"))

@@ -97,20 +97,25 @@ def _apply_state(key: tuple, pdfs: Iterator[pd.DataFrame],
     prev = {"is_online": prev_online, "lag_alert": prev_alert,
             "last_error": prev_err}
     changes: list[tuple] = []
-    for pdf in pdfs:
-        for row in pdf.sort_values("poll_seq").to_dict("records"):
-            changes.extend(_diff_one(prev, row))
-            lag = row["lag_seconds"]
-            prev = {
-                "is_online": bool(row["is_online"]),
-                "lag_alert": bool(lag is not None
-                                  and not pd.isna(lag)
-                                  and lag >= LAG_THRESHOLD_SECONDS),
-                # '' normalizes to "no error" and carries the previous
-                # error forward — the batch twin mirrors this with
-                # nullif(last_error, '') before last(ignorenulls)
-                "last_error": row["last_error"] or prev["last_error"],
-            }
+    # concat + sort ONCE: a node's micro-batch rows can span multiple
+    # Arrow chunks, and transition detection must replay them in global
+    # poll_seq order (same defect class as neardup_stream's matcher)
+    chunks = [p for p in pdfs if len(p)]
+    rows = (pd.concat(chunks, ignore_index=True).sort_values("poll_seq")
+            if chunks else pd.DataFrame())
+    for row in rows.to_dict("records"):
+        changes.extend(_diff_one(prev, row))
+        lag = row["lag_seconds"]
+        prev = {
+            "is_online": bool(row["is_online"]),
+            "lag_alert": bool(lag is not None
+                              and not pd.isna(lag)
+                              and lag >= LAG_THRESHOLD_SECONDS),
+            # '' normalizes to "no error" and carries the previous
+            # error forward — the batch twin mirrors this with
+            # nullif(last_error, '') before last(ignorenulls)
+            "last_error": row["last_error"] or prev["last_error"],
+        }
     state.update((prev["is_online"], prev["lag_alert"], prev["last_error"]))
     yield pd.DataFrame(changes,
                        columns=["node", "poll_seq", "change_kind", "detail"])

@@ -71,14 +71,21 @@ def _packer(capacity: int):
         (shard,) = key
         start = state.get[0] if state.exists else 0
         out = []
-        for pdf in pdfs:
-            for row in pdf.sort_values("doc_id").itertuples(index=False):
-                n = int(row.n_tokens)
-                first, off = divmod(start, capacity)
-                last = start + n - 1
-                out.append((int(shard), int(row.doc_id), n, first, off,
-                            last // capacity - first + 1))
-                start += n
+        # one group arrives as an iterator of Arrow chunks: packing
+        # order must be GLOBAL doc_id order within the micro-batch, so
+        # concat + sort once (a per-chunk sort deviates whenever a
+        # shard's micro-batch volume exceeds arrow.maxRecordsPerBatch —
+        # the same defect class as neardup_stream's matcher)
+        chunks = [p for p in pdfs if len(p)]
+        rows = (pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+                if chunks else pd.DataFrame(columns=["doc_id", "n_tokens"]))
+        for row in rows.itertuples(index=False):
+            n = int(row.n_tokens)
+            first, off = divmod(start, capacity)
+            last = start + n - 1
+            out.append((int(shard), int(row.doc_id), n, first, off,
+                        last // capacity - first + 1))
+            start += n
         state.update((start,))
         yield pd.DataFrame(out, columns=[f.name for f in PACK_SCHEMA.fields])
 

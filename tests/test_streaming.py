@@ -468,3 +468,118 @@ def test_neardup_stream_multichunk_group_admission_order(spark, tmp_path):
                           bucket_cap=4).collect()}
     assert got == want
     assert all(a > b for a, b, _ in got)  # events always point backwards
+
+
+@pytest.mark.slow
+def test_pack_stream_multichunk_group_order(spark, tmp_path):
+    """A shard whose micro-batch rows span multiple Arrow chunks must
+    still pack in global doc_id order (the r4 packer sorted each chunk
+    independently — same defect class as the neardup matcher).  One
+    shard (n_shards=1), descending-written source file, 2-row chunks."""
+    from enexory_parquet_export_spark.streaming.packing import (
+        pack_batch,
+        pack_stream,
+    )
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(30)]
+    schema = "doc_id bigint, n_tokens bigint"
+    src = str(tmp_path / "docs")
+    (spark.createDataFrame(list(reversed(rows)), schema)
+     .coalesce(1).write.mode("append").parquet(src))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = str(tmp_path / "out")
+        q = (pack_stream(stream, capacity=64, n_shards=1).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            pack_batch(spark.createDataFrame(rows, schema),
+                       capacity=64, n_shards=1).collect()}
+    assert got == want
+
+
+@pytest.mark.slow
+def test_change_detect_multichunk_group_order(spark, tmp_path):
+    """One node's polls spanning multiple Arrow chunks must replay in
+    global poll_seq order: with per-chunk sorting, a descending-written
+    micro-batch produces phantom transitions."""
+    from enexory_parquet_export_spark.streaming.change_detect import (
+        POLL_SCHEMA,
+        detect_changes_batch,
+        detect_changes_stream,
+    )
+
+    # node flips online/offline every 3 polls: order-sensitive events
+    polls = [("n1", s, s % 6 < 3, 10.0, "") for s in range(24)]
+    src = str(tmp_path / "polls")
+    (spark.createDataFrame(list(reversed(polls)), POLL_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(src))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(POLL_SCHEMA).parquet(src)
+        out = str(tmp_path / "out")
+        q = (detect_changes_stream(stream).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            detect_changes_batch(
+                spark.createDataFrame(polls, POLL_SCHEMA)).collect()}
+    assert got == want
+
+
+@pytest.mark.slow
+def test_neardup_state_flat_across_stream_length(spark, tmp_path):
+    """The near-dup operator's state is bounded by #buckets × cap × k,
+    NOT by stream length: tripling the stream over the same text
+    domain (same band-key buckets) must leave the state row count
+    exactly flat while input rows triple."""
+    from enexory_parquet_export_spark.streaming.neardup_stream import (
+        neardup_stream,
+    )
+
+    texts = [f"alpha bravo charlie delta echo foxtrot golf variant{v}"
+             for v in range(10)]
+    schema = "doc_id bigint, text string"
+
+    def run(mult):
+        rows = [(i, texts[i % 10]) for i in range(60 * mult)]
+        src = str(tmp_path / f"docs_x{mult}")
+        step = len(rows) // 4
+        for lo in range(0, len(rows), step):
+            (spark.createDataFrame(rows[lo:lo + step], schema)
+             .coalesce(1).write.mode("append").parquet(src))
+        q = (neardup_stream(spark.readStream.schema(schema)
+                            .option("maxFilesPerTrigger", "1").parquet(src),
+                            bucket_cap=8)
+             .writeStream.format("noop")
+             .option("checkpointLocation", str(tmp_path / f"ckpt{mult}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        progs = [p for p in q.recentProgress if p.get("stateOperators")]
+        n_in = sum(p.get("numInputRows", 0) for p in q.recentProgress)
+        return n_in, progs[-1]["stateOperators"][0]["numRowsTotal"]
+
+    in1, state1 = run(1)
+    in3, state3 = run(3)
+    assert in3 > in1 * 2          # the stream really got ~3× longer
+    assert state1 > 0
+    assert state3 == state1       # state keys = band buckets, not docs

@@ -1,0 +1,200 @@
+"""Streaming-surface throughput/latency bench (r4 verdict item 5).
+
+Measures the three stateful/merging streaming operators over file
+sources derived from the sf fixtures, in ONE SparkSession:
+
+- ``cdc_stream``: foreachBatch consolidate+merge into a day-partitioned
+  mirror (the reference's cron-batch path, O12/O13, run continuously);
+- ``neardup_stream``: stateful MinHash-LSH near-dup candidates (x88's
+  engine side), including the state-size-vs-stream-length series that
+  demonstrates the ``#buckets × cap × k`` state bound empirically;
+- ``pack_stream``: stateful sequence packing (x77's streaming twin).
+
+Each run reports drained input rows, wall seconds, sustained rows/s,
+micro-batch count, and mean/max batch duration from the query's
+progress events; stateful runs add the final state row count.  Output:
+a markdown table (paste into BASELINE.md) plus one JSON line.
+
+Usage::
+
+    python tools/bench_streaming.py [sf_dir] [--batches N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _drain(query, timeout=1800):
+    query.awaitTermination(timeout)
+    prog = [p for p in (query.recentProgress or []) if p]
+    durs = [p["batchDuration"] / 1000.0 for p in prog
+            if p.get("batchDuration") and p.get("numInputRows")]
+    rows = sum(p.get("numInputRows", 0) for p in prog)
+    state = None
+    for p in reversed(prog):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state = ops[0].get("numRowsTotal")
+            break
+    return rows, len(durs), durs, state
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    n_files = 20
+    if "--batches" in sys.argv:
+        n_files = int(sys.argv[sys.argv.index("--batches") + 1])
+
+    from pyspark.sql import functions as F
+
+    from enexory_parquet_export_spark.operators.cdc import derive_changelog
+    from enexory_parquet_export_spark.session import get_spark
+    from enexory_parquet_export_spark.sources.tables import load_table
+    from enexory_parquet_export_spark.streaming.cdc_stream import (
+        CHANGELOG_SCHEMA,
+        start_cdc_merge_stream,
+        stream_changelog,
+    )
+    from enexory_parquet_export_spark.streaming.neardup_stream import (
+        neardup_stream,
+    )
+    from enexory_parquet_export_spark.streaming.packing import pack_stream
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    results = {}
+
+    def report(name, rows, nb, durs, state, wall):
+        mean_d = sum(durs) / len(durs) if durs else 0.0
+        max_d = max(durs) if durs else 0.0
+        results[name] = {
+            "rows": rows, "wall_s": round(wall, 2),
+            "rows_per_s": round(rows / wall, 0) if wall else 0,
+            "micro_batches": nb,
+            "mean_batch_s": round(mean_d, 3), "max_batch_s": round(max_d, 3),
+            "state_rows": state,
+        }
+        print(f"{name:24s} rows={rows} wall={wall:.1f}s "
+              f"rate={rows/wall:,.0f}/s batches={nb} "
+              f"batch mean/max={mean_d:.2f}/{max_d:.2f}s state={state}")
+
+    # ---- source prep: changelog (events-derived) in n_files pieces ----
+    log = derive_changelog(load_table(spark, sf_dir, "events"))
+    log_rows = log.count()
+    log_src = os.path.join(work, "changelog")
+    per = (log_rows + n_files - 1) // n_files
+    (log.withColumn("_f", F.expr(f"seq DIV {per}"))
+        .repartition("_f").write.partitionBy("_f")
+        .mode("overwrite").parquet(log_src))
+    # flatten the partition dirs into plain append files
+    flat = os.path.join(work, "changelog_flat")
+    os.makedirs(flat)
+    i = 0
+    for d in sorted(os.listdir(log_src)):
+        if not d.startswith("_f="):
+            continue
+        for f in sorted(os.listdir(os.path.join(log_src, d))):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(log_src, d, f),
+                            os.path.join(flat, f"{i:05d}.parquet"))
+                i += 1
+
+    # ---- 1. CDC merge stream (2 files per trigger) ----
+    mirror = os.path.join(work, "mirror")
+    t0 = time.time()
+    q = start_cdc_merge_stream(
+        stream_changelog(spark, flat, max_files_per_trigger=2),
+        mirror, os.path.join(work, "ckpt_cdc"))
+    rows, nb, durs, state = _drain(q)
+    report("cdc_merge_stream", rows, nb, durs, state, time.time() - t0)
+
+    # ---- 2/3. documents-derived sources for neardup + packing ----
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text",
+                    F.size(F.split("text", r"\s+")).cast("bigint")
+                     .alias("n_tokens")))
+    n_docs = docs.count()
+
+    def doc_source(mult: int) -> str:
+        """mult deterministic id-shifted copies, doc_id-ordered files —
+        same text set, so the LSH bucket-key domain is IDENTICAL across
+        mults (the state-bound series isolates stream LENGTH)."""
+        path = os.path.join(work, f"docs_x{mult}")
+        parts = [docs.select((F.col("doc_id") + m * 10_000_000)
+                             .alias("doc_id"), "text", "n_tokens")
+                 for m in range(mult)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        per_d = (n_docs * mult + n_files - 1) // n_files
+        # rank by doc_id so file k holds the k-th id range (arrival order)
+        (u.withColumn("_f", F.expr(f"(doc_id % 10000000) DIV {max(per_d // mult, 1)}"))
+          .repartition("_f").write.partitionBy("_f")
+          .mode("overwrite").parquet(path))
+        flat_d = path + "_flat"
+        os.makedirs(flat_d, exist_ok=True)
+        j = 0
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("_f="):
+                continue
+            for f in sorted(os.listdir(os.path.join(path, d))):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(path, d, f),
+                                os.path.join(flat_d, f"{j:05d}.parquet"))
+                    j += 1
+        return flat_d
+
+    schema = "doc_id bigint, text string, n_tokens bigint"
+    for mult in (1, 2, 3):
+        src = doc_source(mult)
+        t0 = time.time()
+        q = (neardup_stream(
+                spark.readStream.schema(schema)
+                     .option("maxFilesPerTrigger", "2").parquet(src)
+                     .select("doc_id", "text"))
+             .writeStream.format("noop")
+             .option("checkpointLocation",
+                     os.path.join(work, f"ckpt_nd{mult}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        rows, nb, durs, state = _drain(q)
+        report(f"neardup_stream_x{mult}", rows, nb, durs, state,
+               time.time() - t0)
+
+    src = doc_source(1)
+    t0 = time.time()
+    q = (pack_stream(spark.readStream.schema(schema)
+                     .option("maxFilesPerTrigger", "2").parquet(src)
+                     .select("doc_id", "n_tokens"))
+         .writeStream.format("noop")
+         .option("checkpointLocation", os.path.join(work, "ckpt_pack"))
+         .outputMode("append").trigger(availableNow=True).start())
+    rows, nb, durs, state = _drain(q)
+    report("pack_stream", rows, nb, durs, state, time.time() - t0)
+
+    shutil.rmtree(work, ignore_errors=True)
+
+    print("\n| operator | input rows | wall s | rows/s | batches "
+          "| batch mean/max s | state rows |")
+    print("|---|---|---|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['rows']} | {r['wall_s']} "
+              f"| {r['rows_per_s']:,.0f} | {r['micro_batches']} "
+              f"| {r['mean_batch_s']}/{r['max_batch_s']} "
+              f"| {r['state_rows']} |")
+    print()
+    print(json.dumps({"metric": "streaming_bench", "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

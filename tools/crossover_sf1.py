@@ -180,6 +180,71 @@ DOC_QUERIES = {
 }
 
 
+#: round-5 ordering shapes (x89 / x90): the engine's "never sort the
+#: corpus" formulations vs the naive single-sort SQL a warehouse would
+#: write.  Like the vector family, each side runs its own formulation
+#: of the same logical result (and its native 64-bit hash) — the
+#: harness times work, it does not diff rows.
+ORD_QUERIES = {
+    # x89 core: deterministic global permutation.  Engine: two-level
+    # bucketed rank (4096-bucket hash partition + per-bucket
+    # row_number + broadcast bucket offsets — no corpus-wide sort).
+    # DuckDB: the textbook row_number() OVER (ORDER BY hash).
+    "shuffle_perm": (
+        """
+        WITH b AS (SELECT event_id,
+                          xxhash64(CAST(event_id AS STRING)) AS hh,
+                          pmod(xxhash64(CAST(event_id AS STRING)), 4096)
+                            AS bkt
+                   FROM events_sf1),
+        sizes AS (SELECT bkt, count(*) AS n FROM b GROUP BY bkt),
+        offs AS (SELECT bkt,
+                        coalesce(sum(n) OVER (ORDER BY bkt
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS off
+                 FROM sizes)
+        SELECT b.event_id,
+               o.off + row_number() OVER (PARTITION BY b.bkt
+                                          ORDER BY b.hh, b.event_id) - 1
+                 AS pos
+        FROM b JOIN offs o ON b.bkt = o.bkt""",
+        """
+        SELECT event_id,
+               row_number() OVER (ORDER BY hash(event_id), event_id) - 1
+                 AS pos
+        FROM events_sf1"""),
+    # x90 core: quantile binning.  Engine: histogram-CDF over the
+    # bounded VALUE DOMAIN (group → cum-count → ceil(cdf·10)) — the
+    # corpus is touched twice, nothing corpus-sized is sorted.
+    # DuckDB: ntile(10) over a full sort of every row.
+    "decile_bins": (
+        """
+        WITH v AS (SELECT event_id,
+                          CAST(floor(value * 1000) AS BIGINT) AS nv
+                   FROM events_sf1 WHERE value IS NOT NULL),
+        hist AS (SELECT nv, count(*) AS c FROM v GROUP BY nv),
+        cdf AS (SELECT nv,
+                       sum(c) OVER (ORDER BY nv
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+                       sum(c) OVER () AS tot
+                FROM hist),
+        bins AS (SELECT nv, CAST(ceil(cum * 10.0 / tot) AS BIGINT) AS bin
+                 FROM cdf)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+               min(nv) AS mn, max(nv) AS mx, sum(nv) AS s
+        FROM v JOIN bins USING (nv) GROUP BY bin""",
+        """
+        WITH v AS (SELECT event_id,
+                          CAST(floor(value * 1000) AS BIGINT) AS nv
+                   FROM events_sf1 WHERE value IS NOT NULL),
+        t AS (SELECT nv, ntile(10) OVER (ORDER BY nv) AS bin FROM v)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+               min(nv) AS mn, max(nv) AS mx, sum(nv) AS s
+        FROM t GROUP BY bin"""),
+}
+
+
 def build_scaled_emb(spark, copies: int) -> str:
     """Scaled embeddings: each copy is component-perturbed (±0.01,
     deterministic in (copy, dim)) so the copies occupy distinct LSH
@@ -351,6 +416,7 @@ def main() -> int:
 
     paired = {name: (sql, sql) for name, sql in QUERIES.items()}
     paired.update(DOC_QUERIES)
+    paired.update(ORD_QUERIES)
     for name, (sql_spark, sql_duck) in paired.items():
         if only is not None and name not in only:
             continue
