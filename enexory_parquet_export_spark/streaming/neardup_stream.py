@@ -51,7 +51,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.dedup import minhash_signatures, row_signature
+from ..operators.dedup import minhash_signatures
 from ..session import materialize
 
 #: output: one candidate event per (band, earlier admitted member) hit
@@ -82,10 +82,21 @@ def _band_keys(sig, *, bands: int, rows_per_band: int):
 def _matcher(k: int, threshold_micro: int, bucket_cap: int):
     def match(key: tuple, pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.exists:
-            ids, flat = list(state.get[0]), list(state.get[1])
+            ids = list(state.get[0])
+            flat = state.get[1]
         else:
             ids, flat = [], []
+        # member signatures as a preallocated (cap × k) int64 matrix:
+        # the per-arrival comparison is ONE vectorized equality against
+        # the live slice instead of cap × k interpreted-Python ops
+        # (measured ~8-10 ms/doc → sub-ms on hot buckets at cap=64)
+        M = np.empty((bucket_cap, k), dtype=np.int64)
+        count = len(ids)
+        if count:
+            M[:count] = np.asarray(flat, dtype=np.int64).reshape(count, k)
         out = []
         # applyInPandasWithState delivers ONE group as an iterator of
         # Arrow chunks (split at arrow.maxRecordsPerBatch): admission
@@ -99,23 +110,85 @@ def _matcher(k: int, threshold_micro: int, bucket_cap: int):
         rows = (pd.concat(chunks, ignore_index=True)
                   .sort_values("doc_id")
                 if chunks else pd.DataFrame(columns=["doc_id", "sig"]))
-        for row in rows.itertuples(index=False):
-            sig = [int(s) for s in row.sig]
-            for j, eid in enumerate(ids):
-                m = sum(1 for t in range(k)
-                        if flat[j * k + t] == sig[t])
+        doc_ids = rows["doc_id"].to_numpy()
+        sigs = (np.stack([np.asarray(s, dtype=np.int64)
+                          for s in rows["sig"].to_numpy()])
+                if len(rows) else np.empty((0, k), dtype=np.int64))
+        for r in range(len(doc_ids)):
+            sig = sigs[r]
+            if count:
+                m = (M[:count] == sig).sum(axis=1)
                 # integer compare: m/k ≥ t  ⇔  m·10⁶ ≥ t_micro·k
-                if m * 1_000_000 >= threshold_micro * k:
-                    out.append((int(row.doc_id), int(eid),
-                                m * 1_000_000 // k))
-            if len(ids) < bucket_cap:
-                ids.append(int(row.doc_id))
-                flat.extend(sig)
-        state.update((ids, flat))
+                for j in np.nonzero(m * 1_000_000
+                                    >= threshold_micro * k)[0]:
+                    out.append((int(doc_ids[r]), int(ids[j]),
+                                int(m[j]) * 1_000_000 // k))
+            if count < bucket_cap:
+                M[count] = sig
+                ids.append(int(doc_ids[r]))
+                count += 1
+        state.update((ids, M[:count].ravel().tolist()))
         yield pd.DataFrame(
             out, columns=[f.name for f in NEARDUP_SCHEMA.fields])
 
     return match
+
+
+def _signatures_arrow(k: int):
+    """``mapInPandas`` signature kernel — the Arrow twin of
+    :func:`~..operators.dedup.row_signature`, bit-identical by
+    construction (same Java-``\\s`` tokenizer class, same 3-shingles,
+    same top-60-bit-md5 base, same affine family mod the Mersenne
+    prime) but ~10× cheaper on the ingest path: the expression form
+    re-evaluates the interpreted md5+conv chain INSIDE each of the k
+    array-lambda passes, while this kernel hashes each shingle once
+    (hashlib, C speed) and broadcasts the k affine maps as one numpy
+    matrix op.  Stateless map → legal before the stateful operator.
+    Docs too short for one shingle are dropped, mirroring the
+    expression path's NULL-signature filter.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from ..functions.hashing import MERSENNE_P
+
+    # Measured Spark semantics this twin must replicate exactly:
+    # F.trim strips ONLY ASCII space (tab/newline survive), Java \s is
+    # exactly [ \t\n\x0B\f\r], and F.split keeps leading/trailing
+    # empty tokens ("\ta b" → ["", "a", "b"]) — Python re.split keeps
+    # them too, so str.strip(" ") + re.split is bit-faithful
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    A = np.array([2 * i + 1 for i in range(k)], dtype=np.int64)[:, None]
+    B = np.array([7919 * (i + 1) for i in range(k)], dtype=np.int64)[:, None]
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.split(str(text).strip(" "))
+                if len(toks) < 3:
+                    continue
+                bases = np.fromiter(
+                    (int(hashlib.md5(
+                        " ".join(toks[j:j + 3]).encode()).hexdigest()[:15],
+                        16) % MERSENNE_P
+                     for j in range(len(toks) - 2)),
+                    dtype=np.int64, count=len(toks) - 2)
+                sig = ((A * bases + B) % MERSENNE_P).min(axis=1)
+                ids.append(int(doc_id))
+                sigs.append([int(v) for v in sig])
+            # explicit dtypes: an all-filtered chunk must still emit
+            # int64/object columns (empty float64 breaks the Arrow
+            # list<int64> conversion)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "sig": pd.Series(sigs, dtype="object")})
+
+    return gen
 
 
 def neardup_stream(docs: DataFrame, *, k: int = 8, bands: int = 4,
@@ -123,19 +196,21 @@ def neardup_stream(docs: DataFrame, *, k: int = 8, bands: int = 4,
                    bucket_cap: int = 64) -> DataFrame:
     """``docs(doc_id, text)`` stream → near-dup candidate events.
 
-    Signature and band keys are pure per-row expressions
-    (:func:`~..operators.dedup.row_signature` — no aggregation, so the
-    stateful operator is the query's only stateful stage); each band
-    row shuffles once on its band key to the bucket's state partition.
+    Signatures come from the Arrow ``mapInPandas`` kernel
+    (:func:`_signatures_arrow` — stateless, so the stateful operator
+    is still the query's only stateful stage) and band keys stay pure
+    expressions; each band row shuffles once on its band key to the
+    bucket's state partition.
     """
     rpb = k // bands
-    sig = row_signature(F.col("text"), k=k)
-    banded = (docs.withColumn("sig", sig)
-                  .filter(F.col("sig").isNotNull())
-                  .withColumn("band_key",
-                              F.explode(_band_keys(F.col("sig"), bands=bands,
-                                                   rows_per_band=rpb)))
-                  .select("band_key", "doc_id", "sig"))
+    sigged = (docs.select("doc_id", "text")
+                  .mapInPandas(_signatures_arrow(k),
+                               "doc_id bigint, sig array<bigint>"))
+    banded = (sigged.withColumn("band_key",
+                                F.explode(_band_keys(F.col("sig"),
+                                                     bands=bands,
+                                                     rows_per_band=rpb)))
+                    .select("band_key", "doc_id", "sig"))
     return (banded.groupBy("band_key")
             .applyInPandasWithState(
                 _matcher(k, int(threshold * 1_000_000), bucket_cap),

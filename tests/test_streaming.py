@@ -583,3 +583,40 @@ def test_neardup_state_flat_across_stream_length(spark, tmp_path):
     assert in3 > in1 * 2          # the stream really got ~3× longer
     assert state1 > 0
     assert state3 == state1       # state keys = band buckets, not docs
+
+
+def test_arrow_signature_kernel_bit_parity(spark, sf_dir):
+    """The stream's mapInPandas signature kernel must equal the batch
+    expression path bit-for-bit — on the real documents table AND on
+    adversarial whitespace (Spark's trim strips ONLY ' '; split keeps
+    leading/trailing empty tokens; the Python twin must reproduce
+    both, measured in-session before this test was written)."""
+    from enexory_parquet_export_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from enexory_parquet_export_spark.streaming.neardup_stream import (
+        _signatures_arrow,
+    )
+
+    edge = [(9_000_001, "\talpha bravo charlie"),      # leading tab
+            (9_000_002, "alpha bravo charlie\n"),      # trailing newline
+            (9_000_003, "  alpha\tbravo  charlie  "),  # mixed runs
+            (9_000_004, "a b"),                        # too short
+            (9_000_005, " \t "),                       # whitespace only
+            (9_000_006, None),                         # null text
+            (9_000_007, "x\x0by z w"),                 # vertical tab
+            (9_000_008, "a  b c d")]                   # double space
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .unionByName(spark.createDataFrame(
+                edge, "doc_id bigint, text string")))
+    batch = minhash_signatures(docs, k=8)
+    arrow = docs.mapInPandas(_signatures_arrow(8),
+                             "doc_id bigint, sig array<bigint>")
+    joined = (batch.withColumnRenamed("sig", "bsig")
+              .join(arrow.withColumnRenamed("sig", "asig"), "doc_id",
+                    "full_outer"))
+    bad = joined.filter(
+        F.col("bsig").isNull() | F.col("asig").isNull()
+        | (F.col("bsig") != F.col("asig"))).count()
+    assert bad == 0
