@@ -17,16 +17,28 @@ Output: one JSON line
 construction plus execution including its one-off whole-stage-codegen
 JIT (~0.3-1 s per unique plan), costs that exist once per plan
 regardless of data volume.  ``value_steady``/``queries_steady`` bill a
-complete SECOND run: the DataFrame is rebuilt from scratch and fully
-re-executed (re-running the same DataFrame object would silently skip
-its localCheckpointed prefix and under-report).  ``queries_build`` /
-``value_build`` decompose the steady run's construction phase for the
-analysis: for most queries it is pure py4j Column-building chatter
-(median ~0.1 s — the prepared-statement cost a production pipeline
-pays once), but for eager-checkpoint and iterative operators (x32,
-x59/x82, q24, …) construction legitimately executes data jobs, which
-is why build stays INSIDE the steady total instead of being excluded.
-The headline metric remains the first-run total.
+complete SECOND run.  Whether that second run may reuse the built
+DataFrame object is decided PER QUERY by observed construction-time
+side effects, not by assumption:
+
+- a query whose construction issued a ``localCheckpoint`` (eager or
+  lazy — every one routes through ``session.materialize``, counted) or
+  ran any driver job (iterative loops, codebook/centroid collects —
+  detected via a construction-scoped job group) is REBUILT from
+  scratch, because re-executing its object would silently reuse the
+  materialized prefix and under-report (measured: x32 reads 1.4 s
+  instead of 4.0 s that way);
+- a pure-lazy plan is re-executed as the same object: a new action
+  re-optimizes, re-plans and re-runs the ENTIRE physical plan — only
+  the client-side plan construction (py4j Column chatter, the
+  prepared-statement cost every production pipeline amortizes to zero)
+  is skipped, exactly the steady-state a resident engine provides.
+
+``queries_build``/``value_build`` decompose the steady run's
+construction phase (0 for reused plans; real checkpoint/iterative
+execution for rebuilt ones — which is why build stays INSIDE the
+steady total).  ``steady_rebuilt`` lists the rebuilt queries.  The
+headline metric remains the first-run total.
 """
 
 from __future__ import annotations
@@ -73,13 +85,27 @@ def main() -> int:
           .select(_warm(F.col("id").cast("double")))
           .write.format("noop").mode("overwrite").save())
 
+    from enexory_parquet_export_spark import session as _session
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     build: dict[str, float] = {}
+    rebuilt: list[str] = []
     for name in sorted(qs):
         t0 = time.perf_counter()
         try:
+            # construction side effects decide steady-run reuse: a
+            # moved materialize counter OR any job under the build
+            # group marks the plan impure (checkpoint / iterative)
+            ck0 = _session.MATERIALIZE_COUNT
+            sc.setJobGroup(f"bench-build-{name}", name)
             df = qs[name](spark, sf_dir)   # plan construction billed here
+            impure = (_session.MATERIALIZE_COUNT > ck0
+                      or bool(tracker.getJobIdsForGroup(
+                          f"bench-build-{name}")))
+            sc.setJobGroup(f"bench-run-{name}", name)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record failures as negative sentinel
@@ -87,13 +113,19 @@ def main() -> int:
             timings[name] = -1.0
             steady[name] = -1.0
             continue
-        # steady: rebuild the plan FRESH (any localCheckpoint prefix
-        # re-materializes inside the timed run); construction is timed
-        # into its own informational column but stays in the total
         t0 = time.perf_counter()
-        df2 = qs[name](spark, sf_dir)
-        t1 = time.perf_counter()
-        build[name] = round(t1 - t0, 3)
+        if impure:
+            # rebuild FRESH: any localCheckpoint prefix re-materializes
+            # inside the timed run; construction is timed into its own
+            # informational column but stays in the total
+            rebuilt.append(name)
+            df2 = qs[name](spark, sf_dir)
+            build[name] = round(time.perf_counter() - t0, 3)
+        else:
+            # pure-lazy plan: the same object re-optimizes and fully
+            # re-executes; only client-side plan construction is skipped
+            df2 = df
+            build[name] = 0.0
         df2.write.format("noop").mode("overwrite").save()
         steady[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -104,7 +136,8 @@ def main() -> int:
                       "queries_steady": steady,
                       "value_steady": total_steady,
                       "queries_build": build,
-                      "value_build": total_build}))
+                      "value_build": total_build,
+                      "steady_rebuilt": rebuilt}))
     return 0
 
 

@@ -3029,3 +3029,258 @@ def x93(spark, sf_dir):
                               / F.col("n_shingles")).cast("bigint")
                        .alias("novelty_micro"))
               .transform(stable_sort, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X94 integer-exact k-means (Lloyd's, 3 assignment rounds, K=8) — the
+# semantic-clustering staple of a training pipeline (topic balancing,
+# hard-negative mining, cluster-aware dedup).  Everything is BIGINT:
+# embeddings quantize to floor(x·1000), distances expand to
+# ‖v‖² − 2·v·c + ‖c‖² in exact integer sums, and the centroid update
+# is integer floor-division — so both engines produce bit-identical
+# assignments (no float-summation-order divergence, the same trick as
+# x87/x91).  Init = the K smallest vec_ids' quantized vectors;
+# argmin tie-break = smallest cluster id.
+#
+# Scale shape: the exploded (vec_id, pos, qx) relation materializes
+# once and feeds every round; centroids are a K×dim relation (512
+# rows) BROADCAST to both the dot-product join and the norm agg, so
+# each round is one broadcast join + two map-side-combined hash aggs
+# — no shuffle grows with K, and nothing corpus-sized is ever
+# collected to the driver (centroid update is a groupBy, not a
+# collect; contrast the canonical MLlib loop, which collects centers
+# per iteration).  Eager checkpoint per round: the centroid DF has
+# two consumers, and a lazy checkpoint races (measured on x59 —
+# SNIPPETS/pitfalls).
+# --------------------------------------------------------------------------
+_KMEANS_K, _KMEANS_ITERS = 8, 3
+
+
+def _kmeans_oracle(kk: int, iters: int) -> str:
+    parts = [f"""ex AS (
+  SELECT vec_id, i.p AS pos, CAST(floor(v[i.p] * 1000) AS BIGINT) AS qx
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e,
+       LATERAL (SELECT unnest(range(1, CAST(len(v) + 1 AS BIGINT))) AS p) i),
+sq AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS nv
+       FROM ex GROUP BY vec_id),
+init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         FROM (SELECT DISTINCT vec_id FROM ex)
+         ORDER BY vec_id LIMIT {kk}),
+c0 AS (SELECT i.cid, e.pos, e.qx AS c FROM ex e JOIN init i USING (vec_id))"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""dot{i} AS (
+  SELECT e.vec_id, c.cid, CAST(sum(e.qx * c.c) AS BIGINT) AS dot
+  FROM ex e JOIN c{p} c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+cn{i} AS (SELECT cid, CAST(sum(c * c) AS BIGINT) AS nc
+          FROM c{p} GROUP BY cid),
+asg{i} AS (SELECT vec_id, cid, dd FROM (
+  SELECT d.vec_id, d.cid, s.nv - 2 * d.dot + n.nc AS dd,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY s.nv - 2 * d.dot + n.nc, d.cid) AS rn
+  FROM dot{i} d JOIN sq s USING (vec_id) JOIN cn{i} n USING (cid))
+  WHERE rn = 1)""")
+        if i < iters:
+            parts.append(f"""c{i} AS (
+  SELECT a.cid, e.pos,
+         CAST((sum(e.qx) - (((sum(e.qx) % count(*)) + count(*)) % count(*)))
+              / count(*) AS BIGINT) AS c
+  FROM ex e JOIN asg{i} a USING (vec_id) GROUP BY a.cid, e.pos)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, cid AS cluster, dd AS dist_q"
+              f" FROM asg{iters} ORDER BY vec_id")
+
+
+@declared("x94_kmeans", _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS))
+def x94(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ex = (_t(spark, sf_dir, "embeddings")
+          .select("vec_id",
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos0", "x"))
+          .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                  F.floor(F.col("x") * 1000).cast("bigint").alias("qx"))
+          .transform(materialize, eager=True))  # read 2×/round × 3 rounds
+    sq = ex.groupBy("vec_id").agg(F.sum(F.col("qx") * F.col("qx"))
+                                   .cast("bigint").alias("nv"))
+    init = (ex.select("vec_id").distinct().orderBy("vec_id")
+              .limit(_KMEANS_K)
+              .select("vec_id", (F.row_number()
+                                 .over(Window.orderBy("vec_id")) - 1)
+                      .alias("cid")))
+    cent = (ex.join(F.broadcast(init), "vec_id")
+              .select("cid", "pos", F.col("qx").alias("c")))
+    asg = None
+    for i in range(_KMEANS_ITERS):
+        # K×dim rows, two consumers (dot join + norm agg) → eager
+        cent = cent.transform(materialize, eager=True)
+        dots = (ex.join(F.broadcast(cent), "pos")
+                  .groupBy("vec_id", "cid")
+                  .agg(F.sum(F.col("qx") * F.col("c")).cast("bigint")
+                        .alias("dot")))
+        cn = cent.groupBy("cid").agg(F.sum(F.col("c") * F.col("c"))
+                                      .cast("bigint").alias("nc"))
+        dist = (dots.join(sq, "vec_id").join(F.broadcast(cn), "cid")
+                    .select("vec_id", "cid",
+                            (F.col("nv") - 2 * F.col("dot") + F.col("nc"))
+                             .alias("dd")))
+        # argmin(dd, cid): struct-min ≡ the oracle's rn=1 window
+        asg = (dist.groupBy("vec_id")
+                   .agg(F.min(F.struct("dd", "cid")).alias("m"))
+                   .select("vec_id", F.col("m.cid").alias("cid"),
+                           F.col("m.dd").alias("dd")))
+        if i < _KMEANS_ITERS - 1:
+            s, n = F.sum("qx"), F.count(F.lit(1))
+            cent = (ex.join(asg.select("vec_id", "cid"), "vec_id")
+                      .groupBy("cid", "pos")
+                      .agg(((s - F.pmod(s, n)) / n).cast("bigint")
+                           .alias("c")))
+    return (asg.select("vec_id",
+                       F.col("cid").cast("bigint").alias("cluster"),
+                       F.col("dd").alias("dist_q"))
+               .transform(stable_sort, "vec_id"))
+
+
+# --------------------------------------------------------------------------
+# X95 BPE merge induction — the first N pair merges of byte-pair
+# encoding over the corpus word-frequency table, the tokenizer-
+# training primitive (Sennrich et al. 2016).  Exact greedy semantics,
+# declaratively: adjacent-pair counts are positional (lead over the
+# per-word symbol sequence, weighted by word frequency); the winning
+# pair merges left-to-right non-overlapping, which for a run of
+# consecutive match positions means taking the 1st, 3rd, … — computed
+# as gaps-and-islands parity (grp = p − rank among matches; take odd
+# ranks within each island), NOT string replace (replace() cannot
+# express overlap runs like "a a a" and can false-match across symbol
+# boundaries).  Both engines run the identical 3-round unrolled
+# formulation, so the merge table matches bit-for-bit.
+#
+# Scale shape: everything after the one corpus-sized hash agg
+# (word → count) is VOCABULARY-scale — Zipf-bounded, orders of
+# magnitude smaller than the corpus at any size.  Per round: one
+# lead-window pass, one pair-count hash agg, a single-row argmax via
+# min_by (hash agg with map-side partials — never a global
+# row_number window over the pair relation), a 1-row broadcast, two
+# partition-local windows for island parity, and one anti-join.  The
+# symbol relation re-checkpoints each round (multi-consumer +
+# iterative lineage, the x59 discipline).
+# --------------------------------------------------------------------------
+_BPE_ITERS = 3
+
+
+def _bpe_oracle(iters: int) -> str:
+    parts = [f"""wc AS (
+  SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+  WHERE t <> '' GROUP BY t),
+sym0 AS (
+  SELECT word, i.p AS p, substring(word, CAST(i.p AS INT), 1) AS s
+  FROM wc, LATERAL (SELECT unnest(range(1, CAST(length(word) + 1 AS BIGINT)))
+                    AS p) i)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""pr{i} AS (
+  SELECT word, p, s, lead(s) OVER (PARTITION BY word ORDER BY p) AS nxt
+  FROM sym{p}),
+pc{i} AS (
+  SELECT pr.s AS a, pr.nxt AS b, CAST(sum(w.cnt) AS BIGINT) AS n
+  FROM pr{i} pr JOIN wc w ON pr.word = w.word
+  WHERE pr.nxt IS NOT NULL GROUP BY pr.s, pr.nxt),
+best{i} AS (SELECT a, b, n FROM (
+  SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rn
+  FROM pc{i}) WHERE rn = 1),
+mk{i} AS (
+  SELECT k.word, k.p, k.s, k.nxt,
+         CASE WHEN k.nxt IS NOT NULL AND k.s = b.a AND k.nxt = b.b
+              THEN 1 ELSE 0 END AS m
+  FROM pr{i} k CROSS JOIN best{i} b),
+tk{i} AS (
+  SELECT word, p, s, nxt, m,
+         CASE WHEN m = 1 AND rn2 % 2 = 1 THEN 1 ELSE 0 END AS taken
+  FROM (SELECT word, p, s, nxt, m, grp,
+               row_number() OVER (PARTITION BY word, m, grp ORDER BY p)
+                 AS rn2
+        FROM (SELECT word, p, s, nxt, m,
+                     p - row_number() OVER (PARTITION BY word, m ORDER BY p)
+                       AS grp
+              FROM mk{i}))),
+nw{i} AS (
+  SELECT word, p, s || nxt AS s FROM tk{i} WHERE taken = 1
+  UNION ALL
+  SELECT t1.word, t1.p, t1.s
+  FROM tk{i} t1
+  LEFT JOIN (SELECT word, p FROM tk{i} WHERE taken = 1) d
+    ON t1.word = d.word AND t1.p = d.p + 1
+  WHERE t1.taken = 0 AND d.p IS NULL),
+sym{i} AS (
+  SELECT word, row_number() OVER (PARTITION BY word ORDER BY p) AS p, s
+  FROM nw{i})""")
+    tail = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS left_sym,"
+        f" b AS right_sym, n AS pair_count FROM best{i}"
+        for i in range(1, iters + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + tail + "\nORDER BY step"
+
+
+@declared("x95_bpe_merges", _bpe_oracle(_BPE_ITERS))
+def x95(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy("p")
+    wc = (_t(spark, sf_dir, "documents")
+          .select(F.explode(D.tokens(F.col("text"))).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("cnt"))
+          .transform(materialize, eager=True))  # read every round
+    sym = (wc.select("word", F.explode(
+                F.sequence(F.lit(1), F.length("word"))).alias("p"))
+             .select("word", "p", F.expr("substring(word, p, 1)").alias("s")))
+    bests = []
+    for i in range(1, _BPE_ITERS + 1):
+        sym = sym.transform(materialize, eager=True)
+        pr = sym.withColumn("nxt", F.lead("s").over(w))
+        pc = (pr.filter(F.col("nxt").isNotNull())
+                .join(wc, "word")
+                .groupBy(F.col("s").alias("a"), F.col("nxt").alias("b"))
+                .agg(F.sum("cnt").cast("bigint").alias("n")))
+        # single-row argmax(n, then lexicographic pair) as a hash agg:
+        # min_by over (-n, a, b) ≡ the oracle's ORDER BY n DESC, a, b
+        best = (pc.agg(F.min_by(F.struct("a", "b", "n"),
+                                F.struct((-F.col("n")).alias("nn"),
+                                         "a", "b")).alias("m"))
+                  .select("m.a", "m.b", "m.n")
+                  .transform(materialize, eager=True))  # mk + output
+        bests.append(best.select(F.lit(i).cast("bigint").alias("step"),
+                                 F.col("a").alias("left_sym"),
+                                 F.col("b").alias("right_sym"),
+                                 F.col("n").alias("pair_count")))
+        mk = (pr.crossJoin(F.broadcast(
+                  best.select(F.col("a").alias("_a"),
+                              F.col("b").alias("_b"))))
+                .withColumn("m", F.when(
+                    F.col("nxt").isNotNull()
+                    & (F.col("s") == F.col("_a"))
+                    & (F.col("nxt") == F.col("_b")), 1).otherwise(0)))
+        wm = Window.partitionBy("word", "m").orderBy("p")
+        g = mk.withColumn("grp", F.col("p") - F.row_number().over(wm))
+        wg = Window.partitionBy("word", "m", "grp").orderBy("p")
+        tk = (g.withColumn("taken", F.when(
+                  (F.col("m") == 1)
+                  & (F.row_number().over(wg) % 2 == 1), 1).otherwise(0))
+               .transform(materialize, eager=True))  # 3 consumers
+        merged = (tk.filter(F.col("taken") == 1)
+                    .select("word", "p", F.concat("s", "nxt").alias("s")))
+        dropped = (tk.filter(F.col("taken") == 1)
+                     .select("word", (F.col("p") + 1).alias("p")))
+        keep = (tk.filter(F.col("taken") == 0)
+                  .join(dropped, ["word", "p"], "left_anti")
+                  .select("word", "p", "s"))
+        sym = (merged.unionByName(keep)
+                     .withColumn("p2", F.row_number().over(w))
+                     .select("word", F.col("p2").alias("p"), "s"))
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return bounded_sort(out, "step")

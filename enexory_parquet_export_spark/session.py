@@ -91,6 +91,15 @@ def configure(spark: SparkSession) -> SparkSession:
 #: every materialization call site carries a measured A/B win.
 NO_MATERIALIZE_ENV = "SPARK_GRAFT_NO_MATERIALIZE"
 
+#: Monotone count of real ``localCheckpoint`` calls (eager OR lazy)
+#: issued through :func:`materialize`.  ``bench.py`` snapshots it
+#: around plan construction: a query whose build left the counter
+#: unmoved (and ran no driver job) is pure-lazy, so its steady-state
+#: run may legally re-execute the SAME DataFrame object — re-running
+#: a checkpointing plan's object would silently reuse the
+#: materialized prefix and under-report, which is why those rebuild.
+MATERIALIZE_COUNT = 0
+
 
 def materialize(df, *, eager: bool):
     """Central mid-plan materialization gate.
@@ -101,6 +110,8 @@ def materialize(df, *, eager: bool):
     """
     if os.environ.get(NO_MATERIALIZE_ENV) == "1":
         return df
+    global MATERIALIZE_COUNT
+    MATERIALIZE_COUNT += 1
     return df.localCheckpoint(eager=eager)
 
 

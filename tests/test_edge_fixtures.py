@@ -259,3 +259,105 @@ def test_x85_irregular_whitespace_and_hot_shingle(spark, tmp_path):
     # irregular whitespace; the boilerplate snippet 14 is suppressed by
     # the cap (2/3 < 0.8 once its hot shingle leaves the index)
     assert got == [(2000000, 0, 1000000)]
+
+
+# ---- x94 integer-exact k-means ------------------------------------------
+
+
+def test_x94_kmeans_fewer_points_than_k(spark, tmp_path):
+    # 3 distinct vectors < K=8: init yields 3 centroids, every round
+    # must survive the "empty cluster id" path without crashing and
+    # assignments must be the identity (each point is its own centroid)
+    rows = [(0, [0.0, 0.0], 0), (1, [10.0, 0.0], 0), (2, [0.0, 10.0], 0)]
+    d = _write(spark, tmp_path, "embeddings", rows,
+               "vec_id bigint, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in
+           qx.SPARK_QUERIES["x94_kmeans"](spark, d).collect()}
+    assert [out[i]["cluster"] for i in (0, 1, 2)] == [0, 1, 2]
+    assert [out[i]["dist_q"] for i in (0, 1, 2)] == [0, 0, 0]
+
+
+def test_x94_kmeans_duplicate_points_tie_break(spark, tmp_path):
+    # vec 0 and 1 are identical → centroids 0 and 1 coincide → every
+    # equidistant point must deterministically pick the SMALLER cid
+    rows = [(0, [1.0, 1.0], 0), (1, [1.0, 1.0], 0), (2, [1.0, 1.0], 0),
+            (3, [9.0, 9.0], 0)]
+    d = _write(spark, tmp_path, "embeddings", rows,
+               "vec_id bigint, embedding array<float>, label int")
+    out = {r["vec_id"]: r["cluster"] for r in
+           qx.SPARK_QUERIES["x94_kmeans"](spark, d).collect()}
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert out[3] == 3  # its own (identical) centroid, dist 0
+
+
+# ---- x95 BPE merge induction --------------------------------------------
+
+
+def _bpe_reference(word_counts: dict, iters: int):
+    """Sennrich-style BPE: positional (overlapping) pair counts,
+    greedy left-to-right non-overlapping merge, argmax ties broken
+    by lexicographic pair."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(iters):
+        stats: dict = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] = \
+                    stats.get((syms[i], syms[i + 1]), 0) + c
+        if not stats:
+            break
+        (a, b), n = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_x95_bpe_matches_reference_on_overlap_runs(spark, tmp_path):
+    # the adversarial cases the gaps-and-islands parity exists for:
+    # - "aaaa"/"aaa": runs of overlapping (a,a) matches → merge ranks
+    #   1 and 3 only (string replace would be wrong on "aaa")
+    # - "xaab": after 'a a'→'aa', symbol 'aa' next to 'b' must NOT
+    #   false-match a later ('a','b') merge mid-symbol
+    texts = ["aaaa aaa aaaa ab xaab", "aaaa ab ab xaab aaa",
+             "ab aaaa xaab aaa ab"]
+    rows = [(i, t, "en", "synth", len(t)) for i, t in enumerate(texts)]
+    d = _write(spark, tmp_path, "documents", rows,
+               "doc_id bigint, text string, lang string, source string,"
+               " n_chars bigint")
+    wc: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference(wc, 3)
+    got = [(r["left_sym"], r["right_sym"], r["pair_count"])
+           for r in qx.SPARK_QUERIES["x95_bpe_merges"](spark, d).collect()]
+    assert got == want
+
+
+def test_x95_bpe_merged_symbol_participates(spark, tmp_path):
+    # after merge 1 the MERGED symbol must itself be pair-countable
+    # (classic BPE builds multi-char symbols iteratively): corpus is
+    # dominated by "abc" so merges go a+b → ab+c
+    texts = ["abc abc abc abc", "abc abc abc", "xy"]
+    rows = [(i, t, "en", "synth", len(t)) for i, t in enumerate(texts)]
+    d = _write(spark, tmp_path, "documents", rows,
+               "doc_id bigint, text string, lang string, source string,"
+               " n_chars bigint")
+    wc = {"abc": 7, "xy": 1}
+    want = _bpe_reference(wc, 3)
+    got = [(r["left_sym"], r["right_sym"], r["pair_count"])
+           for r in qx.SPARK_QUERIES["x95_bpe_merges"](spark, d).collect()]
+    assert got == want
+    assert got[0][:2] == ("a", "b") and got[1][:2] == ("ab", "c")
