@@ -3042,16 +3042,17 @@ def x93(spark, sf_dir):
 # x87/x91).  Init = the K smallest vec_ids' quantized vectors;
 # argmin tie-break = smallest cluster id.
 #
-# Scale shape: the exploded (vec_id, pos, qx) relation materializes
-# once and feeds every round; centroids are a K×dim relation (512
-# rows) BROADCAST to both the dot-product join and the norm agg, so
-# each round is one broadcast join + two map-side-combined hash aggs
-# — no shuffle grows with K, and nothing corpus-sized is ever
-# collected to the driver (centroid update is a groupBy, not a
-# collect; contrast the canonical MLlib loop, which collects centers
-# per iteration).  Eager checkpoint per round: the centroid DF has
-# two consumers, and a lazy checkpoint races (measured on x59 —
-# SNIPPETS/pitfalls).
+# Scale shape: the quantized array relation materializes once and is
+# scanned once per round; the K×dim centroid STATE collapses to one
+# broadcast row of (cid, vector) structs, so ASSIGNMENT is a pure
+# projection — no N×K join relation and no argmin shuffle ever
+# exists — and the UPDATE is one posexplode into two bounded hash
+# aggs (K·dim, then K rows).  The three fixed rounds chain as ONE
+# lazy job graph — exchange reuse dedups shared subtrees, and the
+# A/B (sf0.1, interleaved) reads lazy 1.6 s vs per-round checkpoint
+# 2.1 s vs broadcast-join+argmin-shuffle 2.6 s, all dispatch floor —
+# and nothing corpus-sized is ever collected to the driver (contrast
+# the canonical MLlib loop, which collects centers per round).
 # --------------------------------------------------------------------------
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
@@ -3091,55 +3092,79 @@ asg{i} AS (SELECT vec_id, cid, dd FROM (
               f" FROM asg{iters} ORDER BY vec_id")
 
 
-@declared("x94_kmeans", _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS))
-def x94(spark, sf_dir):
+def kmeans_assign(emb: DataFrame, *, k: int = _KMEANS_K,
+                  iters: int = _KMEANS_ITERS) -> DataFrame:
+    """x94 core on any ``(vec_id, embedding)`` relation (the
+    crossover harness runs it on scaled corpora)."""
     from pyspark.sql import Window
 
-    ex = (_t(spark, sf_dir, "embeddings")
-          .select("vec_id",
-                  F.posexplode(F.col("embedding").cast("array<double>"))
-                   .alias("pos0", "x"))
-          .select("vec_id", (F.col("pos0") + 1).alias("pos"),
-                  F.floor(F.col("x") * 1000).cast("bigint").alias("qx"))
-          .transform(materialize, eager=True))  # read 2×/round × 3 rounds
-    sq = ex.groupBy("vec_id").agg(F.sum(F.col("qx") * F.col("qx"))
-                                   .cast("bigint").alias("nv"))
-    init = (ex.select("vec_id").distinct().orderBy("vec_id")
-              .limit(_KMEANS_K)
-              .select("vec_id", (F.row_number()
-                                 .over(Window.orderBy("vec_id")) - 1)
-                      .alias("cid")))
-    cent = (ex.join(F.broadcast(init), "vec_id")
-              .select("cid", "pos", F.col("qx").alias("c")))
-    asg = None
-    for i in range(_KMEANS_ITERS):
-        # K×dim rows, two consumers (dot join + norm agg) → eager
-        cent = cent.transform(materialize, eager=True)
-        dots = (ex.join(F.broadcast(cent), "pos")
-                  .groupBy("vec_id", "cid")
-                  .agg(F.sum(F.col("qx") * F.col("c")).cast("bigint")
-                        .alias("dot")))
-        cn = cent.groupBy("cid").agg(F.sum(F.col("c") * F.col("c"))
-                                      .cast("bigint").alias("nc"))
-        dist = (dots.join(sq, "vec_id").join(F.broadcast(cn), "cid")
-                    .select("vec_id", "cid",
-                            (F.col("nv") - 2 * F.col("dot") + F.col("nc"))
-                             .alias("dd")))
-        # argmin(dd, cid): struct-min ≡ the oracle's rn=1 window
-        asg = (dist.groupBy("vec_id")
-                   .agg(F.min(F.struct("dd", "cid")).alias("m"))
-                   .select("vec_id", F.col("m.cid").alias("cid"),
-                           F.col("m.dd").alias("dd")))
-        if i < _KMEANS_ITERS - 1:
-            s, n = F.sum("qx"), F.count(F.lit(1))
-            cent = (ex.join(asg.select("vec_id", "cid"), "vec_id")
-                      .groupBy("cid", "pos")
-                      .agg(((s - F.pmod(s, n)) / n).cast("bigint")
-                           .alias("c")))
-    return (asg.select("vec_id",
-                       F.col("cid").cast("bigint").alias("cluster"),
-                       F.col("dd").alias("dist_q"))
-               .transform(stable_sort, "vec_id"))
+    qv = (emb.select("vec_id",
+                     F.transform(F.col("embedding").cast("array<double>"),
+                                 lambda x: F.floor(x * 1000).cast("bigint"))
+                      .alias("qv"))
+          .transform(materialize, eager=True))  # scanned every round
+
+    def scored(cents_1row):
+        """Assignment as a ZERO-SHUFFLE projection: the whole K×dim
+        centroid state is ONE broadcast row (array of (cid, vector)
+        structs); per document, distances to all K centroids and the
+        (dd, cid) struct-argmin are computed inside the row — no
+        N×K join relation, no argmin shuffle.  Interpreted array
+        lambdas are acceptable exactly here: K×dim ≤ 512 multiplies
+        per row beats shipping an N×dim×K exploded join through an
+        exchange at any corpus size (the inverse of the x85 flat-
+        codegen trade, where the relation WAS the explosion)."""
+        dd = lambda s: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("qv"), s["c"],
+                       lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("bigint"), lambda a, x: a + x)
+        return (qv.crossJoin(F.broadcast(cents_1row))
+                  .select("vec_id", "qv",
+                          F.array_min(F.transform("cs", lambda s:
+                              F.struct(dd(s).alias("dd"),
+                                       s["cid"].alias("cid"))))
+                           .alias("m")))
+
+    cent = (qv.orderBy("vec_id").limit(k)
+              .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
+                       .alias("cid"),
+                      F.col("qv").alias("c")))
+    sc = None
+    for i in range(iters):
+        # NO per-round checkpoint or collect: with 3 fixed rounds the
+        # whole loop stays ONE lazy job graph and Spark's exchange
+        # reuse dedups the shared per-round subtrees.  A/B at sf0.1
+        # (interleaved, median of 3): lazy DAG 1.6 s / eager ckpt per
+        # round 2.1 s / per-round centroid collect 2.2 s — every extra
+        # action pays the AQE-stage dispatch floor, and nothing here
+        # needs lineage truncation (contrast x59's UNBOUNDED loop,
+        # where depth grows with the data and checkpoints win)
+        cents = cent.agg(F.collect_list(F.struct("cid", "c"))
+                          .alias("cs"))
+        sc = scored(cents)
+        if i < iters - 1:
+            s, n = F.sum("x"), F.count(F.lit(1))
+            upd = (sc.select(F.col("m.cid").alias("cid"),
+                             F.posexplode("qv").alias("pos", "x"))
+                     .groupBy("cid", "pos")
+                     .agg(((s - F.pmod(s, n)) / n).cast("bigint")
+                          .alias("c")))
+            cent = (upd.groupBy("cid")
+                       .agg(F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "c"))),
+                           lambda t: t["c"]).alias("c")))
+    # plain orderBy, not stable_sort: the upstream is a checkpointed
+    # scan + projection, so the range-sampling pass is cheap to re-run
+    return (sc.select("vec_id",
+                      F.col("m.cid").cast("bigint").alias("cluster"),
+                      F.col("m.dd").alias("dist_q"))
+              .orderBy("vec_id"))
+
+
+@declared("x94_kmeans", _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS))
+def x94(spark, sf_dir):
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
 # --------------------------------------------------------------------------
@@ -3159,12 +3184,15 @@ def x94(spark, sf_dir):
 # Scale shape: everything after the one corpus-sized hash agg
 # (word → count) is VOCABULARY-scale — Zipf-bounded, orders of
 # magnitude smaller than the corpus at any size.  Per round: one
-# lead-window pass, one pair-count hash agg, a single-row argmax via
-# min_by (hash agg with map-side partials — never a global
-# row_number window over the pair relation), a 1-row broadcast, two
-# partition-local windows for island parity, and one anti-join.  The
-# symbol relation re-checkpoints each round (multi-consumer +
-# iterative lineage, the x59 discipline).
+# Window operator over (word, p) computing lead + the greedy-parity
+# running sums in a single pass, one pair-count hash agg, a
+# single-row argmax via min_by (hash agg with map-side partials —
+# never a global row_number window over the pair relation), and a
+# 1-row broadcast.  The engine's parity form (running sums + lag)
+# is plan-equivalent to but cheaper than the oracle's spelled-out
+# (word,m)/(word,m,grp) islands + anti-join: one window spec means
+# the hash(word) exchange happens once and every later round reuses
+# the partitioning.
 # --------------------------------------------------------------------------
 _BPE_ITERS = 3
 
@@ -3223,26 +3251,27 @@ sym{i} AS (
     return "WITH " + ",\n".join(parts) + "\n" + tail + "\nORDER BY step"
 
 
-@declared("x95_bpe_merges", _bpe_oracle(_BPE_ITERS))
-def x95(spark, sf_dir):
+def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS) -> DataFrame:
+    """x95 core on any ``(word, cnt)`` relation (the crossover
+    harness runs it on scaled vocabularies)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("word").orderBy("p")
-    wc = (_t(spark, sf_dir, "documents")
-          .select(F.explode(D.tokens(F.col("text"))).alias("word"))
-          .filter(F.col("word") != "")
-          .groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
-                               .alias("cnt"))
-          .transform(materialize, eager=True))  # read every round
-    sym = (wc.select("word", F.explode(
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # cnt RIDES ALONG on every symbol row (8 bytes), so pair counting
+    # needs no per-round vocabulary join; the whole 3-round loop is
+    # one lazy job graph (no per-round checkpoint/collect: A/B at
+    # sf0.1 interleaved — lazy 2.3 s, +sym-ckpt 2.7 s, +ckpt+collect
+    # 6.2 s; with only 3 fixed rounds, lineage depth is bounded and
+    # every extra action pays the AQE-stage dispatch floor)
+    sym = (wc.select("word", "cnt", F.explode(
                 F.sequence(F.lit(1), F.length("word"))).alias("p"))
-             .select("word", "p", F.expr("substring(word, p, 1)").alias("s")))
+             .select("word", "cnt", "p",
+                     F.expr("substring(word, p, 1)").alias("s")))
     bests = []
-    for i in range(1, _BPE_ITERS + 1):
-        sym = sym.transform(materialize, eager=True)
+    for i in range(1, iters + 1):
         pr = sym.withColumn("nxt", F.lead("s").over(w))
         pc = (pr.filter(F.col("nxt").isNotNull())
-                .join(wc, "word")
                 .groupBy(F.col("s").alias("a"), F.col("nxt").alias("b"))
                 .agg(F.sum("cnt").cast("bigint").alias("n")))
         # single-row argmax(n, then lexicographic pair) as a hash agg:
@@ -3250,8 +3279,7 @@ def x95(spark, sf_dir):
         best = (pc.agg(F.min_by(F.struct("a", "b", "n"),
                                 F.struct((-F.col("n")).alias("nn"),
                                          "a", "b")).alias("m"))
-                  .select("m.a", "m.b", "m.n")
-                  .transform(materialize, eager=True))  # mk + output
+                  .select("m.a", "m.b", "m.n"))
         bests.append(best.select(F.lit(i).cast("bigint").alias("step"),
                                  F.col("a").alias("left_sym"),
                                  F.col("b").alias("right_sym"),
@@ -3263,24 +3291,43 @@ def x95(spark, sf_dir):
                     F.col("nxt").isNotNull()
                     & (F.col("s") == F.col("_a"))
                     & (F.col("nxt") == F.col("_b")), 1).otherwise(0)))
-        wm = Window.partitionBy("word", "m").orderBy("p")
-        g = mk.withColumn("grp", F.col("p") - F.row_number().over(wm))
-        wg = Window.partitionBy("word", "m", "grp").orderBy("p")
-        tk = (g.withColumn("taken", F.when(
-                  (F.col("m") == 1)
-                  & (F.row_number().over(wg) % 2 == 1), 1).otherwise(0))
-               .transform(materialize, eager=True))  # 3 consumers
-        merged = (tk.filter(F.col("taken") == 1)
-                    .select("word", "p", F.concat("s", "nxt").alias("s")))
-        dropped = (tk.filter(F.col("taken") == 1)
-                     .select("word", (F.col("p") + 1).alias("p")))
-        keep = (tk.filter(F.col("taken") == 0)
-                  .join(dropped, ["word", "p"], "left_anti")
-                  .select("word", "p", "s"))
-        sym = (merged.unionByName(keep)
-                     .withColumn("p2", F.row_number().over(w))
-                     .select("word", F.col("p2").alias("p"), "s"))
+        # greedy-merge parity over ONE window spec (word, p): running
+        # match count rs, run-start flag, running max of rs-at-start —
+        # a match row is taken iff (rs − kstart) is even, and the
+        # following row is dropped iff its predecessor was taken
+        # (lag, so positions never need re-ranking).  Everything
+        # shares the same partitioning+ordering → one Window operator
+        # per round, vs three specs + an anti-join in the naive
+        # (word,m)/(word,m,grp) formulation the oracle SQL spells out
+        g = (mk.withColumn("rs", F.sum("m").over(wr))
+               .withColumn("strt", F.when(
+                   (F.col("m") == 1)
+                   & (F.coalesce(F.lag("m").over(w), F.lit(0)) == 0),
+                   1).otherwise(0))
+               .withColumn("kstart", F.max(
+                   F.when(F.col("strt") == 1, F.col("rs"))).over(wr))
+               .withColumn("taken", F.when(
+                   (F.col("m") == 1)
+                   & ((F.col("rs") - F.col("kstart")) % 2 == 0),
+                   1).otherwise(0))
+               .withColumn("dtaken",
+                           F.coalesce(F.lag("taken").over(w), F.lit(0))))
+        sym = (g.filter(F.col("dtaken") == 0)
+                .select("word", "cnt", "p",
+                        F.when(F.col("taken") == 1,
+                               F.concat("s", "nxt"))
+                         .otherwise(F.col("s")).alias("s")))
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
-    return bounded_sort(out, "step")
+    return tiny_sort(out, "step")
+
+
+@declared("x95_bpe_merges", _bpe_oracle(_BPE_ITERS))
+def x95(spark, sf_dir):
+    wc = (_t(spark, sf_dir, "documents")
+          .select(F.explode(D.tokens(F.col("text"))).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("cnt")))
+    return bpe_merges(wc)
