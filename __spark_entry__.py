@@ -53,7 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     *(f"q{i:02d}" for i in range(1, 11)),          # matched by prefix below
     *(f"x{i}" for i in range(30, 53)),             # x30..x52 (x53 rows-only)
     "x54", "x55", "x56", "x59", "x66", "x72",
-    "x93", "x94", "x95",                           # new in r5
+    "x93", "x94", "x95", "x96",                    # new in r5
 )
 
 

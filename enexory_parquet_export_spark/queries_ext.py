@@ -3197,7 +3197,7 @@ def x94(spark, sf_dir):
 _BPE_ITERS = 3
 
 
-def _bpe_oracle(iters: int) -> str:
+def _bpe_oracle(iters: int, tail: str | None = None) -> str:
     parts = [f"""wc AS (
   SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest({_TOKS}) AS t FROM documents)
@@ -3244,16 +3244,21 @@ nw{i} AS (
 sym{i} AS (
   SELECT word, row_number() OVER (PARTITION BY word ORDER BY p) AS p, s
   FROM nw{i})""")
-    tail = "\nUNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS step, a AS left_sym,"
-        f" b AS right_sym, n AS pair_count FROM best{i}"
-        for i in range(1, iters + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + tail + "\nORDER BY step"
+    if tail is None:
+        tail = "\nUNION ALL ".join(
+            f"SELECT CAST({i} AS BIGINT) AS step, a AS left_sym,"
+            f" b AS right_sym, n AS pair_count FROM best{i}"
+            for i in range(1, iters + 1)) + "\nORDER BY step"
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
-def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS) -> DataFrame:
+def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS,
+               return_symbols: bool = False) -> DataFrame:
     """x95 core on any ``(word, cnt)`` relation (the crossover
-    harness runs it on scaled vocabularies)."""
+    harness runs it on scaled vocabularies).  With
+    ``return_symbols`` the post-merge symbol relation
+    ``(word, cnt, p, s)`` is returned instead of the merge table —
+    x96 derives the tokenizer vocabulary from it."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("word").orderBy("p")
@@ -3317,6 +3322,8 @@ def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS) -> DataFrame:
                         F.when(F.col("taken") == 1,
                                F.concat("s", "nxt"))
                          .otherwise(F.col("s")).alias("s")))
+    if return_symbols:
+        return sym
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -3331,3 +3338,30 @@ def x95(spark, sf_dir):
           .groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
                                .alias("cnt")))
     return bpe_merges(wc)
+
+
+# --------------------------------------------------------------------------
+# X96 post-merge tokenizer vocabulary — the artifact x95's training
+# actually exists to produce: after the N learned merges are applied,
+# the corpus-weighted frequency of every surviving symbol (the token
+# table a tokenizer ships with).  Same machinery as x95
+# (``bpe_merges(..., return_symbols=True)``), one extra hash agg over
+# the vocabulary-scale symbol relation; corpus-weighted because cnt
+# rides along on every symbol row.  Total order: occurrences DESC,
+# token — the tie-break makes the table engine-exact.
+# --------------------------------------------------------------------------
+@declared("x96_bpe_vocab", _bpe_oracle(_BPE_ITERS, tail=f"""
+SELECT s AS token, CAST(sum(cnt) AS BIGINT) AS occurrences
+FROM sym{_BPE_ITERS} JOIN wc USING (word)
+GROUP BY s ORDER BY occurrences DESC, token"""))
+def x96(spark, sf_dir):
+    wc = (_t(spark, sf_dir, "documents")
+          .select(F.explode(D.tokens(F.col("text"))).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("cnt")))
+    sym = bpe_merges(wc, return_symbols=True)
+    return (sym.groupBy(F.col("s").alias("token"))
+               .agg(F.sum("cnt").cast("bigint").alias("occurrences"))
+               .coalesce(1)
+               .sortWithinPartitions(F.col("occurrences").desc(), "token"))

@@ -361,3 +361,45 @@ def test_x95_bpe_merged_symbol_participates(spark, tmp_path):
            for r in qx.SPARK_QUERIES["x95_bpe_merges"](spark, d).collect()]
     assert got == want
     assert got[0][:2] == ("a", "b") and got[1][:2] == ("ab", "c")
+
+
+def _bpe_reference_vocab(word_counts: dict, iters: int):
+    """Final symbol vocabulary with corpus-weighted occurrences after
+    the reference merges."""
+    merges = _bpe_reference(word_counts, iters)
+    # replay merges on a fresh vocab (reference impl mutates its own)
+    vocab = {w: list(w) for w in word_counts}
+    for a, b, _ in merges:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    counts: dict = {}
+    for w, syms in vocab.items():
+        for s in syms:
+            counts[s] = counts.get(s, 0) + word_counts[w]
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_x96_vocab_matches_reference(spark, tmp_path):
+    texts = ["aaaa aaa aaaa ab xaab", "aaaa ab ab xaab aaa",
+             "ab aaaa xaab aaa ab"]
+    rows = [(i, t, "en", "synth", len(t)) for i, t in enumerate(texts)]
+    d = _write(spark, tmp_path, "documents", rows,
+               "doc_id bigint, text string, lang string, source string,"
+               " n_chars bigint")
+    wc: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference_vocab(wc, 3)
+    got = [(r["token"], r["occurrences"]) for r in
+           qx.SPARK_QUERIES["x96_bpe_vocab"](spark, d).collect()]
+    assert got == want

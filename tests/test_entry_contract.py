@@ -118,7 +118,7 @@ def test_driver_window_covers_contract_core():
     must = {f"q{i:02d}" for i in range(1, 11)}
     must |= {f"x{i}" for i in range(30, 53)}        # x53 is rows-only
     must |= {"x54", "x55", "x56", "x59", "x66", "x72",
-             "x93", "x94", "x95"}                   # new in r5
+             "x93", "x94", "x95", "x96"}            # new in r5
     prefixes = {n.split("_")[0] for n in window}
     missing = must - prefixes
     assert not missing, f"driver window misses rotation set: {sorted(missing)}"

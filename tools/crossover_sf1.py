@@ -589,7 +589,9 @@ def main() -> int:
         hints give DuckDB its best formulation for the timing race —
         the sf0.01 correctness gate still runs the plain oracles."""
         import re
-        return re.sub(r"(?m)^(\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+        sql = re.sub(r"(?m)^(\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+        return re.sub(r"(?m)^WITH (\w+ AS) \(",
+                      r"WITH \1 MATERIALIZED (", sql)
 
     def _duck_race(name, sql, ts):
         sql = _materialize_ctes(sql)
@@ -644,6 +646,33 @@ def main() -> int:
                    " CAST(1 AS BIGINT) AS cnt FROM events_sf1),\nsym0 AS"
                    + tail)
         _duck_race("bpe", bpe_sql, ts)
+
+    if only is None or "novelty" in only:
+        # x93 at scale runs the DECLARED pair verbatim: the engine
+        # query on a symlinked fixture dir over the scaled corpus, the
+        # registered oracle on a `documents` view of the same files.
+        # Identical text per copy multiplies every shingle's document
+        # frequency by `doc_copies` — the hot-key join stress the
+        # AQE-skew-split claim in the x93 docstring is about.
+        from enexory_parquet_export_spark.queries_ext import (
+            ORACLE_SQL,
+            SPARK_QUERIES,
+        )
+        dpath2 = build_scaled_docs(spark, doc_copies)
+        fixture = os.path.join(SCRATCH, f"fixture_docs_x{doc_copies}")
+        os.makedirs(fixture, exist_ok=True)
+        link = os.path.join(fixture, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(dpath2, link)
+        ndv = spark.read.parquet(dpath2).count()
+        print(f"novelty docs: {ndv:,}", flush=True)
+        ts = _timed(lambda: SPARK_QUERIES["x93_novelty"](spark, fixture)
+                    .write.format("noop").mode("overwrite").save())
+        print(f"novelty: spark {ts:.2f}s", flush=True)
+        con.execute("DROP VIEW IF EXISTS documents")
+        con.execute(f"CREATE VIEW documents AS SELECT * "
+                    f"FROM read_parquet('{dpath2}/*.parquet')")
+        _duck_race("novelty", ORACLE_SQL["x93_novelty"], ts)
     return 0
 
 
