@@ -163,3 +163,75 @@ def test_pipeline_end_to_end(spark):
           f"twins={n_twins} resolved={n_resolved} flagged={n_flagged} "
           f"clean={n_clean} mixed={n_mixed} wall={wall:.1f}s")
     assert wall < 600
+
+
+@pytest.mark.slow
+def test_tokenizer_training_pipeline(spark):
+    """Round-5 composition: the tokenizer-training path — quality
+    filter → temporal-novelty pruning (x93 shape) → word-frequency
+    table → BPE merge induction (x95) → post-merge vocabulary (x96)
+    — as one job graph with row accounting at every hand-off."""
+    from enexory_parquet_export_spark.queries_ext import (
+        bpe_merges,
+        kmeans_assign,
+    )
+    from enexory_parquet_export_spark.session import materialize
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+
+    # stage 1: quality gate
+    filtered = (docs.filter(F.col("n_chars") >= 20)
+                    .select("doc_id", "text"))
+    n_filtered = filtered.count()
+    assert 0 < n_filtered <= n_docs
+
+    # stage 2: novelty pruning — keep documents contributing at least
+    # one first-seen shingle over ingest order (the x93 metric)
+    sh = (D._exploded_shingles(filtered, id_col="doc_id",
+                               text_col="text", shingle_n=3,
+                               distinct=True)
+          .select("doc_id", F.xxhash64("s").alias("h"))
+          .transform(materialize, eager=False))
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel_docs = (sh.join(firsts, "h")
+                    .filter(F.col("first_doc") == F.col("doc_id"))
+                    .select("doc_id").distinct())
+    survivors = filtered.join(novel_docs, "doc_id", "left_semi")
+    n_survivors = survivors.count()
+    assert 0 < n_survivors <= n_filtered
+
+    # stage 3: word-frequency table from survivors only
+    wc = (survivors.select(F.explode(D.tokens(F.col("text")))
+                            .alias("word"))
+                   .filter(F.col("word") != "")
+                   .groupBy("word")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    total_words = wc.agg(F.sum("cnt")).collect()[0][0]
+    assert total_words > 0
+
+    # stage 4+5: merges and the post-merge vocabulary from ONE core
+    merges = bpe_merges(wc).collect()
+    assert [m["step"] for m in merges] == [1, 2, 3]
+    sym = bpe_merges(wc, return_symbols=True)
+    vocab = (sym.groupBy("s")
+                .agg(F.sum("cnt").cast("bigint").alias("occurrences")))
+    # accounting: total post-merge symbol mass = total pre-merge chars
+    # minus one per applied merge occurrence; every merge strictly
+    # reduces mass, and every merged pair token exists in the vocab
+    pre_mass = (wc.select(F.sum(F.length("word") * F.col("cnt")))
+                  .collect()[0][0])
+    post = {r["s"]: r["occurrences"] for r in vocab.collect()}
+    post_mass = sum(len(s) * n for s, n in post.items())
+    assert post_mass == pre_mass  # merges concatenate, chars conserved
+    assert sum(post.values()) < pre_mass  # at least one merge applied
+    first_merge = merges[0]
+    assert (first_merge["left_sym"] + first_merge["right_sym"]) in post
+
+    # stage 6: cluster the embedding table with the same-round k-means
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_vec = emb.count()
+    asg = kmeans_assign(emb).collect()
+    assert len(asg) == n_vec
+    assert len({r["cluster"] for r in asg}) <= 8
+    assert all(r["dist_q"] >= 0 for r in asg)
