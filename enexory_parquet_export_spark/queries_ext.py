@@ -3222,7 +3222,7 @@ mk{i} AS (
   SELECT k.word, k.p, k.s, k.nxt,
          CASE WHEN k.nxt IS NOT NULL AND k.s = b.a AND k.nxt = b.b
               THEN 1 ELSE 0 END AS m
-  FROM pr{i} k CROSS JOIN best{i} b),
+  FROM pr{i} k LEFT JOIN best{i} b ON TRUE),
 tk{i} AS (
   SELECT word, p, s, nxt, m,
          CASE WHEN m = 1 AND rn2 % 2 = 1 THEN 1 ELSE 0 END AS taken
@@ -3281,17 +3281,27 @@ def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS,
                 .agg(F.sum("cnt").cast("bigint").alias("n")))
         # single-row argmax(n, then lexicographic pair) as a hash agg:
         # min_by over (-n, a, b) ≡ the oracle's ORDER BY n DESC, a, b
+        # a merge-exhausted corpus (no adjacent pair anywhere) must
+        # degrade gracefully: the empty-input agg yields one all-NULL
+        # row, filtered here so the merge table only carries real
+        # merges, and the 1-row join below is LEFT so the symbol
+        # relation survives unchanged instead of vanishing (property
+        # fuzz vs the Sennrich reference caught both; the oracle SQL
+        # mirrors with LEFT JOIN ON TRUE — its row_number best CTE is
+        # already empty-in → empty-out)
         best = (pc.agg(F.min_by(F.struct("a", "b", "n"),
                                 F.struct((-F.col("n")).alias("nn"),
                                          "a", "b")).alias("m"))
-                  .select("m.a", "m.b", "m.n"))
+                  .select("m.a", "m.b", "m.n")
+                  .filter(F.col("a").isNotNull()))
         bests.append(best.select(F.lit(i).cast("bigint").alias("step"),
                                  F.col("a").alias("left_sym"),
                                  F.col("b").alias("right_sym"),
                                  F.col("n").alias("pair_count")))
-        mk = (pr.crossJoin(F.broadcast(
+        mk = (pr.join(F.broadcast(
                   best.select(F.col("a").alias("_a"),
-                              F.col("b").alias("_b"))))
+                              F.col("b").alias("_b"))),
+                  F.lit(True), "left")
                 .withColumn("m", F.when(
                     F.col("nxt").isNotNull()
                     & (F.col("s") == F.col("_a"))

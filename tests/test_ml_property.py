@@ -1,0 +1,114 @@
+"""Property-based verification for the round-5 ML operators.
+
+The randomized-oracle-diff strategy the reference models (O24,
+SURVEY §5), applied to the two operators whose semantics carry the
+most edge cases:
+
+- x95/x96 BPE: engine merges and post-merge vocabulary vs a
+  pure-Python Sennrich reference over small-alphabet corpora, which
+  maximizes overlap runs ("aaaa"), argmax ties, single-char words,
+  and MERGE-EXHAUSTED corpora (no adjacent pair anywhere — the case
+  that caught the empty-agg NULL row and the vanishing-symbol-
+  relation bug fixed in round 5);
+- x94 k-means: engine assignments vs a numpy-free integer reference
+  replicating the exact BIGINT arithmetic (floor-quantize, squared
+  distance, argmin tie on cluster id, floor-division centroid
+  update), including duplicate points and fewer points than K.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F  # noqa: F401
+
+from enexory_parquet_export_spark.queries_ext import (
+    _BPE_ITERS,
+    _KMEANS_ITERS,
+    _KMEANS_K,
+    bpe_merges,
+    kmeans_assign,
+)
+
+from tests.test_edge_fixtures import _bpe_reference, _bpe_reference_vocab
+
+# small alphabet → dense pair collisions, ties, and overlap runs
+_word = st.text(alphabet="abc", min_size=1, max_size=6)
+_corpus = st.dictionaries(_word, st.integers(1, 5), min_size=1,
+                          max_size=8)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(_corpus)
+def test_bpe_merges_match_reference(spark, word_counts):
+    wc = spark.createDataFrame(list(word_counts.items()),
+                               "word string, cnt bigint")
+    got = [(r["left_sym"], r["right_sym"], r["pair_count"])
+           for r in bpe_merges(wc).collect()]
+    assert got == _bpe_reference(dict(word_counts), _BPE_ITERS)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(_corpus)
+def test_bpe_vocab_matches_reference(spark, word_counts):
+    wc = spark.createDataFrame(list(word_counts.items()),
+                               "word string, cnt bigint")
+    sym = bpe_merges(wc, return_symbols=True)
+    got = sorted(
+        ((r["s"], r["occurrences"]) for r in
+         sym.groupBy("s").agg(F.sum("cnt").cast("bigint")
+                              .alias("occurrences")).collect()),
+        key=lambda kv: (-kv[1], kv[0]))
+    assert got == _bpe_reference_vocab(dict(word_counts), _BPE_ITERS)
+
+
+def _kmeans_reference(vecs: dict, k: int, iters: int):
+    """Integer-exact Lloyd's replica: same quantization, distance,
+    tie-break, and floor-division update as the declared query."""
+    q = {vid: [math.floor(x * 1000) for x in v]
+         for vid, v in vecs.items()}
+    cent = {cid: list(q[vid])
+            for cid, vid in enumerate(sorted(q)[:k])}
+    asg = {}
+    for it in range(iters):
+        asg = {}
+        for vid, v in q.items():
+            best = min(
+                (sum((x - c) ** 2 for x, c in zip(v, cent[cid])), cid)
+                for cid in sorted(cent))
+            asg[vid] = best  # (dist, cid)
+        if it < iters - 1:
+            sums: dict = {}
+            for vid, (_, cid) in asg.items():
+                s, n = sums.get(cid, ([0] * len(q[vid]), 0))
+                sums[cid] = ([a + b for a, b in zip(s, q[vid])], n + 1)
+            cent = {cid: [s_i // n for s_i in s]  # python // = floor
+                    for cid, (s, n) in sums.items()}
+    return {vid: (cid, dist) for vid, (dist, cid) in asg.items()}
+
+
+_vec = st.lists(st.integers(-5000, 5000).map(lambda v: v / 1000.0),
+                min_size=2, max_size=3)
+_vecs = st.dictionaries(st.integers(0, 50), _vec, min_size=1,
+                        max_size=12).filter(
+    lambda d: len({len(v) for v in d.values()}) == 1)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(_vecs)
+def test_kmeans_matches_integer_reference(spark, vecs):
+    emb = spark.createDataFrame(
+        [(vid, v, 0) for vid, v in sorted(vecs.items())],
+        "vec_id bigint, embedding array<float>, label int")
+    # the declared query casts float32 → double; quantization must see
+    # the same values the reference computes on — feed exact
+    # thousandths, which float32 does not round-trip, so build the
+    # reference from the ROUND-TRIPPED values
+    import struct
+    rt = {vid: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+          for vid, v in vecs.items()}
+    want = _kmeans_reference(rt, _KMEANS_K, _KMEANS_ITERS)
+    got = {r["vec_id"]: (r["cluster"], r["dist_q"])
+           for r in kmeans_assign(emb).collect()}
+    assert got == want
