@@ -39,21 +39,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r4: q11–q29 core + the 21 never-checked x57, x58, x60, x62–x65,
 #        x67–x71, x73, x75–x82 plus the new x83–x92 — ALL went green
 #        (CORRECTNESS_r04 50/50).
-#   r5 (this round): q01–q10 and the x30–x44 band return after two
-#        rounds out, plus x45–x52/x54 (r4 advice: x46–x52/x54 had
-#        never held a window slot — they are oracle-paired but were
-#        outside every earlier rotation) and x55/x56/x59/x66/x72
-#        (x55/x85 changed this round: hot-shingle df cap).  That is
-#        39 slots; new r5 queries are appended here as they land, and
-#        any remaining slots fall through to q11+ in name order.
+#   r5: q01–q10 + x30–x52/x54 (x46–x52/x54 first-ever slots, r4
+#        advice) + x55/x56/x59/x66/x72 + new x93–x96, tail q11–q17 —
+#        ALL green (CORRECTNESS_r05 50/50).
 #        x53/x74 are rows-only sketches and never occupy a slot.
-#   r6+: rotate the r4 band (x57–x92) back in; nothing is ever >2
-#        rounds without a driver row.
+#   r6 (this round): the r4 band returns after one round out —
+#        q11–q29 plus x57/x58/x60/x62–x65/x67–x71/x73/x75–x92
+#        (31 x-queries; x59/x66/x72 sat r5 slots, x74 rows-only).
+#        That is exactly 50 slots; declared x93–x96 semantics are
+#        unchanged this round (the r6 hybrid BPE is a separate mode),
+#        so they can sit out after their r5 green.  Nothing is ever
+#        >2 rounds without a driver row.
+#   r7+: rotate q01–q10 + x30–x56 + x93–x96 back in.
+_R6_XBAND: tuple[int, ...] = (
+    57, 58, 60, 62, 63, 64, 65, 67, 68, 69, 70, 71, 73,
+    *range(75, 93),                                # x75..x92
+)
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(1, 11)),          # matched by prefix below
-    *(f"x{i}" for i in range(30, 53)),             # x30..x52 (x53 rows-only)
-    "x54", "x55", "x56", "x59", "x66", "x72",
-    "x93", "x94", "x95", "x96",                    # new in r5
+    *(f"q{i:02d}" for i in range(11, 30)),         # q11..q29
+    *(f"x{i}" for i in _R6_XBAND),
 )
 
 

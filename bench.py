@@ -8,10 +8,17 @@ fully executed via a ``noop``-format write (materializes every row
 through the physical plan, including sorts, without driver collection
 — the honest engine-throughput measure at scale).
 
-Output: one JSON line
+Output: one COMPACT final JSON line
 ``{"metric": "declared_set_wall", "value": <total sec>, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "sf": <sf>,
-   "queries_steady": {...}, "value_steady": <total sec>}``
+   "sf": <sf>, "n_queries": N, "value_steady": <sec>,
+   "value_build": <sec>, "n_errors": 0, "detail": "BENCH_DETAIL.json"}``
+The driver's result capture keeps only the final ~2000 characters of
+stdout, so the per-query maps (95 queries ≈ 2.4 kB alone) are written
+to the ``BENCH_DETAIL.json`` sidecar next to this script instead of
+being inlined (rounds 2-5 emitted one giant line and the driver
+recorded ``"parsed": null`` every time).  The sidecar carries the full
+``queries`` / ``queries_steady`` / ``queries_build`` /
+``steady_rebuilt`` maps plus the same headline fields.
 
 ``value``/``queries`` bill each query's FIRST run — Python plan
 construction plus execution including its one-off whole-stage-codegen
@@ -131,13 +138,22 @@ def main() -> int:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_steady = round(sum(t for t in steady.values() if t >= 0), 3)
     total_build = round(sum(t for t in build.values() if t >= 0), 3)
-    print(json.dumps({"metric": "declared_set_wall", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf,
-                      "queries_steady": steady,
-                      "value_steady": total_steady,
-                      "queries_build": build,
-                      "value_build": total_build,
-                      "steady_rebuilt": rebuilt}))
+    n_errors = sum(1 for t in timings.values() if t < 0)
+    headline = {"metric": "declared_set_wall", "value": total,
+                "unit": "sec", "sf": sf, "n_queries": len(timings),
+                "value_steady": total_steady,
+                "value_build": total_build,
+                "n_errors": n_errors, "detail": "BENCH_DETAIL.json"}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({**headline, "queries": timings,
+                   "queries_steady": steady, "queries_build": build,
+                   "steady_rebuilt": rebuilt}, fh, indent=1)
+        fh.write("\n")
+    # final line stays compact (<2000 chars) so the driver's tail
+    # capture parses it — per-query maps live in the sidecar only
+    print(json.dumps(headline))
     return 0
 
 
