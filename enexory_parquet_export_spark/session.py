@@ -100,18 +100,42 @@ NO_MATERIALIZE_ENV = "SPARK_GRAFT_NO_MATERIALIZE"
 #: materialized prefix and under-report, which is why those rebuild.
 MATERIALIZE_COUNT = 0
 
+#: When set to a path/URI, :func:`materialize` issues RELIABLE
+#: ``df.checkpoint()`` to that directory instead of
+#: ``localCheckpoint``.  localCheckpoint blocks live in executor
+#: memory/disk and are NOT fault-tolerant: on a 100 TB run, losing
+#: one executor after a lineage-truncating checkpoint kills the job,
+#: because the truncated lineage cannot recompute the lost blocks.
+#: The eager loop call sites (x32 PPJoin shared relations, x59/x82
+#: connected components) are exactly where that matters — point this
+#: at an HDFS/object-store dir on a cluster.  Local mode keeps the
+#: localCheckpoint default (faster, and the same setting surfaced the
+#: x93 local-JVM artifact: a 135M-row localCheckpoint at 1.5M docs
+#: needs SPARK_GRAFT_DRIVER_MEM=64g in local mode ONLY because
+#: driver == sole executor there; reliable checkpoints or a real
+#: cluster both dissolve it).
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
 
 def materialize(df, *, eager: bool):
     """Central mid-plan materialization gate.
 
-    Every ``localCheckpoint`` in the engine routes through here
+    Every checkpoint in the engine routes through here
     (``df.transform(materialize, eager=...)``), so the plan audit can
-    disable them all with one env flag and read FULL lineage.
+    disable them all with one env flag and read FULL lineage, and the
+    reliable-checkpoint deployment switch covers every call site at
+    once (see :data:`CHECKPOINT_DIR_ENV`).
     """
     if os.environ.get(NO_MATERIALIZE_ENV) == "1":
         return df
     global MATERIALIZE_COUNT
     MATERIALIZE_COUNT += 1
+    ckdir = os.environ.get(CHECKPOINT_DIR_ENV)
+    if ckdir:
+        sc = df.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 
 

@@ -64,3 +64,25 @@ def test_components_of_real_minhash_pairs(spark, sf_dir):
     assert originals
     for n in originals:
         assert labels.get(n + 1_000_000) == labels[n], n
+
+
+def test_components_reliable_checkpoint_identical(spark, sf_dir,
+                                                  tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR routes every session.materialize
+    call site through RELIABLE df.checkpoint() (fault-tolerant on a
+    cluster, where localCheckpoint's executor-resident blocks are
+    not).  The x59 components loop — the deepest materialize user —
+    must be value-identical under it."""
+    from enexory_parquet_export_spark import session as S
+    from enexory_parquet_export_spark.queries_ext import SPARK_QUERIES
+
+    base = {tuple(r) for r in
+            SPARK_QUERIES["x59_dedup_clusters"](spark, sf_dir).collect()}
+    # the env var (not the lingering context checkpoint dir) gates the
+    # reliable path, so monkeypatch's teardown restores localCheckpoint
+    # behavior for every later test
+    monkeypatch.setenv(S.CHECKPOINT_DIR_ENV, str(tmp_path / "ck"))
+    reliable = {tuple(r) for r in
+                SPARK_QUERIES["x59_dedup_clusters"](spark,
+                                                    sf_dir).collect()}
+    assert reliable == base

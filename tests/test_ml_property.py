@@ -23,6 +23,7 @@ import math
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F  # noqa: F401
 
+from enexory_parquet_export_spark import queries_ext as qx
 from enexory_parquet_export_spark.queries_ext import (
     _BPE_ITERS,
     _KMEANS_ITERS,
@@ -47,6 +48,47 @@ def test_bpe_merges_match_reference(spark, word_counts):
     got = [(r["left_sym"], r["right_sym"], r["pair_count"])
            for r in bpe_merges(wc).collect()]
     assert got == _bpe_reference(dict(word_counts), _BPE_ITERS)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(_corpus)
+def test_bpe_local_mode_matches_spark_and_reference(spark, word_counts):
+    """The r6 hybrid (mode="local": Spark word-count agg + driver-side
+    incremental Sennrich loop) must be value-identical to the declared
+    spark mode at the gate's iteration count AND to the pure reference
+    at a deeper count the declarative form never runs at."""
+    wc = spark.createDataFrame(list(word_counts.items()),
+                               "word string, cnt bigint")
+    local = [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in
+             bpe_merges(wc, mode="local").sort("step").collect()]
+    sparkm = [(r["left_sym"], r["right_sym"], r["pair_count"])
+              for r in bpe_merges(wc).collect()]
+    assert local == sparkm
+    deep = [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in
+            bpe_merges(wc, mode="local", iters=12).sort("step").collect()]
+    assert deep == _bpe_reference(dict(word_counts), 12)
+    # symbol relation parity: same (word, syms-in-order) both modes
+    def _syms(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["word"], []).append((r["p"], r["s"]))
+        return {w: [s for _, s in sorted(v)] for w, v in out.items()}
+    assert (_syms(bpe_merges(wc, mode="local", return_symbols=True))
+            == _syms(bpe_merges(wc, return_symbols=True)))
+
+
+def test_bpe_local_mode_deep_merges_pinned():
+    """Realistic-depth pin: 60 merges over a multi-word corpus, the
+    incremental-stats loop vs the naive-recount reference."""
+    import random
+    rng = random.Random(6)
+    words = {}
+    for _ in range(300):
+        w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 9)))
+        words[w] = words.get(w, 0) + rng.randint(1, 20)
+    merges, _ = qx._bpe_local_merges(dict(words), 60)
+    assert merges == _bpe_reference(dict(words), 60)
+    assert len(merges) == 60
 
 
 @settings(max_examples=10, deadline=None, derandomize=True)
