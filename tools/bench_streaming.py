@@ -15,9 +15,26 @@ micro-batch count, and mean/max batch duration from the query's
 progress events; stateful runs add the final state row count.  Output:
 a markdown table (paste into BASELINE.md) plus one JSON line.
 
+``--sweep`` (r6 verdict item 6) instead runs a BATCH-SIZE sweep for
+cdc_merge_stream and neardup_stream: the same input stream re-split
+into files of 500 → 20k rows, one file per trigger, so rows/s vs
+batch size exposes the per-micro-batch floor directly (each trigger
+pays fixed plan/commit/state-store overhead; throughput scales until
+batches are large enough to amortize it).
+
+State-store note: the stateful operators (neardup/pack/change-detect)
+use Spark's default HDFS-backed in-memory state store, whose per-
+executor state must fit in heap.  On a cluster with large state, set
+``spark.sql.streaming.stateStore.providerClass`` to
+``org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+(RocksDB spills to local disk, keeps heap flat; supported by every
+``applyInPandasWithState`` operator here unchanged) — pass
+``--rocksdb`` to this bench to measure under it.
+
 Usage::
 
-    python tools/bench_streaming.py [sf_dir] [--batches N]
+    python tools/bench_streaming.py [sf_dir] [--batches N] [--sweep]
+        [--rocksdb]
 """
 
 from __future__ import annotations
@@ -71,6 +88,11 @@ def main() -> int:
 
     spark = get_spark("bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--rocksdb" in sys.argv:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
     work = tempfile.mkdtemp(prefix="bench_stream_")
     results = {}
 
@@ -88,9 +110,94 @@ def main() -> int:
               f"rate={rows/wall:,.0f}/s batches={nb} "
               f"batch mean/max={mean_d:.2f}/{max_d:.2f}s state={state}")
 
+    def flat_files(src_dir: str, dest: str) -> str:
+        """Flatten partitioned parquet dirs into NNNNN.parquet append
+        files (the file-source arrival order)."""
+        os.makedirs(dest, exist_ok=True)
+        i = 0
+        for d in sorted(os.listdir(src_dir)):
+            if not d.startswith("_f="):
+                continue
+            for f in sorted(os.listdir(os.path.join(src_dir, d))):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(src_dir, d, f),
+                                os.path.join(dest, f"{i:05d}.parquet"))
+                    i += 1
+        return dest
+
+    def row_split(df, order_col: str, per_file: int, path: str) -> str:
+        """Split df into files of exactly per_file rows in order_col
+        order — the batch-size knob for the sweep (one file per
+        trigger = per_file rows per micro-batch)."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy(order_col)
+        parts = path + "_parts"
+        (df.withColumn("_f", ((F.row_number().over(w) - 1)
+                              / per_file).cast("int"))
+           .repartition("_f").write.partitionBy("_f")
+           .mode("overwrite").parquet(parts))
+        return flat_files(parts, path)
+
     # ---- source prep: changelog (events-derived) in n_files pieces ----
     log = derive_changelog(load_table(spark, sf_dir, "events"))
     log_rows = log.count()
+
+    if "--sweep" in sys.argv:
+        sizes = (500, 2000, 8000, 20000)
+        for bs in sizes:
+            src_b = row_split(log, "seq", bs,
+                              os.path.join(work, f"cl_b{bs}"))
+            t0 = time.time()
+            q = start_cdc_merge_stream(
+                stream_changelog(spark, src_b, max_files_per_trigger=1),
+                os.path.join(work, f"mirror_b{bs}"),
+                os.path.join(work, f"ckpt_cdc_b{bs}"))
+            rows, nb, durs, state = _drain(q)
+            report(f"cdc_merge_b{bs}", rows, nb, durs, state,
+                   time.time() - t0)
+
+        docs = (load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text"))
+        n_docs = docs.count()
+        mult = max(1, (max(sizes) + n_docs - 1) // n_docs)
+        parts = [docs.select((F.col("doc_id") + m * 10_000_000)
+                             .alias("doc_id"), "text")
+                 for m in range(mult)]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        schema = "doc_id bigint, text string"
+        for bs in sizes:
+            src_b = row_split(big, "doc_id", bs,
+                              os.path.join(work, f"nd_b{bs}"))
+            t0 = time.time()
+            q = (neardup_stream(
+                    spark.readStream.schema(schema)
+                         .option("maxFilesPerTrigger", "1").parquet(src_b)
+                         .select("doc_id", "text"))
+                 .writeStream.format("noop")
+                 .option("checkpointLocation",
+                         os.path.join(work, f"ckpt_nd_b{bs}"))
+                 .outputMode("append").trigger(availableNow=True).start())
+            rows, nb, durs, state = _drain(q)
+            report(f"neardup_b{bs}", rows, nb, durs, state,
+                   time.time() - t0)
+
+        shutil.rmtree(work, ignore_errors=True)
+        print("\n| operator@batch | input rows | wall s | rows/s "
+              "| batches | batch mean/max s | state rows |")
+        print("|---|---|---|---|---|---|---|")
+        for name, r in results.items():
+            print(f"| {name} | {r['rows']} | {r['wall_s']} "
+                  f"| {r['rows_per_s']:,.0f} | {r['micro_batches']} "
+                  f"| {r['mean_batch_s']}/{r['max_batch_s']} "
+                  f"| {r['state_rows']} |")
+        print()
+        print(json.dumps({"metric": "streaming_batch_sweep",
+                          "results": results}))
+        return 0
+
     log_src = os.path.join(work, "changelog")
     per = (log_rows + n_files - 1) // n_files
     (log.withColumn("_f", F.expr(f"seq DIV {per}"))

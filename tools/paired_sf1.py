@@ -1,0 +1,187 @@
+"""Whole-declared-set paired bench at sf1 (10× sf0.1) — r5 verdict #5.
+
+The per-query crossover suite argues Spark's 0.2-0.5 s dispatch floor
+over micro-queries amortizes as data grows.  This experiment turns the
+argument into ONE measurement: the full declared inventory (every
+``queries()`` entry; DuckDB runs the 93 paired oracles) over a 10×
+scale-up of every fact table, identical files for both engines.
+
+Scale model (the standard star-schema growth shape — facts scale,
+dims don't):
+
+- ``lineitem``/``orders``: 10 copies, ``*_orderkey`` offset per copy
+  (order count × 10, customers/parts/suppliers fixed — fan-in per dim
+  key grows 10×);
+- ``events``: 10 copies, ``event_id``/``user_id`` offset (key
+  cardinality × 10 — the window/CDC family's partition count);
+- ``documents``: 10 copies, ``doc_id`` offset by 100k per copy (stays
+  below the 1e6 derived-twin offset); texts repeat, so every doc gains
+  9 exact near-dup copies — the dedup family's candidate sets GROW
+  faster than the corpus, which is the honest at-scale stress;
+- ``embeddings``: 10 copies, ``vec_id`` offset (ANN corpus × 10);
+- ``region/nation/customer/supplier/part``: copied unchanged.
+
+Timestamps are cast to TIMESTAMP_NTZ before writing so the scaled
+parquet matches the fixture's naive (isAdjustedToUTC=false) layout and
+both engines read identical wall clocks.
+
+Spark runs each query once (construction + execution, bench.py's
+first-run billing) via noop write; DuckDB runs each oracle once via
+``.arrow()`` with a per-query interrupt timeout.  x53/x74 are
+rows-only (no oracle) and appear Spark-side only; totals are reported
+for the PAIRED subset on both engines.
+
+Usage::
+
+    python tools/paired_sf1.py [--copies N] [--duck-timeout SEC]
+        [--only name,name,...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scratch")
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+#: per-table (offset columns, per-copy stride); absent = dim, copied 1:1
+FACT_KEYS: dict[str, tuple[tuple[str, ...], int]] = {
+    "lineitem": (("l_orderkey",), 10_000_000),
+    "orders": (("o_orderkey",), 10_000_000),
+    "events": (("event_id", "user_id"), 10_000_000),
+    "documents": (("doc_id",), 100_000),
+    "embeddings": (("vec_id",), 10_000_000),
+}
+
+
+def build_sf1(spark, copies: int) -> str:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from enexory_parquet_export_spark.sources.tables import load_table
+
+    out_dir = os.path.join(SCRATCH, f"sf1_full_x{copies}")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, SF_DIR, t)
+        if t in FACT_KEYS:
+            keys, stride = FACT_KEYS[t]
+            parts = []
+            for m in range(copies):
+                p = df
+                for k in keys:
+                    p = p.withColumn(k, F.col(k) + F.lit(m * stride))
+                parts.append(p)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        # fixture layout parity: naive (NTZ) parquet timestamps
+        for field in df.schema.fields:
+            if isinstance(field.dataType, TimestampType):
+                df = df.withColumn(field.name,
+                                   F.col(field.name).cast("timestamp_ntz"))
+        df.coalesce(max(1, copies // 2)).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet"))
+    open(done, "w").close()
+    return out_dir
+
+
+def main() -> int:
+    copies = 10
+    if "--copies" in sys.argv:
+        copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    duck_timeout = 600.0
+    if "--duck-timeout" in sys.argv:
+        duck_timeout = float(sys.argv[sys.argv.index("--duck-timeout") + 1])
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
+    import __spark_entry__ as entrymod
+    from enexory_parquet_export_spark.session import get_spark
+
+    spark = get_spark("paired-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf1 = build_sf1(spark, copies)
+    print(f"sf1 dir: {sf1}", flush=True)
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf1}/{t}.parquet/*.parquet')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = [n for n in sorted(qs) if only is None or n in only]
+
+    # warmups: page cache + JIT on both engines
+    qs[names[0]](spark, sf1).write.format("noop").mode("overwrite").save()
+    con.execute(oracles[next(n for n in names if n in oracles)]).arrow()
+
+    spark_t: dict[str, float] = {}
+    duck_t: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf1).write.format("noop") \
+                .mode("overwrite").save()
+            spark_t[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            print(f"SPARK ERROR {name}: {str(exc)[:200]}", file=sys.stderr)
+            spark_t[name] = -1.0
+        if name not in oracles:
+            continue
+        timer = threading.Timer(duck_timeout, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(oracles[name]).arrow()
+            duck_t[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            print(f"DUCK DNF {name}: {str(exc)[:140]}", file=sys.stderr)
+            duck_t[name] = -1.0
+        finally:
+            timer.cancel()
+        s, d = spark_t[name], duck_t[name]
+        ratio = f"{s / d:.2f}×" if s > 0 and d > 0 else "—"
+        print(f"| {name} | {d if d > 0 else 'DNF'} "
+              f"| {s if s > 0 else 'ERR'} | {ratio} |", flush=True)
+
+    paired = [n for n in names
+              if spark_t.get(n, -1) > 0 and duck_t.get(n, -1) > 0]
+    ts = round(sum(spark_t[n] for n in paired), 2)
+    td = round(sum(duck_t[n] for n in paired), 2)
+    dnf = [n for n in names if duck_t.get(n, 0) < 0]
+    err = [n for n in names if spark_t.get(n, 0) < 0]
+    print(f"\npaired total ({len(paired)} queries): duck {td}s, "
+          f"spark {ts}s, ratio {ts / td:.2f}x")
+    if dnf:
+        print(f"duck DNF: {dnf}")
+    if err:
+        print(f"spark ERR: {err}")
+    print(json.dumps({"metric": "paired_sf1", "copies": copies,
+                      "spark_total": ts, "duck_total": td,
+                      "n_paired": len(paired), "duck_dnf": dnf,
+                      "spark_err": err, "spark": spark_t,
+                      "duck": duck_t}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
