@@ -107,11 +107,24 @@ def main() -> int:
             # moved materialize counter OR any job under the build
             # group marks the plan impure (checkpoint / iterative)
             ck0 = _session.MATERIALIZE_COUNT
+            # cache snapshot (r5 ADVICE): a future operator calling
+            # .persist()/.cache() directly would neither move the
+            # materialize counter nor run a build job, yet its steady
+            # re-execution would read columnar cache and under-report.
+            # CacheManager registers a DataFrame persist at MARK time
+            # (before any action — verified on 4.1.2), so a non-empty
+            # transition during construction marks impure; the RDD
+            # storage-info count covers raw rdd.persist() paths.
+            _cm = spark._jsparkSession.sharedState().cacheManager()
+            cached0 = not _cm.isEmpty()
+            rdds0 = len(sc._jsc.sc().getRDDStorageInfo())
             sc.setJobGroup(f"bench-build-{name}", name)
             df = qs[name](spark, sf_dir)   # plan construction billed here
             impure = (_session.MATERIALIZE_COUNT > ck0
                       or bool(tracker.getJobIdsForGroup(
-                          f"bench-build-{name}")))
+                          f"bench-build-{name}"))
+                      or (not cached0 and not _cm.isEmpty())
+                      or len(sc._jsc.sc().getRDDStorageInfo()) > rdds0)
             sc.setJobGroup(f"bench-run-{name}", name)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)

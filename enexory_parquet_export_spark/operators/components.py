@@ -38,7 +38,8 @@ def connected_components(edges: DataFrame, *,
     und = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # adjacency is reused every round: materialize once
-    adj = und.distinct().transform(materialize, eager=True)
+    adj = und.distinct().transform(materialize, eager=True,
+                                   pinned=True)
 
     # round 0 fused into initialization: label = min(self, neighbors)
     # directly from the adjacency — one fewer full round in the loop
@@ -71,7 +72,7 @@ def connected_components(edges: DataFrame, *,
                               F.coalesce("_ll", "_p").alias("label"),
                               (F.coalesce("_ll", "_p") != F.col("_old"))
                                .alias("_chg"))
-                      .transform(materialize, eager=True))
+                      .transform(materialize, eager=True, pinned=True))
         labels = new_labels.select("node", "label")
         # skip the round-0 convergence count: with the fused min-label
         # init, a graph that is ALREADY converged after one propagation

@@ -355,7 +355,7 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # otherwise: the two union branches fuse into one evaluation.
     assigned = (base.withColumn("_probes",
                                 _probe_lists.asNondeterministic()("v"))
-                    .transform(materialize, eager=chunking))
+                    .transform(materialize, eager=chunking, pinned=True))
     # Rerank is a GROUPED BLOCK KERNEL per inverted list, not a
     # candidate pair join: the r3 pair formulation materialized
     # N·nprobe·|list| rows each carrying TWO full vectors — ~250 GB of

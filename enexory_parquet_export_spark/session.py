@@ -83,12 +83,21 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-#: When "1", :func:`materialize` becomes an identity.  Set ONLY by
-#: tools/explain_audit.py: a localCheckpoint executes its prefix as a
-#: separate job, so the downstream EXPLAIN starts from the checkpointed
-#: RDD and the audit is blind to the upstream shuffle/codegen posture
-#: (the r4 verdict's one systematic hole).  Never set in production —
-#: every materialization call site carries a measured A/B win.
+#: When "1", :func:`materialize` becomes an identity at UNPINNED call
+#: sites.  Set ONLY by tools/explain_audit.py: a localCheckpoint
+#: executes its prefix as a separate job, so the downstream EXPLAIN
+#: starts from the checkpointed RDD and the audit is blind to the
+#: upstream shuffle/codegen posture (the r4 verdict's one systematic
+#: hole).  PINNED sites (``pinned=True`` — unbounded-loop round state
+#: in connected_components, the single-evaluation pin on x44's
+#: nondeterministic probe stage) stay active even under "1": skipping
+#: them makes construction-time-executing operators recompute full
+#: lineage per round (measured 2.7 s → 24 s on x59 at sf0.1 for ONE
+#: lazy checkpoint) and un-pins a nondeterministic stage for anything
+#: executed under the flag (the r5 ADVICE item).  "all" restores the
+#: r5 skip-everything behavior — safe only at small sf, for auditing
+#: a loop's end-to-end lineage.  Never set in production — every
+#: materialization call site carries a measured A/B win.
 NO_MATERIALIZE_ENV = "SPARK_GRAFT_NO_MATERIALIZE"
 
 #: Monotone count of real ``localCheckpoint`` calls (eager OR lazy)
@@ -117,16 +126,19 @@ MATERIALIZE_COUNT = 0
 CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
 
 
-def materialize(df, *, eager: bool):
+def materialize(df, *, eager: bool, pinned: bool = False):
     """Central mid-plan materialization gate.
 
     Every checkpoint in the engine routes through here
     (``df.transform(materialize, eager=...)``), so the plan audit can
-    disable them all with one env flag and read FULL lineage, and the
+    disable them with one env flag and read FULL lineage, and the
     reliable-checkpoint deployment switch covers every call site at
-    once (see :data:`CHECKPOINT_DIR_ENV`).
+    once (see :data:`CHECKPOINT_DIR_ENV`).  ``pinned=True`` marks the
+    call sites whose checkpoint is load-bearing beyond a perf win —
+    see :data:`NO_MATERIALIZE_ENV` for exactly which and why.
     """
-    if os.environ.get(NO_MATERIALIZE_ENV) == "1":
+    skip = os.environ.get(NO_MATERIALIZE_ENV)
+    if skip == "all" or (skip == "1" and not pinned):
         return df
     global MATERIALIZE_COUNT
     MATERIALIZE_COUNT += 1

@@ -61,6 +61,13 @@ NEARDUP_SCHEMA = StructType([
     StructField("est_micro", LongType(), False),
 ])
 
+#: one bucket's micro-batch rows are materialized in the state task
+#: (cross-chunk global admission order requires it); the per-trigger
+#: source contract is what bounds that buffer, so crossing this bound
+#: logs a loud stderr warning (r5 ADVICE — visible contract violation
+#: instead of a silent OOM).  Warn-only: correctness is unaffected.
+GROUP_BUFFER_SANITY_ROWS = 250_000
+
 #: per band bucket: admitted member ids + their flattened signatures
 _STATE_SCHEMA = StructType([
     StructField("ids", ArrayType(LongType()), True),
@@ -107,6 +114,17 @@ def _matcher(k: int, threshold_micro: int, bucket_cap: int):
         # materialized size is one bucket's micro-batch volume, which
         # the source contract bounds per trigger.
         chunks = [p for p in pdfs if len(p)]
+        n_buffered = sum(len(p) for p in chunks)
+        if n_buffered > GROUP_BUFFER_SANITY_ROWS:
+            # r5 ADVICE: memory here is bounded ONLY by the per-trigger
+            # source contract (maxFilesPerTrigger etc.) — surface a
+            # contract violation as a visible warning instead of a
+            # silent executor OOM
+            import sys
+            print(f"neardup_stream: bucket micro-batch of {n_buffered} "
+                  f"rows exceeds sanity bound {GROUP_BUFFER_SANITY_ROWS}"
+                  f" — throttle the source (maxFilesPerTrigger)",
+                  file=sys.stderr)
         rows = (pd.concat(chunks, ignore_index=True)
                   .sort_values("doc_id")
                 if chunks else pd.DataFrame(columns=["doc_id", "sig"]))

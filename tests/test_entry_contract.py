@@ -218,3 +218,34 @@ def test_mirror_to_replica_byte_identical(spark, tmp_path):
     mirror_to_replica(spark, primary, replica)
     assert not (tmp_path / "r" / "day=2024-01-02").exists()
     assert (tmp_path / "r" / "day=2024-01-01").exists()
+
+
+def test_declared_query_code_never_persists_directly():
+    """bench.py's steady-run purity detection observes
+    session.materialize and construction-scoped jobs (and, since r6, a
+    storage-info snapshot).  Keep the invariant enforceable at source
+    level too: declared-query code paths must route every
+    materialization through session.materialize — a direct
+    .persist()/.cache() would bypass the audit flag, the reliable-
+    checkpoint switch, AND the bench purity counter at once (r5
+    ADVICE)."""
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "enexory_parquet_export_spark")
+    hits = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            for i, line in enumerate(open(path), 1):
+                if "lint: allow-persist" in line:
+                    # explicit, comment-justified exemption (bounded
+                    # foreachBatch-scoped cache with unpersist)
+                    continue
+                code = line.split("#", 1)[0]
+                if re.search(r"\.(persist|cache)\(", code):
+                    hits.append(f"{path}:{i}: {line.strip()}")
+    assert not hits, "direct persist/cache in package code:\n" + "\n".join(hits)

@@ -49,19 +49,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _drain(query, timeout=1800):
+def _drain(query, timeout=1800, true_rows=None):
+    """Drain and summarize.  Two metric traps (found in the r6 sweep):
+    ``recentProgress`` retains only the last ~100 entries, and
+    ``numInputRows`` counts source SCANS — a foreachBatch body that
+    runs two actions over the micro-batch doubles it.  So when the
+    caller knows the true source row count it passes ``true_rows``,
+    and the batch count comes from the last batchId, not the retained
+    progress list (batch durations stay a recent-window sample)."""
     query.awaitTermination(timeout)
     prog = [p for p in (query.recentProgress or []) if p]
     durs = [p["batchDuration"] / 1000.0 for p in prog
             if p.get("batchDuration") and p.get("numInputRows")]
-    rows = sum(p.get("numInputRows", 0) for p in prog)
+    rows = (true_rows if true_rows is not None
+            else sum(p.get("numInputRows", 0) for p in prog))
+    nb = (prog[-1]["batchId"] + 1) if prog else 0
     state = None
     for p in reversed(prog):
         ops = p.get("stateOperators") or []
         if ops:
             state = ops[0].get("numRowsTotal")
             break
-    return rows, len(durs), durs, state
+    return rows, nb, durs, state
 
 
 def main() -> int:
@@ -153,7 +162,7 @@ def main() -> int:
                 stream_changelog(spark, src_b, max_files_per_trigger=1),
                 os.path.join(work, f"mirror_b{bs}"),
                 os.path.join(work, f"ckpt_cdc_b{bs}"))
-            rows, nb, durs, state = _drain(q)
+            rows, nb, durs, state = _drain(q, true_rows=log_rows)
             report(f"cdc_merge_b{bs}", rows, nb, durs, state,
                    time.time() - t0)
 
@@ -180,7 +189,7 @@ def main() -> int:
                  .option("checkpointLocation",
                          os.path.join(work, f"ckpt_nd_b{bs}"))
                  .outputMode("append").trigger(availableNow=True).start())
-            rows, nb, durs, state = _drain(q)
+            rows, nb, durs, state = _drain(q, true_rows=n_docs * mult)
             report(f"neardup_b{bs}", rows, nb, durs, state,
                    time.time() - t0)
 
@@ -222,7 +231,7 @@ def main() -> int:
     q = start_cdc_merge_stream(
         stream_changelog(spark, flat, max_files_per_trigger=2),
         mirror, os.path.join(work, "ckpt_cdc"))
-    rows, nb, durs, state = _drain(q)
+    rows, nb, durs, state = _drain(q, true_rows=log_rows)
     report("cdc_merge_stream", rows, nb, durs, state, time.time() - t0)
 
     # ---- 2/3. documents-derived sources for neardup + packing ----
@@ -273,7 +282,7 @@ def main() -> int:
              .option("checkpointLocation",
                      os.path.join(work, f"ckpt_nd{mult}"))
              .outputMode("append").trigger(availableNow=True).start())
-        rows, nb, durs, state = _drain(q)
+        rows, nb, durs, state = _drain(q, true_rows=n_docs * mult)
         report(f"neardup_stream_x{mult}", rows, nb, durs, state,
                time.time() - t0)
 
@@ -285,7 +294,7 @@ def main() -> int:
          .writeStream.format("noop")
          .option("checkpointLocation", os.path.join(work, "ckpt_pack"))
          .outputMode("append").trigger(availableNow=True).start())
-    rows, nb, durs, state = _drain(q)
+    rows, nb, durs, state = _drain(q, true_rows=n_docs)
     report("pack_stream", rows, nb, durs, state, time.time() - t0)
 
     shutil.rmtree(work, ignore_errors=True)

@@ -16,18 +16,25 @@ scale-relevant facts:
 - ``codegen``    — whole-stage codegen span count (wider is better)
 - ``pushed``     — parquet scans with pushed filters vs full scans
 
-By default the audit disables every mid-plan materialization
+By default the audit disables every UNPINNED mid-plan materialization
 (``session.materialize`` honors SPARK_GRAFT_NO_MATERIALIZE=1), so the
 table covers the FULL lineage of queries that otherwise truncate their
 plan at a localCheckpoint (r4 verdict: the audit was blind upstream of
-checkpoints for ~10 queries).  Production runs keep the
-materializations — each call site carries a measured A/B win — so pass
-``--materialized`` to audit the exact shipped plan shape instead.
+checkpoints for ~10 queries).  PINNED call sites stay active (r5
+ADVICE): the connected-components round state (x59/x82 — skipping it
+makes the per-round convergence count recompute full lineage, 2.7 s →
+24 s at sf0.1 and pathological at larger sf_dirs) and the
+single-evaluation pin on x44's nondeterministic probe stage.  Those
+queries therefore report their post-loop-checkpoint suffix here; pass
+``--full-all`` (small sf ONLY) to reproduce the r5 end-to-end loop
+lineage audit.  Production runs keep all materializations — each call
+site carries a measured A/B win — so pass ``--materialized`` to audit
+the exact shipped plan shape instead.
 
 Usage::
 
     python tools/explain_audit.py [sf_dir] [query ...] [--write-md]
-                                  [--materialized]
+                                  [--materialized] [--full-all]
 
 ``--write-md`` rewrites EXPLAIN_AUDIT.md at the repo root.
 """
@@ -64,14 +71,17 @@ def audit_plan(plan: str) -> dict:
 
 def main() -> int:
     argv = [a for a in sys.argv[1:]
-            if a not in ("--write-md", "--materialized")]
+            if a not in ("--write-md", "--materialized", "--full-all")]
     write_md = "--write-md" in sys.argv
     full_lineage = "--materialized" not in sys.argv
     if full_lineage:
         # disable mid-plan localCheckpoints so EXPLAIN shows the whole
         # lineage (env read per materialize() call, so setting it here
-        # before any query construction is sufficient)
-        os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
+        # before any query construction is sufficient); "1" keeps the
+        # PINNED loop/nondeterminism checkpoints active, "all" skips
+        # even those (r5-style end-to-end loop audit — small sf only)
+        os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = (
+            "all" if "--full-all" in sys.argv else "1")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -118,12 +128,16 @@ def main() -> int:
     print(f"\n{len(rows)} plans audited; red flags: {flagged or 'none'}")
 
     if write_md:
-        mode = ("full-lineage mode: every mid-plan localCheckpoint "
-                "disabled via SPARK_GRAFT_NO_MATERIALIZE, so queries "
-                "that materialize (stable_sort / materialize() call "
-                "sites — x43, x76, x80–x82, q24, …) are audited across "
-                "their ENTIRE plan, not just the post-checkpoint "
-                "suffix" if full_lineage else
+        mode = ("full-lineage mode: every UNPINNED mid-plan "
+                "localCheckpoint disabled via SPARK_GRAFT_NO_MATERIALIZE, "
+                "so queries that materialize (stable_sort / materialize() "
+                "call sites — x43, x76, x80–x82, q24, …) are audited "
+                "across their ENTIRE plan, not just the post-checkpoint "
+                "suffix; pinned sites (x59/x82 loop round state, x44's "
+                "nondeterministic-probe pin) stay active, so those three "
+                "report their post-checkpoint suffix (use --full-all at "
+                "small sf for their end-to-end loop lineage)"
+                if full_lineage else
                 "shipped-plan mode (--materialized): checkpointing "
                 "queries report only their post-checkpoint suffix")
         out = ["# EXPLAIN audit — declared-query physical plans",
