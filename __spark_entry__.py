@@ -49,8 +49,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #        That is exactly 50 slots; declared x93–x96 semantics are
 #        unchanged this round (the r6 hybrid BPE is a separate mode),
 #        so they can sit out after their r5 green.  Nothing is ever
-#        >2 rounds without a driver row.
-#   r7+: rotate q01–q10 + x30–x56 + x93–x96 back in.
+#        >2 rounds without a driver row.  x97/x98 are NEW in r6
+#        (SemDeDup, duplicated-passage spans) — they join the
+#        rotation from r7; this round they are local-gate-only.
+#   r7+: rotate q01–q10 + x30–x56 + x93–x98 back in.
 _R6_XBAND: tuple[int, ...] = (
     57, 58, 60, 62, 63, 64, 65, 67, 68, 69, 70, 71, 73,
     *range(75, 93),                                # x75..x92

@@ -3478,3 +3478,185 @@ def x96(spark, sf_dir):
                .agg(F.sum("cnt").cast("bigint").alias("occurrences"))
                .coalesce(1)
                .sortWithinPartitions(F.col("occurrences").desc(), "token"))
+
+
+# --------------------------------------------------------------------------
+# X97 SemDeDup — semantic deduplication by cluster-then-compare
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): embeddings are coarse-clustered,
+# and near-duplicate pairs are searched ONLY within a cluster — the
+# all-pairs cosine join that x33's LSH buckets avoid probabilistically
+# is avoided here structurally, which is the entire point of the
+# method at 100 TB (pair count is sum of squared CLUSTER sizes, not
+# corpus²).  Clustering is one fixed assignment pass against a
+# K-vector codebook (the x44 coarse-quantizer idiom, deterministic:
+# first K vectors by id), expressed exactly like x94's assignment —
+# the whole K×dim codebook is ONE broadcast row and per-vector argmin
+# runs inside the row as a zero-shuffle projection.  Within-cluster
+# pairs then equi-join on the cluster id; dot/norms are BIGINT-exact
+# over floor-quantized components, rendered as the same
+# floor(dot·10⁶/(√na·√nb)) micro-cosine x87 uses (driver-safe).
+# Fixture near-dups: the x33 derived corpus (scale-perturbed twins,
+# cosine-invariant).  Scale: one scan + broadcast projection + one
+# hash-partitioned self-join keyed by cluster; no window over the
+# corpus, no LSH tuning parameter, no pair ever leaves its cluster.
+# --------------------------------------------------------------------------
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESH = 995_000   # cos_micro admission bound
+
+
+@declared("x97_semantic_dedup", f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+corpus AS (SELECT vec_id, v FROM base
+           UNION ALL
+           SELECT vec_id + 1000000, list_transform(v, x -> x * 1.1)
+           FROM base),
+q AS (SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      FROM corpus),
+n AS (SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nv
+      FROM q),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+          FROM q ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+asg AS (SELECT vec_id, qv, nv, cid FROM (
+  SELECT n.vec_id, n.qv, n.nv, c.cid,
+         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> (n.qv[i] - c.cv[i]) * (n.qv[i] - c.cv[i]))),
+             c.cid) AS rn
+  FROM n, cents c) WHERE rn = 1),
+pairs AS (
+  SELECT a.cid AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(CAST(list_sum(list_transform(
+                  range(1, len(a.qv) + 1),
+                  i -> a.qv[i] * b.qv[i])) AS BIGINT) * 1000000.0
+              / (sqrt(a.nv) * sqrt(b.nv))) AS BIGINT) AS cos_micro
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+SELECT cluster, id_a, id_b, cos_micro
+FROM pairs WHERE cos_micro >= {_SEMDEDUP_THRESH}
+ORDER BY id_a, id_b""")
+def x97(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = (_t(spark, sf_dir, "embeddings")
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v")))
+    twins = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                        F.transform("v", lambda x: x * 1.1).alias("v"))
+    q = (base.unionByName(twins)
+             .select("vec_id",
+                     F.transform("v", lambda x:
+                                 F.floor(x * 1000).cast("bigint"))
+                      .alias("qv"))
+             .withColumn("nv", F.aggregate(
+                 "qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x))
+             .transform(materialize, eager=False))  # codebook + both join sides read
+    # K×dim codebook state as ONE broadcast row (x94 idiom)
+    cents = (q.orderBy("vec_id").limit(_SEMDEDUP_K)
+              .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
+                       .alias("cid"),
+                      F.col("qv").alias("cv"))
+              .agg(F.collect_list(F.struct("cid", "cv")).alias("cs")))
+    dd = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("qv"), s["cv"], lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"), lambda a, x: a + x)
+    asg = (q.crossJoin(F.broadcast(cents))
+            .select("vec_id", "qv", "nv",
+                    F.array_min(F.transform("cs", lambda s:
+                        F.struct(dd(s).alias("dd"), s["cid"].alias("cid"))))
+                     ["cid"].alias("cluster")))
+    a = asg.select(F.col("vec_id").alias("id_a"), "cluster",
+                   F.col("qv").alias("qa"), F.col("nv").alias("na"))
+    b = asg.select(F.col("vec_id").alias("id_b"),
+                   F.col("cluster").alias("_cb"),
+                   F.col("qv").alias("qb"), F.col("nv").alias("nb"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return (a.join(b, (F.col("cluster") == F.col("_cb"))
+                   & (F.col("id_a") < F.col("id_b")))
+             .withColumn("cos_micro",
+                         F.floor(dot * F.lit(1000000.0)
+                                 / (F.sqrt("na") * F.sqrt("nb")))
+                          .cast("bigint"))
+             .filter(F.col("cos_micro") >= _SEMDEDUP_THRESH)
+             .select(F.col("cluster").cast("bigint"), "id_a", "id_b",
+                     "cos_micro")
+             .transform(bounded_sort, "id_a", "id_b"))
+
+
+# --------------------------------------------------------------------------
+# X98 duplicated-passage spans — the cross-document EXACT-substring
+# dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better") at shingle granularity: every maximal run
+# of consecutive 3-token shingles that also occur in at least one
+# OTHER document is reported as a span (doc, start_tok, end_tok).
+# The suffix-array machinery of the paper collapses, at fixed shingle
+# width, into three shuffle-bounded relational steps: a corpus-sized
+# shingle document-frequency hash agg, a 1:1 semi-join marking each
+# doc's duplicated positions (NO pair join — span marking is per-doc,
+# so one hot boilerplate shingle fans out to its own occurrences
+# only, never to pairs), and a per-doc gaps-and-islands window
+# merging consecutive positions into maximal spans.  Distinct from
+# x72 (intra-doc repetition) and x93 (corpus-order novelty): this
+# reports cross-document extents, the input a span-level filter
+# needs.  Hashes stay engine-side (xxhash64 over the shingle string,
+# the x93 pattern); the oracle groups by the shingle string itself —
+# equality of results IS the no-collision check.
+# --------------------------------------------------------------------------
+_SPAN_MIN = 3   # ≥ 3 consecutive duplicated shingles (≥ 5 shared tokens)
+
+
+@declared("x98_dup_spans", f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, i.p AS p,
+              concat_ws(' ', t[i.p], t[i.p + 1], t[i.p + 2]) AS s
+       FROM toks,
+            LATERAL (SELECT unnest(range(1, len(t) - 1)) AS p) i),
+dup AS (SELECT s FROM sh GROUP BY s
+        HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, p FROM sh JOIN dup USING (s)),
+isl AS (SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                 AS grp
+        FROM hits)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS start_tok,
+       CAST(max(p) + 2 AS BIGINT) AS end_tok,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM isl GROUP BY doc_id, grp HAVING count(*) >= {_SPAN_MIN}
+ORDER BY doc_id, start_tok""")
+def x98(spark, sf_dir):
+    from pyspark.sql import Window
+
+    toks = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.posexplode(D.tokens(F.col("text")))
+                     .alias("p0", "tok")))
+    w = Window.partitionBy("doc_id").orderBy("p0")
+    # positional shingles: ONE Window operator (lead ×2 over the same
+    # spec), flat codegen — the _exploded_shingles shape plus position
+    sh = (toks.select("doc_id", (F.col("p0") + 1).alias("p"),
+                      F.col("tok").alias("t0"),
+                      F.lead("tok", 1).over(w).alias("t1"),
+                      F.lead("tok", 2).over(w).alias("t2"))
+              .filter(F.col("t2").isNotNull())
+              .select("doc_id", "p",
+                      F.xxhash64(F.concat_ws(" ", "t0", "t1", "t2"))
+                       .alias("h"))
+              .transform(materialize, eager=False))  # df agg + mark join both read
+    dup = (sh.groupBy("h")
+             .agg(F.count_distinct("doc_id").alias("df"))
+             .filter(F.col("df") >= 2)
+             .select("h"))
+    hits = sh.join(dup, "h").select("doc_id", "p")
+    w2 = Window.partitionBy("doc_id").orderBy("p")
+    return (hits.select("doc_id", "p",
+                        (F.col("p") - F.row_number().over(w2)).alias("grp"))
+                .groupBy("doc_id", "grp")
+                .agg(F.min("p").cast("bigint").alias("start_tok"),
+                     (F.max("p") + 2).cast("bigint").alias("end_tok"),
+                     F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+                .filter(F.col("n_shingles") >= _SPAN_MIN)
+                .select("doc_id", "start_tok", "end_tok", "n_shingles")
+                .transform(stable_sort, "doc_id", "start_tok"))
