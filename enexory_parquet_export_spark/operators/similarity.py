@@ -489,3 +489,190 @@ def lsh_bucket_udf(planes: list[list[float]]):
         return pd.Series(["".join(r) for r in bits])
 
     return _bucket.asNondeterministic()   # pin a single evaluation
+
+
+def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
+                   max_block: int = 8192) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) pair search: cluster-then-compare,
+    with the within-cluster comparison run as a GROUPED NUMPY BLOCK
+    KERNEL per cluster — never as a pair-row self-join.
+
+    Input ``q``: one row per corpus vector with BIGINT-quantized
+    components — columns ``vec_id`` (bigint), ``qv`` (array<bigint>,
+    ``floor(x·1000)`` per component) and ``nv`` (bigint, Σqvᵢ²).
+    Output: ``cluster, id_a, id_b, cos_micro`` (all bigint) for every
+    within-cluster pair with ``id_a < id_b`` whose micro-cosine
+    ``floor(dot·10⁶ / (√na·√nb))`` meets ``thresh_micro``.
+
+    Why a block kernel (the r4 IVF lesson, re-learned as the r6 x97
+    defect): the equi-join formulation ships BOTH full quantized
+    vectors into every within-cluster pair row and evaluates an
+    interpreted 64-term lambda per pair — Σ|cluster|² pair rows, each
+    ~1 KB, measured 423 s at 40k vectors (DuckDB 12.3 s).  Here each
+    member row ships ONCE into its cluster's group and the |c|×|c|
+    pair scores exist only inside one numpy gram matrix (BLAS) —
+    pair-space work without pair-row traffic, the way faiss scans
+    list blocks.
+
+    Exactness: every qv component is a small integer, so every
+    product (≤ ~10⁶), every dot partial sum (≤ dim·10⁶) and every
+    squared norm is an integer far below 2⁵³ — float64 matmul is
+    EXACT regardless of summation order (stronger than the
+    ordered-fold argument the real-valued kernels need), and the
+    final ``floor((G·10⁶)/(√na·√nb))`` applies the same three IEEE
+    ops in the same order as the oracle's scalar expression.
+
+    Scale contract (SemDeDup's own recipe — the paper clusters web
+    embeddings into ~10⁵ clusters): ``k_clusters`` must GROW with the
+    corpus, ~√N (the `effective_stride` pattern), so expected cluster
+    size is ~√N and per-cluster pair work Σ|c|² ≈ N^1.5/K stays
+    linear-ish; a FIXED K makes pair work Θ(N²/K) — quadratic, the
+    r6 measured defect.  Declared-fixture callers (x97, K=8) keep the
+    tiny-K semantics for the oracle pair; the kernel still removes
+    the pair-row traffic and interpreted dot, and HOT-CLUSTER
+    CHUNKING bounds per-task memory for any quantizer skew: clusters
+    larger than ``max_block`` split into hash chunks, the group key
+    becomes (cluster, block_a, block_b), and each row replicates to
+    the ``nch`` blocks it participates in — every pair still meets
+    exactly once, per-task score blocks are ≤ max_block².
+
+    Driver-side state: the K×dim codebook (first ``k_clusters``
+    vectors by vec_id — the deterministic x94/x44 coarse-quantizer
+    idiom) — O(k_clusters), collected once; assignment is one
+    vectorized Arrow pass per vector (argmin of integer-exact squared
+    distance, ties to the lowest cid, matching the oracle's
+    ``row_number() OVER (ORDER BY dd, cid)``).
+
+    Reference parity: the reference has no semantic dedup; this is a
+    north-star LLM-pipeline operator (SemDeDup §3: k-means cluster →
+    within-cluster cosine → drop above threshold).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if k_clusters <= 0:
+        raise ValueError("k_clusters must be positive")
+
+    # One count job up front: materializes the (lazy) checkpoint below
+    # in full before the partial-partition codebook collect, and
+    # decides whether the hot-cluster chunk machinery is needed at all
+    # (for a corpus that fits one block per cluster the plan compiles
+    # to a bare groupBy — the x44 small-scale-floor precedent).
+    q = q.select("vec_id", "qv", "nv").transform(materialize, eager=False)
+    n_rows = q.count()
+    chunking = n_rows > max_block
+
+    cent_rows = q.orderBy("vec_id").limit(k_clusters).collect()
+    C = np.array([r["qv"] for r in cent_rows], dtype=np.float64)
+    cn2 = np.array([r["nv"] for r in cent_rows], dtype=np.float64)
+
+    @pandas_udf("bigint")
+    def _assign(qvs, nvs):
+        if len(qvs) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(qvs.to_numpy()).astype(np.float64)
+        nv = nvs.to_numpy().astype(np.float64)
+        # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² — every term an exact integer
+        # (< 2⁵³), so argmin is exact; np.argmin's first-occurrence
+        # rule IS the lowest-cid tie-break (cids are 0..K−1 in array
+        # order by construction).
+        dd = nv[:, None] - 2.0 * (A @ C.T) + cn2[None, :]
+        return pd.Series(np.argmin(dd, axis=1).astype(np.int64))
+
+    assigned = q.withColumn("cluster",
+                            _assign.asNondeterministic()("qv", "nv"))
+
+    def _pair_block(pdf):
+        cols = {"cluster": "int64", "id_a": "int64",
+                "id_b": "int64", "cos_micro": "int64"}
+        if len(pdf) < 2:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        cl = np.int64(pdf["cluster"].iloc[0])
+        if "_ba" in pdf.columns:
+            ba = int(pdf["_ba"].iloc[0]); bb = int(pdf["_bb"].iloc[0])
+            left = pdf[pdf["_och"] == ba]
+            right = pdf[pdf["_och"] == bb] if bb != ba else left
+        else:
+            left = right = pdf
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        ida = left["vec_id"].to_numpy(dtype=np.int64)
+        idb = right["vec_id"].to_numpy(dtype=np.int64)
+        A = np.stack(left["qv"].to_numpy()).astype(np.float64)
+        B = (A if right is left
+             else np.stack(right["qv"].to_numpy()).astype(np.float64))
+        sa = np.sqrt(left["nv"].to_numpy(dtype=np.float64))
+        sb = (sa if right is left
+              else np.sqrt(right["nv"].to_numpy(dtype=np.float64)))
+        G = A @ B.T                     # exact: integer entries < 2⁵³
+        # same IEEE op order as the oracle scalar expression:
+        # (dot · 1e6) / (√na · √nb), then floor
+        cm = np.floor((G * 1e6) / (sa[:, None] * sb[None, :]))
+        # every unordered pair meets exactly ONCE: in the same-block
+        # case the strict id triangle dedups the symmetric entries; in
+        # the cross-block case each left×right pair is unique (the
+        # symmetric (bb, ba) group key never forms), so the pair is
+        # kept whichever side holds the smaller id and NORMALIZED to
+        # (min_id, max_id) — cos is order-symmetric (same G entry,
+        # √na·√nb commutes)
+        mask = cm >= thresh_micro
+        if right is left:
+            mask &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame({
+            "cluster": pd.Series(np.full(len(ii), cl), dtype="int64"),
+            "id_a": pd.Series(np.minimum(ida[ii], idb[jj]), dtype="int64"),
+            "id_b": pd.Series(np.maximum(ida[ii], idb[jj]), dtype="int64"),
+            "cos_micro": pd.Series(cm[ii, jj].astype(np.int64),
+                                   dtype="int64")})
+
+    out_schema = "cluster bigint, id_a bigint, id_b bigint, cos_micro bigint"
+    if not chunking:
+        return assigned.groupBy("cluster").applyInPandas(_pair_block,
+                                                         out_schema)
+    # Two-stage hot-cluster guard: the corpus is big enough that ONE
+    # cluster COULD exceed max_block, so materialize the assignment
+    # once (EAGER pinned — it feeds the size probe and the kernel
+    # input; a lazy checkpoint across concurrent branches races) and
+    # read the K-row cluster histogram (driver-bounded by k_clusters,
+    # the codebook-collect boundedness argument).  When every cluster
+    # fits a block — the normal case under the K ~ √N contract — the
+    # plan stays the bare groupBy kernel: the explode/broadcast-join/
+    # repartition machinery measured +2-3 s of pure overhead at 40k
+    # vectors when no cluster needed splitting.
+    assigned = assigned.transform(materialize, eager=True, pinned=True)
+    max_sz = (assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_n")).agg(
+        F.max("_n").alias("m")).collect()[0]["m"]) or 0
+    if max_sz <= max_block:
+        return assigned.groupBy("cluster").applyInPandas(_pair_block,
+                                                         out_schema)
+    # Hot-cluster chunking (x44 idiom): clusters above max_block split
+    # into nch = ⌈|c|/max_block⌉ hash chunks; a row in chunk c joins
+    # block (min(c, x), max(c, x)) for every x — each unordered chunk
+    # pair forms ONCE (the symmetric (bb, ba) key never exists), each
+    # row replicates nch times, per-task score blocks ≤ max_block².
+    sizes = (assigned.groupBy("cluster")
+             .agg(F.greatest(F.lit(1),
+                             F.ceil(F.count(F.lit(1)) / max_block))
+                  .cast("int").alias("_nch")))
+    own = F.pmod(F.xxhash64("vec_id"), F.col("_nch"))
+    chunked = (assigned.join(F.broadcast(sizes), "cluster")
+               .select("vec_id", "qv", "nv", "cluster", own.alias("_och"),
+                       F.explode(F.sequence(F.lit(0), F.col("_nch") - 1))
+                        .alias("_xch")))
+    # distinct x ⇒ distinct (least, greatest) blocks for a fixed own
+    # chunk, so no dedup pass is needed — each row lands in exactly
+    # nch distinct blocks
+    chunked = chunked.select(
+        "vec_id", "qv", "nv", "cluster", "_och",
+        F.least("_och", "_xch").alias("_ba"),
+        F.greatest("_och", "_xch").alias("_bb"))
+    n_parts = max(4 * int(q.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200")), 128)
+    chunked = chunked.repartition(n_parts, "cluster", "_ba", "_bb")
+    return chunked.groupBy("cluster", "_ba", "_bb").applyInPandas(
+        _pair_block, out_schema)

@@ -3491,15 +3491,20 @@ def x96(spark, sf_dir):
 # corpus²).  Clustering is one fixed assignment pass against a
 # K-vector codebook (the x44 coarse-quantizer idiom, deterministic:
 # first K vectors by id), expressed exactly like x94's assignment —
-# the whole K×dim codebook is ONE broadcast row and per-vector argmin
-# runs inside the row as a zero-shuffle projection.  Within-cluster
-# pairs then equi-join on the cluster id; dot/norms are BIGINT-exact
-# over floor-quantized components, rendered as the same
-# floor(dot·10⁶/(√na·√nb)) micro-cosine x87 uses (driver-safe).
+# assignment is one vectorized Arrow argmin pass against the K×dim
+# codebook, and the within-cluster comparison is a grouped per-cluster
+# NUMPY GRAM-MATRIX kernel (operators/similarity.py:semantic_dedup) —
+# members ship once into their cluster's group, pair scores exist only
+# inside a BLAS block, never as rows (the r6 pair-join formulation
+# measured 423 s at 40k vectors; the kernel reads seconds).  Dot/norms
+# are BIGINT-exact over floor-quantized components, rendered as the
+# same floor(dot·10⁶/(√na·√nb)) micro-cosine x87 uses (driver-safe).
 # Fixture near-dups: the x33 derived corpus (scale-perturbed twins,
-# cosine-invariant).  Scale: one scan + broadcast projection + one
-# hash-partitioned self-join keyed by cluster; no window over the
-# corpus, no LSH tuning parameter, no pair ever leaves its cluster.
+# cosine-invariant).  Scale: one scan + Arrow assignment + one
+# hash-partitioned grouped kernel keyed by cluster with hot-cluster
+# chunking; no pair row ever materializes, no pair leaves its cluster;
+# K must scale ~√N (SemDeDup's own recipe) — the operator docstring
+# carries the contract, the fixture keeps K=8 for the declared oracle.
 # --------------------------------------------------------------------------
 _SEMDEDUP_K = 8
 _SEMDEDUP_THRESH = 995_000   # cos_micro admission bound
@@ -3538,7 +3543,7 @@ SELECT cluster, id_a, id_b, cos_micro
 FROM pairs WHERE cos_micro >= {_SEMDEDUP_THRESH}
 ORDER BY id_a, id_b""")
 def x97(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.similarity import semantic_dedup
 
     base = (_t(spark, sf_dir, "embeddings")
             .select("vec_id",
@@ -3551,39 +3556,14 @@ def x97(spark, sf_dir):
                                  F.floor(x * 1000).cast("bigint"))
                       .alias("qv"))
              .withColumn("nv", F.aggregate(
-                 "qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x))
-             .transform(materialize, eager=False))  # codebook + both join sides read
-    # K×dim codebook state as ONE broadcast row (x94 idiom)
-    cents = (q.orderBy("vec_id").limit(_SEMDEDUP_K)
-              .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
-                       .alias("cid"),
-                      F.col("qv").alias("cv"))
-              .agg(F.collect_list(F.struct("cid", "cv")).alias("cs")))
-    dd = lambda s: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("qv"), s["cv"], lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("bigint"), lambda a, x: a + x)
-    asg = (q.crossJoin(F.broadcast(cents))
-            .select("vec_id", "qv", "nv",
-                    F.array_min(F.transform("cs", lambda s:
-                        F.struct(dd(s).alias("dd"), s["cid"].alias("cid"))))
-                     ["cid"].alias("cluster")))
-    a = asg.select(F.col("vec_id").alias("id_a"), "cluster",
-                   F.col("qv").alias("qa"), F.col("nv").alias("na"))
-    b = asg.select(F.col("vec_id").alias("id_b"),
-                   F.col("cluster").alias("_cb"),
-                   F.col("qv").alias("qb"), F.col("nv").alias("nb"))
-    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
-                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    return (a.join(b, (F.col("cluster") == F.col("_cb"))
-                   & (F.col("id_a") < F.col("id_b")))
-             .withColumn("cos_micro",
-                         F.floor(dot * F.lit(1000000.0)
-                                 / (F.sqrt("na") * F.sqrt("nb")))
-                          .cast("bigint"))
-             .filter(F.col("cos_micro") >= _SEMDEDUP_THRESH)
-             .select(F.col("cluster").cast("bigint"), "id_a", "id_b",
-                     "cos_micro")
-             .transform(bounded_sort, "id_a", "id_b"))
+                 "qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x)))
+    # K=8 is the declared fixture semantics (the oracle pins the same
+    # 8-vector codebook); the operator's scale contract — K ~ √N plus
+    # hot-cluster chunking — is documented and crossover-measured on
+    # semantic_dedup itself (BASELINE.md r7).
+    return (semantic_dedup(q, k_clusters=_SEMDEDUP_K,
+                           thresh_micro=_SEMDEDUP_THRESH)
+            .transform(bounded_sort, "id_a", "id_b"))
 
 
 # --------------------------------------------------------------------------

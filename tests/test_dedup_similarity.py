@@ -224,3 +224,78 @@ def test_ivf_codebook_capped(spark, sf_dir):
     n_cent = len([i for i in range(n) if i % stride == 0])
     assert n_cent <= cap + 1
     assert out.count() > 0
+
+
+def _sem_input(spark, n=60, dim=8, seed=7):
+    """Deterministic BIGINT-quantized vectors with planted near-dup
+    twins (scaled copies — cosine-invariant, the x97 fixture idiom)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rng.randint(-1000, 1000) for _ in range(dim)]
+        if all(x == 0 for x in v):
+            v[0] = 1
+        rows.append((i, v))
+        if i % 5 == 0:                       # twin: exact scaled copy
+            rows.append((i + 10_000, [x * 2 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, qv array<bigint>")
+    return df.withColumn("nv", F.aggregate(
+        "qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x))
+
+
+def _sem_brute(rows, k, thresh):
+    """Driver-side reference: same codebook/assignment/score rules."""
+    import math
+
+    rows = sorted(rows, key=lambda r: r[0])
+    cents = [r[1] for r in rows[:k]]
+    out = []
+    asg = {}
+    for vid, qv, nv in rows:
+        dds = [(sum((x - c) ** 2 for x, c in zip(qv, cv)), cid)
+               for cid, cv in enumerate(cents)]
+        asg[vid] = (min(dds)[1], qv, nv)
+    for (ida, (ca, qa, na)) in asg.items():
+        for (idb, (cb, qb, nb)) in asg.items():
+            if ida < idb and ca == cb:
+                dot = sum(x * y for x, y in zip(qa, qb))
+                cm = math.floor((dot * 1e6) / (math.sqrt(na) * math.sqrt(nb)))
+                if cm >= thresh:
+                    out.append((ca, ida, idb, cm))
+    return sorted(out)
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    from enexory_parquet_export_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = _sem_input(spark)
+    rows = [(r["vec_id"], r["qv"], r["nv"]) for r in df.collect()]
+    want = _sem_brute(rows, k=4, thresh=995_000)
+    got = sorted(tuple(r) for r in semantic_dedup(
+        df, k_clusters=4, thresh_micro=995_000).collect())
+    assert got == want
+    # every planted twin pair must be found (cos == 1 ⇒ micro 1e6 or
+    # 999999 after floor; ≥ threshold either way)
+    found = {(a, b) for _, a, b, _ in got}
+    assert all((i, i + 10_000) in found for i in range(0, 60, 5))
+
+
+def test_semantic_dedup_chunked_value_identical(spark):
+    """Hot-cluster chunking (max_block smaller than every cluster)
+    must reproduce the bare per-cluster kernel exactly — every pair
+    meets once, whichever chunk pair it lands in."""
+    from enexory_parquet_export_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = _sem_input(spark, n=80)
+    base = sorted(tuple(r) for r in semantic_dedup(
+        df, k_clusters=3, thresh_micro=900_000).collect())
+    chunked = sorted(tuple(r) for r in semantic_dedup(
+        df, k_clusters=3, thresh_micro=900_000, max_block=7).collect())
+    assert chunked == base
+    assert len(base) > 0
