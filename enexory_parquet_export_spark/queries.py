@@ -738,13 +738,20 @@ def q25(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Q26 set-containment maximum analog (O20: HA/orchestrator.py:584-633 —
 # GTID subset partial order, restated over per-user event-type sets).
-# CONTRACT: the pairwise theta join (nested loop) is node-count-bounded
-# by construction — the reference operator compares GTID sets across
-# the handful of nodes in one replication cluster, and this analog
-# keeps the probe side bounded (`user_a % 10 = 0` decimates it 10×).
-# If the fixture ever grows the probe side past O(10³), re-block it
-# (e.g. bucket both sides on a set-hash prefix) before scaling up —
-# the pairwise shape is faithful to the reference, not a plan defect.
+# The declared output reports EVERY decimated pair (subset or not), so
+# Θ(|probe|·|users|) rows is the lower bound of any plan — the r6 sf1
+# defect (27.8 s vs DuckDB 1.86 s) was not the pair count but the pair
+# PAYLOAD: each pair row carried two full type arrays and evaluated an
+# interpreted `array_except` per pair.  The contracted re-block (the
+# small-alphabet subset-closure encoding): the event-type alphabet is a
+# tiny closed vocabulary (5 values in the fixture; guarded ≤ 63), so
+# each user's type set packs into ONE BIGINT bitmask via a per-event
+# shifted bit + `bit_or` hash agg, the decimated probe side broadcasts
+# as bare (id, mask) longs, and containment is `(ma & mb) == ma` — two
+# integer ops inside whole-stage codegen, pair rows 3 longs wide.  The
+# plan is output-bound at any scale; GTID sets wider than 63 server
+# uuids would re-block on a mask prefix instead (same encoding,
+# bucketed equi-join on the high bits) — guarded loudly below.
 # --------------------------------------------------------------------------
 @declared("q26_set_containment", """
 WITH sets AS (
@@ -756,14 +763,34 @@ FROM sets a JOIN sets b
   ON a.user_id < b.user_id AND a.user_id % 10 = 0
 ORDER BY user_a, user_b""")
 def q26(spark, sf_dir):
-    sets = (_t(spark, sf_dir, "events").groupBy("user_id")
-            .agg(F.collect_set("event_type").alias("types")))
-    a = sets.select(F.col("user_id").alias("user_a"), F.col("types").alias("ta"))
-    b = sets.select(F.col("user_id").alias("user_b"), F.col("types").alias("tb"))
-    return (a.filter(F.col("user_a") % 10 == 0)
-             .join(b, F.col("user_a") < F.col("user_b"))
+    ev = _t(spark, sf_dir, "events")
+    # the alphabet collect is bounded by the closed event-type
+    # vocabulary (the codebook-collect boundedness argument); sorted so
+    # bit positions are engine-independent
+    alpha = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    if len(alpha) > 63:
+        raise ValueError(
+            f"q26: event-type alphabet has {len(alpha)} values — the "
+            "single-BIGINT subset encoding holds ≤ 63; re-block on a "
+            "mask prefix (bucketed equi-join on the high bits) before "
+            "scaling this alphabet")
+    pos = F.array_position(F.array(*[F.lit(t) for t in alpha]),
+                           F.col("event_type"))
+    bit = F.element_at(F.array(*[F.lit(1 << i).cast("bigint")
+                                 for i in range(len(alpha))]),
+                       pos.cast("int"))
+    sets = (ev.select("user_id", bit.alias("b"))
+              .groupBy("user_id").agg(F.bit_or("b").alias("mask")))
+    a = sets.filter(F.col("user_id") % 10 == 0).select(
+        F.col("user_id").alias("user_a"), F.col("mask").alias("ma"))
+    b = sets.select(F.col("user_id").alias("user_b"),
+                    F.col("mask").alias("mb"))
+    # decimated probe side broadcast: the nested-loop pair stream is
+    # 3-longs-wide rows with a 2-op codegen predicate — output-bound
+    return (b.join(F.broadcast(a), F.col("user_a") < F.col("user_b"))
              .select("user_a", "user_b",
-                     (F.size(F.array_except("ta", "tb")) == 0).alias("a_subset_b"))
+                     (F.col("ma").bitwiseAND(F.col("mb")) == F.col("ma"))
+                      .alias("a_subset_b"))
              .orderBy("user_a", "user_b"))
 
 
