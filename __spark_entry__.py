@@ -43,23 +43,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #        advice) + x55/x56/x59/x66/x72 + new x93–x96, tail q11–q17 —
 #        ALL green (CORRECTNESS_r05 50/50).
 #        x53/x74 are rows-only sketches and never occupy a slot.
-#   r6 (this round): the r4 band returns after one round out —
-#        q11–q29 plus x57/x58/x60/x62–x65/x67–x71/x73/x75–x92
-#        (31 x-queries; x59/x66/x72 sat r5 slots, x74 rows-only).
-#        That is exactly 50 slots; declared x93–x96 semantics are
-#        unchanged this round (the r6 hybrid BPE is a separate mode),
-#        so they can sit out after their r5 green.  Nothing is ever
-#        >2 rounds without a driver row.  x97/x98 are NEW in r6
-#        (SemDeDup, duplicated-passage spans) — they join the
-#        rotation from r7; this round they are local-gate-only.
-#   r7+: rotate q01–q10 + x30–x56 + x93–x98 back in.
-_R6_XBAND: tuple[int, ...] = (
-    57, 58, 60, 62, 63, 64, 65, 67, 68, 69, 70, 71, 73,
-    *range(75, 93),                                # x75..x92
+#   r6: the r4 band returned after one round out — q11–q29 plus
+#        x57/x58/x60/x62–x65/x67–x71/x73/x75–x92 (31 x-queries;
+#        x59/x66/x72 sat r5 slots, x74 rows-only).  ALL green
+#        (CORRECTNESS_r06 50/50).  x97/x98 were NEW in r6 and
+#        local-gate-only that round.
+#   r7 (this round): per the r6 ledger plan — q01–q10 + x30–x52 +
+#        x54/x55/x56 (the r5 band, one round out) + x59/x66/x72
+#        (green r5, must not go >2 rounds) + x93–x98 (x97 joins the
+#        rotation for its FIRST driver row, post the r7 kernel
+#        rework; x98 likewise) + tail q11–q15.  Exactly 50 slots.
+#        The r6 band (q16–q29 + x57–x92 remainder) sits out after
+#        its green round.
+#   r8+: rotate the r6 band back in (q16–q29 + x57/x58/x60/
+#        x62–x65/x67–x71/x73/x75–x92), tail from q01–q10.
+_R7_XBAND: tuple[int, ...] = (
+    *range(30, 53),                                # x30..x52 (x53 rows-only)
+    54, 55, 56, 59, 66, 72,
+    *range(93, 99),                                # x93..x98
 )
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(11, 30)),         # q11..q29
-    *(f"x{i}" for i in _R6_XBAND),
+    *(f"q{i:02d}" for i in range(1, 11)),          # q01..q10
+    *(f"x{i}" for i in _R7_XBAND),
+    *(f"q{i:02d}" for i in range(11, 16)),         # tail fill q11..q15
 )
 
 

@@ -110,12 +110,13 @@ def test_driver_window_covers_contract_core():
     names = list(entrymod.queries())
     first50 = names[:50]
     window = set(first50)
-    # r6 window: the r4 band returns after one round out — q11–q29 +
-    # x57/x58/x60/x62–x65/x67–x71/x73/x75–x92 (exactly 50 slots; the
-    # r5 band q01–q10 + x30–x56 + x93–x96 sits out after its green
-    # round — see the rotation ledger in the module)
-    must = {f"q{i:02d}" for i in range(11, 30)}
-    must |= {f"x{i}" for i in entrymod._R6_XBAND}
+    # r7 window: q01–q10 + x30–x52/x54–x56 (the r5 band, one round
+    # out) + x59/x66/x72 + x93–x98 (x97/x98's FIRST driver slots,
+    # post the x97 kernel rework) + tail q11–q15 (exactly 50 slots;
+    # the r6 band sits out after its green round — see the rotation
+    # ledger in the module)
+    must = {f"q{i:02d}" for i in range(1, 16)}
+    must |= {f"x{i}" for i in entrymod._R7_XBAND}
     prefixes = {n.split("_")[0] for n in window}
     missing = must - prefixes
     assert not missing, f"driver window misses rotation set: {sorted(missing)}"
