@@ -112,18 +112,21 @@ def main() -> int:
             # materialize counter nor run a build job, yet its steady
             # re-execution would read columnar cache and under-report.
             # CacheManager registers a DataFrame persist at MARK time
-            # (before any action — verified on 4.1.2), so a non-empty
-            # transition during construction marks impure; the RDD
+            # (before any action — verified on 4.1.2), so an ENTRY-
+            # COUNT increase during construction marks impure (r6
+            # ADVICE: the empty→non-empty transition degraded to the
+            # materialized-blocks-only RDD check as soon as any
+            # earlier query left a lingering entry); the RDD
             # storage-info count covers raw rdd.persist() paths.
             _cm = spark._jsparkSession.sharedState().cacheManager()
-            cached0 = not _cm.isEmpty()
+            cached0 = _cm.cachedData().size()
             rdds0 = len(sc._jsc.sc().getRDDStorageInfo())
             sc.setJobGroup(f"bench-build-{name}", name)
             df = qs[name](spark, sf_dir)   # plan construction billed here
             impure = (_session.MATERIALIZE_COUNT > ck0
                       or bool(tracker.getJobIdsForGroup(
                           f"bench-build-{name}"))
-                      or (not cached0 and not _cm.isEmpty())
+                      or _cm.cachedData().size() > cached0
                       or len(sc._jsc.sc().getRDDStorageInfo()) > rdds0)
             sc.setJobGroup(f"bench-run-{name}", name)
             df.write.format("noop").mode("overwrite").save()

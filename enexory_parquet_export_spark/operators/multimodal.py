@@ -136,9 +136,18 @@ def _pnm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
 
 def decode_pnm(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
     """PNM bytes → (width, height, channels, uint8 array of shape
-    (height, width, channels))."""
+    (height, width, channels)).
+
+    Samples are rescaled to the canonical 0..255 range by exact
+    integer arithmetic (``s·255 // maxval``) when the header declares
+    ``maxval < 255`` — without it a maxval=15 PGM reads as near-black
+    to :func:`pnm_features` and a resize re-encode (maxval 255) would
+    silently change pixel semantics (r6 ADVICE).  The byte-exact
+    round-trip claim therefore holds exactly for canonical maxval=255
+    inputs; sub-255 inputs are normalized on decode, deterministically.
+    """
     buf = bytes(payload)
-    magic, width, height, _maxval, off = _pnm_header(buf)
+    magic, width, height, maxval, off = _pnm_header(buf)
     channels = 3 if magic == b"P6" else 1
     need = width * height * channels
     raster = buf[off : off + need]
@@ -147,6 +156,9 @@ def decode_pnm(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
             f"PNM raster truncated: need {need}, have {len(raster)}")
     arr = np.frombuffer(raster, dtype=np.uint8).reshape(
         height, width, channels)
+    if maxval != 255:
+        arr = np.minimum(arr.astype(np.int64), maxval) * 255 // maxval
+        arr = arr.astype(np.uint8)
     return width, height, channels, arr
 
 
@@ -209,7 +221,14 @@ def _decode_auto(payload: bytes) -> list[float]:
     codec for (the per-payload sniff keeps mixed-format media tables
     in one mapInPandas stage — no split/union shuffle)."""
     if payload is not None and is_pnm(payload):
-        return pnm_features(payload)
+        try:
+            return pnm_features(payload)
+        except ValueError:
+            # a truncated/corrupt raster must degrade PER ROW, not
+            # fail the whole mapInPandas stage — one bad payload in a
+            # large media table would otherwise kill the job (r6
+            # ADVICE); the stub features mark it deterministically
+            return _decode_stub(payload)
     return _decode_stub(payload)
 
 
@@ -269,7 +288,10 @@ def resize_media(media: DataFrame, *, width: int, height: int,
     """
     def _auto(payload: bytes, w: int, h: int) -> bytes:
         if is_pnm(payload):
-            return resize_pnm(payload, w, h)
+            try:
+                return resize_pnm(payload, w, h)
+            except ValueError:
+                pass   # corrupt raster → per-row stub, not stage death
         seed = hashlib.md5(payload).digest()
         reps = (w * h) // len(seed) + 1
         return (seed * reps)[: w * h]

@@ -326,3 +326,44 @@ class TestPnmCodec:
         out = M.resize_media(media, width=3, height=3).collect()[0]
         _, _, _, got = M.decode_pnm(bytes(out["payload"]))
         assert (got == arr[::2, ::2]).all()
+
+
+class TestPnmRobustness:
+    """r6 ADVICE closures: corrupt payloads degrade per-row (never a
+    stage death) and sub-255 maxval inputs are normalized on decode."""
+
+    def test_maxval_rescaled_on_decode(self):
+        import numpy as np
+        # a maxval=15 PGM: sample 15 must read as full-scale 255, not
+        # near-black
+        payload = b"P5\n2 1\n15\n" + bytes([15, 0])
+        w, h, c, arr = M.decode_pnm(payload)
+        assert (w, h, c) == (2, 1, 1)
+        assert arr.ravel().tolist() == [255, 0]
+        # mid-scale is exact integer s*255//maxval
+        payload = b"P5\n1 1\n15\n" + bytes([7])
+        assert M.decode_pnm(payload)[3].ravel().tolist() == [7 * 255 // 15]
+        # canonical inputs untouched
+        arr = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+        assert (M.decode_pnm(M.encode_pnm(arr))[3] == arr).all()
+
+    def test_corrupt_pnm_degrades_per_row_in_spark(self, spark):
+        import numpy as np
+        good = M.encode_pnm(np.full((2, 2, 1), 9, dtype=np.uint8))
+        rows = [(1, "image", good, None, None, 0),
+                (2, "image", b"P5\n4 4\n255\n\x01\x02", None, None, 0),  # truncated
+                (3, "image", b"P6 9999999 9999999 255 ", None, None, 0)]
+        media = spark.createDataFrame(
+            rows, "media_id bigint, kind string, payload binary, "
+                  "width int, height int, duration_ms bigint")
+        feats = {r["media_id"]: r["features"]
+                 for r in M.extract_features(media).collect()}
+        assert len(feats) == 3                       # stage survived
+        assert abs(feats[1][0] - 9 / 255.0) < 1e-6   # real pixel path
+        stub = M._decode_stub(rows[1][2])            # per-row stub
+        assert all(abs(a - b) < 1e-6 for a, b in zip(feats[2], stub))
+        out = {r["media_id"]: r["payload"]
+               for r in M.resize_media(media, width=2, height=2).collect()}
+        assert len(out) == 3
+        assert bytes(out[1]) == good                 # real resize path
+        assert len(bytes(out[2])) == 4               # stub pseudo-pixels

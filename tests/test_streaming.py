@@ -620,3 +620,47 @@ def test_arrow_signature_kernel_bit_parity(spark, sf_dir):
         F.col("bsig").isNull() | F.col("asig").isNull()
         | (F.col("bsig") != F.col("asig"))).count()
     assert bad == 0
+
+
+def test_bench_sweep_accounting_pinned(tmp_path):
+    """r6 sweep findings stay pinned (VERDICT r6 item 8 + ADVICE):
+    (a) flatten_parts orders `_f=` partition dirs NUMERICALLY — with
+    ≥10 dirs a lexicographic sort scrambles file-source arrival order
+    and the CDC last-applied-wins state with it; (b) the progress
+    accounting takes batch count from the last batchId (recentProgress
+    is a ~100-entry window) and input rows from the caller's
+    true_rows (numInputRows counts source SCANS, doubled by a
+    two-action foreachBatch body)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from bench_streaming import flatten_parts, summarize_progress
+
+    import pandas as pd
+
+    src = tmp_path / "parts"
+    for i in range(12):                 # _f=10/_f=11 sort before _f=2 lexically
+        d = src / f"_f={i}"
+        d.mkdir(parents=True)
+        pd.DataFrame({"v": [i]}).to_parquet(d / "part-0.parquet")
+    dest = flatten_parts(str(src), str(tmp_path / "flat"))
+    out = sorted(os.listdir(dest))
+    assert len(out) == 12
+    # dest file K must hold _f=K's rows — numeric arrival order
+    for k, fname in enumerate(out):
+        assert pd.read_parquet(os.path.join(dest, fname))["v"].tolist() == [k]
+
+    # (b) progress accounting: retained window starts at batchId 3,
+    # numInputRows double-counted by a 2-action foreachBatch
+    prog = [{"batchId": b, "batchDuration": 100, "numInputRows": 20,
+             "stateOperators": [{"numRowsTotal": 7}]}
+            for b in range(3, 8)]
+    rows, nb, durs, state = summarize_progress(prog, true_rows=50)
+    assert rows == 50          # caller truth, not 5×20 scan count
+    assert nb == 8             # last batchId + 1, not len(window)
+    assert len(durs) == 5 and state == 7
+    rows_fallback, *_ = summarize_progress(prog)
+    assert rows_fallback == 100   # documented scan-count fallback
+    assert summarize_progress([]) == (0, 0, [], None)

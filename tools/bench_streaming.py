@@ -49,16 +49,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _drain(query, timeout=1800, true_rows=None):
-    """Drain and summarize.  Two metric traps (found in the r6 sweep):
-    ``recentProgress`` retains only the last ~100 entries, and
-    ``numInputRows`` counts source SCANS — a foreachBatch body that
-    runs two actions over the micro-batch doubles it.  So when the
-    caller knows the true source row count it passes ``true_rows``,
-    and the batch count comes from the last batchId, not the retained
-    progress list (batch durations stay a recent-window sample)."""
-    query.awaitTermination(timeout)
-    prog = [p for p in (query.recentProgress or []) if p]
+def summarize_progress(prog: list, true_rows=None):
+    """Pure accounting over a streaming query's progress list —
+    split from :func:`_drain` so the two metric traps the r6 sweep
+    found stay PINNED by pytest (tests/test_streaming.py):
+
+    - ``recentProgress`` retains only the last ~100 entries, so the
+      batch count must come from the last ``batchId``, not
+      ``len(prog)`` (batch durations stay a recent-window sample);
+    - ``numInputRows`` counts source SCANS — a foreachBatch body that
+      runs two actions over the micro-batch doubles it — so when the
+      caller knows the true source row count it passes ``true_rows``.
+    """
+    prog = [p for p in (prog or []) if p]
     durs = [p["batchDuration"] / 1000.0 for p in prog
             if p.get("batchDuration") and p.get("numInputRows")]
     rows = (true_rows if true_rows is not None
@@ -71,6 +74,30 @@ def _drain(query, timeout=1800, true_rows=None):
             state = ops[0].get("numRowsTotal")
             break
     return rows, nb, durs, state
+
+
+def _drain(query, timeout=1800, true_rows=None):
+    query.awaitTermination(timeout)
+    return summarize_progress(query.recentProgress, true_rows)
+
+
+def flatten_parts(src_dir: str, dest: str) -> str:
+    """Flatten ``_f=N`` partition dirs into ``NNNNN.parquet`` append
+    files in NUMERIC partition order.  A lexicographic dir sort puts
+    ``_f=10`` before ``_f=2`` once there are ≥10 files, scrambling the
+    file-source arrival order the sweep's per-batch workload depends
+    on (r6 ADVICE) — last-applied-wins CDC state then reflects a
+    permuted changelog and batch-size points stop being comparable."""
+    os.makedirs(dest, exist_ok=True)
+    i = 0
+    dirs = [d for d in os.listdir(src_dir) if d.startswith("_f=")]
+    for d in sorted(dirs, key=lambda d: int(d.split("=", 1)[1])):
+        for f in sorted(os.listdir(os.path.join(src_dir, d))):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src_dir, d, f),
+                            os.path.join(dest, f"{i:05d}.parquet"))
+                i += 1
+    return dest
 
 
 def main() -> int:
@@ -119,20 +146,7 @@ def main() -> int:
               f"rate={rows/wall:,.0f}/s batches={nb} "
               f"batch mean/max={mean_d:.2f}/{max_d:.2f}s state={state}")
 
-    def flat_files(src_dir: str, dest: str) -> str:
-        """Flatten partitioned parquet dirs into NNNNN.parquet append
-        files (the file-source arrival order)."""
-        os.makedirs(dest, exist_ok=True)
-        i = 0
-        for d in sorted(os.listdir(src_dir)):
-            if not d.startswith("_f="):
-                continue
-            for f in sorted(os.listdir(os.path.join(src_dir, d))):
-                if f.endswith(".parquet"):
-                    shutil.copy(os.path.join(src_dir, d, f),
-                                os.path.join(dest, f"{i:05d}.parquet"))
-                    i += 1
-        return dest
+    flat_files = flatten_parts          # numeric partition order
 
     def row_split(df, order_col: str, per_file: int, path: str) -> str:
         """Split df into files of exactly per_file rows in order_col
@@ -213,17 +227,7 @@ def main() -> int:
         .repartition("_f").write.partitionBy("_f")
         .mode("overwrite").parquet(log_src))
     # flatten the partition dirs into plain append files
-    flat = os.path.join(work, "changelog_flat")
-    os.makedirs(flat)
-    i = 0
-    for d in sorted(os.listdir(log_src)):
-        if not d.startswith("_f="):
-            continue
-        for f in sorted(os.listdir(os.path.join(log_src, d))):
-            if f.endswith(".parquet"):
-                shutil.copy(os.path.join(log_src, d, f),
-                            os.path.join(flat, f"{i:05d}.parquet"))
-                i += 1
+    flat = flatten_parts(log_src, os.path.join(work, "changelog_flat"))
 
     # ---- 1. CDC merge stream (2 files per trigger) ----
     mirror = os.path.join(work, "mirror")
@@ -257,18 +261,7 @@ def main() -> int:
         (u.withColumn("_f", F.expr(f"(doc_id % 10000000) DIV {max(per_d // mult, 1)}"))
           .repartition("_f").write.partitionBy("_f")
           .mode("overwrite").parquet(path))
-        flat_d = path + "_flat"
-        os.makedirs(flat_d, exist_ok=True)
-        j = 0
-        for d in sorted(os.listdir(path)):
-            if not d.startswith("_f="):
-                continue
-            for f in sorted(os.listdir(os.path.join(path, d))):
-                if f.endswith(".parquet"):
-                    shutil.copy(os.path.join(path, d, f),
-                                os.path.join(flat_d, f"{j:05d}.parquet"))
-                    j += 1
-        return flat_d
+        return flatten_parts(path, path + "_flat")
 
     schema = "doc_id bigint, text string, n_tokens bigint"
     for mult in (1, 2, 3):
