@@ -785,13 +785,24 @@ def q26(spark, sf_dir):
         F.col("user_id").alias("user_a"), F.col("mask").alias("ma"))
     b = sets.select(F.col("user_id").alias("user_b"),
                     F.col("mask").alias("mb"))
-    # decimated probe side broadcast: the nested-loop pair stream is
-    # 3-longs-wide rows with a 2-op codegen predicate — output-bound
-    return (b.join(F.broadcast(a), F.col("user_a") < F.col("user_b"))
+    # pair generation IS the sort: range-partition the TINY decimated
+    # probe side by user_a (the outer sort key) and nested-loop it
+    # against the broadcast mask relation — each output partition then
+    # holds a contiguous user_a range and one parallel in-partition
+    # sort yields the declared total order with NO exchange over the
+    # Θ(|probe|·|users|) pair stream (a post-join orderBy measured 6 s
+    # of its 6.9 s total at sf1×10: range-sampling re-runs the join
+    # and every pair row crosses the wire; this plan reads 1.1 s).
+    # The broadcast side is |users|·16 B masks; if the user domain
+    # ever outgrows broadcast, swap roles (broadcast the decimated
+    # probe, stream b) and pay the pair-stream range sort — the GTID
+    # domain the operator models (nodes of one cluster) never does.
+    return (a.repartitionByRange(32, "user_a")
+             .join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
              .select("user_a", "user_b",
                      (F.col("ma").bitwiseAND(F.col("mb")) == F.col("ma"))
                       .alias("a_subset_b"))
-             .orderBy("user_a", "user_b"))
+             .sortWithinPartitions("user_a", "user_b"))
 
 
 # --------------------------------------------------------------------------

@@ -25,11 +25,21 @@ Timestamps are cast to TIMESTAMP_NTZ before writing so the scaled
 parquet matches the fixture's naive (isAdjustedToUTC=false) layout and
 both engines read identical wall clocks.
 
-Spark runs each query once (construction + execution, bench.py's
-first-run billing) via noop write; DuckDB runs each oracle once via
-``.arrow()`` with a per-query interrupt timeout.  x53/x74 are
-rows-only (no oracle) and appear Spark-side only; totals are reported
-for the PAIRED subset on both engines.
+Billing (r6 verdict #7 — bench.py's purity-aware steady pass, ported):
+each Spark query runs TWICE via noop write.  The first run bills
+construction + execution (one-off codegen JIT, checkpoint builds).
+The steady run rebuilds from scratch when construction had side
+effects (a moved ``session.MATERIALIZE_COUNT``, any job under the
+construction job group, or a grown CacheManager entry count) — so
+checkpoint prefixes re-materialize inside the timed run — and
+re-executes the same DataFrame object otherwise (full re-optimize +
+re-run; only client-side plan construction is skipped).  The per-query
+table and the headline ratio use STEADY; first-run totals stay in the
+JSON.  DuckDB runs each oracle once via ``.arrow()`` with a per-query
+interrupt timeout (no build phase to separate; the page cache is warm
+from the Spark pass).  x53/x74 are rows-only (no oracle) and appear
+Spark-side only; totals are reported for the PAIRED subset on both
+engines.
 
 Usage::
 
@@ -113,10 +123,14 @@ def main() -> int:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     import __spark_entry__ as entrymod
+    from enexory_parquet_export_spark import session as _session
     from enexory_parquet_export_spark.session import get_spark
 
     spark = get_spark("paired-sf1")
     spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    _cm = spark._jsparkSession.sharedState().cacheManager()
     sf1 = build_sf1(spark, copies)
     print(f"sf1 dir: {sf1}", flush=True)
 
@@ -135,16 +149,38 @@ def main() -> int:
     con.execute(oracles[next(n for n in names if n in oracles)]).arrow()
 
     spark_t: dict[str, float] = {}
+    spark_steady: dict[str, float] = {}
+    spark_build: dict[str, float] = {}
+    rebuilt: list[str] = []
     duck_t: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         try:
-            qs[name](spark, sf1).write.format("noop") \
-                .mode("overwrite").save()
+            ck0 = _session.MATERIALIZE_COUNT
+            cached0 = _cm.cachedData().size()
+            sc.setJobGroup(f"sf1-build-{name}", name)
+            df = qs[name](spark, sf1)
+            impure = (_session.MATERIALIZE_COUNT > ck0
+                      or bool(tracker.getJobIdsForGroup(
+                          f"sf1-build-{name}"))
+                      or _cm.cachedData().size() > cached0)
+            sc.setJobGroup(f"sf1-run-{name}", name)
+            df.write.format("noop").mode("overwrite").save()
             spark_t[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            if impure:
+                rebuilt.append(name)
+                df2 = qs[name](spark, sf1)
+                spark_build[name] = round(time.perf_counter() - t0, 3)
+            else:
+                df2 = df
+                spark_build[name] = 0.0
+            df2.write.format("noop").mode("overwrite").save()
+            spark_steady[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:
             print(f"SPARK ERROR {name}: {str(exc)[:200]}", file=sys.stderr)
             spark_t[name] = -1.0
+            spark_steady[name] = -1.0
         if name not in oracles:
             continue
         timer = threading.Timer(duck_timeout, con.interrupt)
@@ -158,27 +194,35 @@ def main() -> int:
             duck_t[name] = -1.0
         finally:
             timer.cancel()
-        s, d = spark_t[name], duck_t[name]
+        s, d = spark_steady[name], duck_t[name]
         ratio = f"{s / d:.2f}×" if s > 0 and d > 0 else "—"
         print(f"| {name} | {d if d > 0 else 'DNF'} "
+              f"| {spark_t[name] if spark_t[name] > 0 else 'ERR'} "
               f"| {s if s > 0 else 'ERR'} | {ratio} |", flush=True)
 
     paired = [n for n in names
-              if spark_t.get(n, -1) > 0 and duck_t.get(n, -1) > 0]
-    ts = round(sum(spark_t[n] for n in paired), 2)
+              if spark_steady.get(n, -1) > 0 and duck_t.get(n, -1) > 0]
+    ts = round(sum(spark_steady[n] for n in paired), 2)
+    tf = round(sum(spark_t[n] for n in paired), 2)
     td = round(sum(duck_t[n] for n in paired), 2)
     dnf = [n for n in names if duck_t.get(n, 0) < 0]
-    err = [n for n in names if spark_t.get(n, 0) < 0]
+    err = [n for n in names if spark_steady.get(n, 0) < 0]
     print(f"\npaired total ({len(paired)} queries): duck {td}s, "
-          f"spark {ts}s, ratio {ts / td:.2f}x")
+          f"spark first {tf}s / steady {ts}s "
+          f"(build-in-steady {round(sum(spark_build.get(n, 0) for n in paired), 2)}s), "
+          f"steady ratio {ts / td:.2f}x")
     if dnf:
         print(f"duck DNF: {dnf}")
     if err:
         print(f"spark ERR: {err}")
     print(json.dumps({"metric": "paired_sf1", "copies": copies,
-                      "spark_total": ts, "duck_total": td,
+                      "spark_total_first": tf, "spark_total": ts,
+                      "duck_total": td,
                       "n_paired": len(paired), "duck_dnf": dnf,
-                      "spark_err": err, "spark": spark_t,
+                      "spark_err": err, "spark_first": spark_t,
+                      "spark_steady": spark_steady,
+                      "spark_build": spark_build,
+                      "steady_rebuilt": rebuilt,
                       "duck": duck_t}))
     return 0
 
