@@ -704,6 +704,78 @@ def main() -> int:
         con.execute(f"CREATE VIEW documents AS SELECT * "
                     f"FROM read_parquet('{dpath2}/*.parquet')")
         _duck_race("novelty", ORACLE_SQL["x93_novelty"], ts)
+
+    if only is None or "semdedup" in only:
+        # r7: x97's operator core at vector scale under its OWN scale
+        # contract (K ~ √N, SemDeDup's recipe) — the declared-fixture
+        # K=8 stays on the sf0.01 oracle gate.  DuckDB runs the same
+        # cluster-then-compare semantics in the pair-join formulation
+        # (the only relational rendering): Σ|cluster|² pair rows each
+        # evaluating a 64-term list lambda — the shape whose removal
+        # from the engine was the r7 fix.  Expected: Spark's grouped
+        # gram-matrix kernel reads minutes of BLAS; the pair join DNFs
+        # past 250k vectors.
+        import math
+
+        vec_copies3 = 125
+        if "--vec-copies" in sys.argv:
+            vec_copies3 = int(sys.argv[sys.argv.index("--vec-copies") + 1])
+        from pyspark.sql import functions as F
+
+        from enexory_parquet_export_spark.operators.similarity import (
+            semantic_dedup,
+        )
+        epath = build_scaled_emb(spark, vec_copies3)
+        sedf = spark.read.parquet(epath)
+        try:
+            con.execute(f"CREATE VIEW emb_sf1 AS SELECT * "
+                        f"FROM read_parquet('{epath}/*.parquet')")
+        except Exception:
+            pass
+        nv = sedf.count()
+        kc = max(8, int(math.sqrt(nv)))
+        print(f"semdedup vectors: {nv:,}; k_clusters={kc}", flush=True)
+        qdf = (sedf.select(
+                   "vec_id",
+                   F.transform(F.col("embedding").cast("array<double>"),
+                               lambda x: F.floor(x * 1000).cast("bigint"))
+                    .alias("qv"))
+               .withColumn("nv", F.aggregate(
+                   "qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x)))
+        ts = _timed(lambda: semantic_dedup(
+            qdf, k_clusters=kc, thresh_micro=995_000)
+            .write.format("noop").mode("overwrite").save())
+        print(f"semdedup: spark {ts:.2f}s", flush=True)
+        duck_sd = f"""
+            WITH q AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+              FROM emb_sf1),
+            n AS (SELECT vec_id, qv,
+                   CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                     AS nv FROM q),
+            cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                             qv AS cv
+                      FROM q ORDER BY vec_id LIMIT {kc}),
+            asg AS (SELECT vec_id, qv, nv, cid FROM (
+              SELECT n.vec_id, n.qv, n.nv, c.cid,
+                     row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                         list_sum(list_transform(range(1, len(n.qv) + 1),
+                             i -> (n.qv[i] - c.cv[i]) * (n.qv[i] - c.cv[i]))),
+                         c.cid) AS rn
+              FROM n, cents c) WHERE rn = 1),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(floor(CAST(list_sum(list_transform(
+                              range(1, len(a.qv) + 1),
+                              i -> a.qv[i] * b.qv[i])) AS BIGINT)
+                          * 1000000.0 / (sqrt(a.nv) * sqrt(b.nv)))
+                       AS BIGINT) AS cm
+              FROM asg a JOIN asg b ON a.cid = b.cid
+                                   AND a.vec_id < b.vec_id)
+            SELECT count(*) AS n_pairs, min(cm) AS min_cm
+            FROM pairs WHERE cm >= 995000"""
+        _duck_race("semdedup", duck_sd, ts)
     return 0
 
 
