@@ -26,20 +26,82 @@ from pyspark.sql import functions as F
 from ..session import materialize
 
 
+#: edge-count bound for the single-process fast path.  The collect it
+#: gates is BOUNDED BY THE GATE (the codebook-collect argument): the
+#: count always runs first, on the already-checkpointed adjacency, so
+#: driver memory is O(bound) at ANY corpus size.
+LOCAL_EDGE_BOUND = 200_000
+
+
+def _local_components(rows) -> list[tuple[int, int]]:
+    """Driver-side union-find (path-halving + union-by-min) over a
+    bounded edge list — exact same (node, min-id label) semantics as
+    the distributed loop."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]   # path halving
+            r = parent[r]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final root IS the min label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return sorted((n, find(n)) for n in parent)
+
+
 def connected_components(edges: DataFrame, *,
                          src: str = "id_a", dst: str = "id_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         local_bound: int = LOCAL_EDGE_BOUND) -> DataFrame:
     """``(node, label)`` with label = min node id of the component.
 
     ``edges`` is an undirected pair list (each pair once, either
     order).  Isolated nodes don't appear (no pairs → no cluster).
+
+    ADAPTIVE STRATEGY (the broadcast-join idiom, size decides): a
+    dedup candidate graph after banding is usually FAR smaller than
+    the corpus, and the distributed loop's price at small size is
+    pure dispatch — O(log d) rounds × (2 joins + agg + eager
+    checkpoint + convergence count) ≈ 0.5 s/round regardless of data.
+    So when the deduplicated adjacency (counted on its checkpoint —
+    one cheap job) fits ``local_bound`` edges, the closure runs as
+    driver-side union-find in milliseconds and ships back as one
+    bounded createDataFrame; past the bound, the distributed
+    pointer-jumping loop below is the only shape that scales.
+    Value-identical by construction (union-by-min root = min-label
+    fixpoint); pinned by tests/test_components.py.
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if local_bound > 0:
+        # ONE bounded, SHUFFLE-FREE action decides strategy AND
+        # fetches the data: limit(bound+1) over the RAW directed pair
+        # list caps driver transfer by construction — if it returns
+        # ≤ bound rows it returned every edge (union-find needs
+        # neither the undirected doubling nor the distinct; it
+        # absorbs duplicates and direction natively).  The over-bound
+        # case wastes one short-circuited narrow job and falls
+        # through to the loop.
+        rows = fwd.limit(local_bound + 1).collect()
+        if len(rows) <= local_bound:
+            labeled = _local_components((r["a"], r["b"]) for r in rows)
+            return edges.sparkSession.createDataFrame(
+                labeled, "node bigint, label bigint")
     und = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # adjacency is reused every round: materialize once
-    adj = und.distinct().transform(materialize, eager=True,
-                                   pinned=True)
+    adj = und.distinct().transform(materialize, eager=True, pinned=True)
 
     # round 0 fused into initialization: label = min(self, neighbors)
     # directly from the adjacency — one fewer full round in the loop

@@ -33,16 +33,34 @@ def test_components_basic_shapes(spark):
 
 
 def test_components_long_chain_converges(spark):
-    # pathological diameter: 0-1-2-...-30 (needs multiple rounds)
+    # pathological diameter: 0-1-2-...-30 (needs multiple rounds) —
+    # force the DISTRIBUTED loop (local_bound=0); the default path
+    # would take the union-find shortcut
     got = labels_of(connected_components(
-        edges_df(spark, [(i, i + 1) for i in range(30)])))
+        edges_df(spark, [(i, i + 1) for i in range(30)]),
+        local_bound=0))
     assert set(got.values()) == {0} and len(got) == 31
 
 
 def test_components_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError):
         connected_components(
-            edges_df(spark, [(i, i + 1) for i in range(30)]), max_iter=2)
+            edges_df(spark, [(i, i + 1) for i in range(30)]),
+            max_iter=2, local_bound=0)
+
+
+def test_components_local_fast_path_identical(spark):
+    """The size-gated union-find shortcut must be value-identical to
+    the distributed pointer-jumping loop on an adversarial mix of
+    shapes (deep chain + stars + dupes + both edge orders)."""
+    edges = ([(i, i + 1) for i in range(0, 40)]            # chain
+             + [(1000 + i % 7, 2000 + i) for i in range(30)]  # stars
+             + [(2, 1), (5, 4)]                            # reversed dupes
+             + [(9999, 9998)])
+    df = edges_df(spark, edges)
+    local = labels_of(connected_components(df))
+    dist = labels_of(connected_components(df, local_bound=0))
+    assert local == dist and len(local) > 0
 
 
 def test_components_of_real_minhash_pairs(spark, sf_dir):
