@@ -858,13 +858,26 @@ def x55(spark, sf_dir):
                      F.concat("text", F.lit(" trailing filler words"))
                       .alias("text")))
     docs2 = docs.unionByName(twins)
-    sh = (D._exploded_shingles(docs2, id_col="doc_id", text_col="text",
-                               shingle_n=3, distinct=True)
-          .select("doc_id", F.xxhash64("s").alias("h"))
-          .transform(materialize, eager=False))  # probe + corpus + df-cap read it
-    probe = (sh.filter(F.col("doc_id") % 100 == 0)
-               .select(F.col("doc_id").alias("probe_id"), "h"))
-    corpus0 = sh.filter(F.col("doc_id") % 100 != 0)
+    # r7: the probe suite is bounded by contract, so its shingle-hash
+    # set broadcasts — semi-filter the corpus stream to probe hashes
+    # BEFORE any corpus-side shuffle (the only full-corpus work is
+    # explode + xxhash64, a map-side pass).  df counts per surviving
+    # hash are unchanged by the restriction (every (doc_id, h) row of
+    # a kept h survives), so the hot-shingle cap below removes the
+    # same keys from the join as the oracle's full-index formulation.
+    probe = (D._exploded_shingles(docs.filter(F.col("doc_id") % 100 == 0),
+                                  id_col="doc_id", text_col="text",
+                                  shingle_n=3, distinct=True)
+             .select(F.col("doc_id").alias("probe_id"),
+                     F.xxhash64("s").alias("h")))
+    ph = probe.select("h").distinct()
+    corpus0 = (D._exploded_shingles(
+                   docs2.filter(F.col("doc_id") % 100 != 0),
+                   id_col="doc_id", text_col="text", shingle_n=3)
+               .select("doc_id", F.xxhash64("s").alias("h"))
+               .join(F.broadcast(ph), "h", "semi")
+               .distinct()
+               .transform(materialize, eager=False))  # df-cap + anti + join
     nd = (docs2.filter(F.col("doc_id") % 100 != 0)
                .agg(F.count("*").alias("ndocs")))
     hot = (corpus0.groupBy("h").agg(F.count("*").alias("df"))
@@ -2568,8 +2581,23 @@ def x85(spark, sf_dir):
     # the snippet shingle set is read twice (size + join): tiny, but
     # distinct() above already bounds it; no checkpoint needed
     sn = ss.groupBy("snip_id").agg(F.count("*").cast("bigint").alias("nsh"))
-    ds0 = (shingle_hashes(docs, "doc_id")
-           .transform(materialize, eager=False))  # df-cap agg + anti-join + join
+    # r7: semi-filter the corpus stream to the snippet hash set BEFORE
+    # any corpus-side shuffle.  The query-set contract (x55 shape)
+    # bounds |ssh| ≤ |snippets| × (_SNIP_TOKS − 2) keys, so the
+    # broadcast-hash semi join is a pure map-side filter over the
+    # exploded corpus scan — the only full-corpus work left is
+    # explode + xxhash64, zero shuffles.  Per-hash document
+    # frequencies are unchanged by the restriction (all (doc_id, h)
+    # rows of a surviving h are kept), so the df-cap filter below
+    # computes the same hot set ∩ ssh and the join output is
+    # value-identical to the unfiltered formulation the oracle runs.
+    ssh = ss.select("h").distinct()
+    ex = D._exploded_shingles(docs, id_col="doc_id", text_col="text",
+                              shingle_n=3)
+    ds0 = (ex.select("doc_id", F.xxhash64("s").alias("h"))
+             .join(F.broadcast(ssh), "h", "semi")
+             .distinct()
+             .transform(materialize, eager=False))  # df-cap agg + anti + join
     nd = docs.agg(F.count("*").alias("ndocs"))
     hot = (ds0.groupBy("h").agg(F.count("*").alias("df"))
               .crossJoin(F.broadcast(nd))   # 1-row scalar, q24 idiom
@@ -2578,7 +2606,7 @@ def x85(spark, sf_dir):
                   F.expr(f"ndocs DIV {_DF_CAP_DIV}")))
               .select("h"))
     ds = ds0.join(F.broadcast(hot), "h", "left_anti")
-    shared = (ss.join(ds, "h")
+    shared = (ds.join(F.broadcast(ss), "h")
                 .groupBy("snip_id", "doc_id")
                 .agg(F.count("*").cast("bigint").alias("shr")))
     cont = F.col("shr") * F.lit(1000000.0) / F.col("nsh")
