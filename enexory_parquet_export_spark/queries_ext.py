@@ -3668,3 +3668,51 @@ def x98(spark, sf_dir):
                 .filter(F.col("n_shingles") >= _SPAN_MIN)
                 .select("doc_id", "start_tok", "end_tok", "n_shingles")
                 .transform(stable_sort, "doc_id", "start_tok"))
+
+
+# --------------------------------------------------------------------------
+# X99 BPE encode — the APPLY half of the tokenizer story x95/x96 train
+# (Sennrich et al. 2016 §3: after training, segment the corpus with the
+# learned merge table; reference scope: the pipeline's text columns are
+# what a tokenizer consumes downstream, db_extractor.py:1-40).  Reports
+# the per-document token budget after the learned merges: whitespace
+# word count and post-BPE symbol count — the number a training-data
+# pipeline actually batches/bills by.
+#
+# Scale shape (the whole point): ENCODING IS A VOCABULARY-SIZED
+# PROBLEM, not a corpus-sized one.  Identical words encode identically,
+# so the merge application runs once per DISTINCT word over the
+# Heaps-bounded vocabulary (the same sym relation x96 derives its token
+# table from), and the corpus-sized work is exactly one explode +
+# hash-join against the per-word symbol-count relation + per-doc hash
+# agg — no per-occurrence merge loop, no UDF in the corpus path.  The
+# vocabulary side inherits x95's contract: 3 declared rounds run as one
+# lazy Spark DAG; real merge counts use bpe_merges(mode="local") with
+# the same join-back (symbol counts per word are mode-identical, pinned
+# in tests/test_ml_property.py).  wsym is vocabulary-sized → AQE
+# broadcasts it under the fixture; at 100 TB it stays a shuffle join on
+# `word`, the corpus side's only exchange.
+# --------------------------------------------------------------------------
+@declared("x99_bpe_encode", _bpe_oracle(_BPE_ITERS, tail=f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS words,
+       CAST(sum(nsym) AS BIGINT) AS bpe_tokens
+FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents) d
+JOIN (SELECT word, CAST(count(*) AS BIGINT) AS nsym
+      FROM sym{_BPE_ITERS} GROUP BY word) w USING (word)
+GROUP BY doc_id ORDER BY doc_id"""))
+def x99(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select("doc_id",
+                         F.explode(D.tokens(F.col("text"))).alias("word"))
+                 .filter(F.col("word") != ""))
+    wc = (words.groupBy("word")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    wsym = (bpe_merges(wc, return_symbols=True)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nsym")))
+    return (words.join(wsym, "word")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("words"),
+                      F.sum("nsym").cast("bigint").alias("bpe_tokens"))
+                 .transform(stable_sort, "doc_id"))
