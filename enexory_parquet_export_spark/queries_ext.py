@@ -1559,15 +1559,27 @@ def x66(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
+    # ONE corpus-scale exchange, on doc_id: HashPartitioning(doc_id)
+    # satisfies both the (doc_id, term) tf aggregation's clustered
+    # distribution AND the per-doc rank window's, so neither adds an
+    # exchange; the df side joins back as a broadcast (distinct terms
+    # are the Heaps-bounded vocabulary — the x55/x99 boundedness
+    # argument; at vocabularies past broadcast size, drop the hint and
+    # the plan degrades to the term-shuffled join + doc_id window
+    # re-exchange, still correct).  stable_sort materializes the 3-per-
+    # doc output before the range sort so orderBy's sampling job does
+    # not re-execute the upstream.  A/B at sf1×10 (interleaved, median
+    # of 3): 3.1 s → 0.67 s, value-identical.
     toks = (docs.select("doc_id",
                         F.explode(F.split(F.lower(F.col("text")),
                                           "[^a-z]+")).alias("term"))
-                .filter(F.col("term") != ""))
+                .filter(F.col("term") != "")
+                .repartition("doc_id"))
     t = toks.groupBy("doc_id", "term") \
             .agg(F.count("*").cast("bigint").alias("tf"))
     d = t.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n = docs.agg(F.count("*").cast("double").alias("nd"))
-    s = (t.join(d, "term")
+    s = (t.join(F.broadcast(d), "term")
           .crossJoin(F.broadcast(n))
           .select("doc_id", "term", "tf", "df",
                   F.floor(F.col("tf") * F.log(F.col("nd") / F.col("df"))
@@ -1578,7 +1590,7 @@ def x66(spark, sf_dir):
     return (s.withColumn("rnk", F.row_number().over(w).cast("bigint"))
              .filter(F.col("rnk") <= 3)
              .select("doc_id", "term", "tf", "df", "tfidf_micro", "rnk")
-             .orderBy("doc_id", "rnk"))
+             .transform(stable_sort, "doc_id", "rnk"))
 
 
 # --------------------------------------------------------------------------
