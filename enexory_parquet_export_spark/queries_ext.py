@@ -3734,3 +3734,73 @@ def x99(spark, sf_dir):
                  .agg(F.count(F.lit(1)).cast("bigint").alias("words"),
                       F.sum("nsym").cast("bigint").alias("bpe_tokens"))
                  .transform(stable_sort, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X100 ingest-order SemDeDup — the continuous-ingest twin of x97 the
+# way x88 twins x30: each vector, arriving in vec_id order, is scored
+# against the ≤ cluster_cap members ALREADY ADMITTED to its semantic
+# cluster (codebook pre-trained offline, the SemDeDup deployment
+# shape), and the batch expression of those semantics is the declared,
+# oracle-checked anchor for `streaming/semdedup_stream.py` (the
+# stateful `applyInPandasWithState` operator is pinned set-equal to
+# this batch twin in tests/test_streaming.py).  Scale posture: the
+# admitted-member side is capped, so per-cluster work is
+# O(|c|·cap·dim) inside one numpy gram kernel — never Σ|c|², and state
+# in the streaming form is k_clusters × cap × (dim+2) longs at any
+# stream length.  Same integer-exact micro-cosine as x97.
+# --------------------------------------------------------------------------
+_SEMDEDUP_CAP = 16
+
+
+@declared("x100_semdedup_ingest", f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+corpus AS (SELECT vec_id, v FROM base
+           UNION ALL
+           SELECT vec_id + 1000000, list_transform(v, x -> x * 1.1)
+           FROM base),
+q AS (SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      FROM corpus),
+n AS (SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nv
+      FROM q),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+          FROM q ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+asg AS (SELECT vec_id, qv, nv, cid FROM (
+  SELECT n.vec_id, n.qv, n.nv, c.cid,
+         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> (n.qv[i] - c.cv[i]) * (n.qv[i] - c.cv[i]))),
+             c.cid) AS rn
+  FROM n, cents c) WHERE rn = 1),
+rk AS (SELECT vec_id, qv, nv, cid,
+              row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+       FROM asg),
+ev AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         CAST(floor(CAST(list_sum(list_transform(
+                  range(1, len(a.qv) + 1),
+                  i -> a.qv[i] * b.qv[i])) AS BIGINT) * 1000000.0
+              / (sqrt(a.nv) * sqrt(b.nv))) AS BIGINT) AS cos_micro
+  FROM rk a JOIN rk b
+    ON a.cid = b.cid AND b.rn <= {_SEMDEDUP_CAP} AND b.vec_id < a.vec_id)
+SELECT vec_id, nbr_id, cos_micro FROM ev
+WHERE cos_micro >= {_SEMDEDUP_THRESH}
+ORDER BY vec_id, nbr_id""")
+def x100(spark, sf_dir):
+    from .streaming.semdedup_stream import quantize_codebook, semdedup_batch
+
+    base = (_t(spark, sf_dir, "embeddings")
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>")
+                     .alias("embedding")))
+    twins = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                        F.transform("embedding", lambda x: x * 1.1)
+                         .alias("embedding"))
+    corpus = base.unionByName(twins)
+    cb = quantize_codebook(corpus, k_clusters=_SEMDEDUP_K)
+    return (semdedup_batch(corpus, cb, thresh_micro=_SEMDEDUP_THRESH,
+                           cluster_cap=_SEMDEDUP_CAP)
+            .transform(bounded_sort, "vec_id", "nbr_id"))

@@ -664,3 +664,58 @@ def test_bench_sweep_accounting_pinned(tmp_path):
     rows_fallback, *_ = summarize_progress(prog)
     assert rows_fallback == 100   # documented scan-count fallback
     assert summarize_progress([]) == (0, 0, [], None)
+
+
+@pytest.mark.slow
+def test_semdedup_stream_equals_batch(spark, tmp_path):
+    """Streaming SemDeDup events over an in-order append stream must
+    equal the batch twin's set — including cluster_cap admission
+    truncation and exact integer cos_micro values (the same
+    set-equality contract as the neardup twin test; x100 anchors the
+    batch twin to the DuckDB oracle)."""
+    from enexory_parquet_export_spark.streaming.semdedup_stream import (
+        quantize_codebook,
+        semdedup_batch,
+        semdedup_stream,
+    )
+
+    from conftest import SF_DIR
+    base = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>")
+                     .alias("embedding")))
+    twins = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                        F.transform("embedding", lambda x: x * 1.1)
+                         .alias("embedding"))
+    corpus_df = base.unionByName(twins)
+    cb = quantize_codebook(corpus_df, k_clusters=4)
+    corpus = corpus_df.orderBy("vec_id").collect()
+
+    schema = "vec_id bigint, embedding array<double>"
+    src = str(tmp_path / "vecs")
+    rows = [(r["vec_id"], list(r["embedding"])) for r in corpus]
+    step = max(1, len(rows) // 3)
+    for lo in range(0, len(rows), step):
+        (spark.createDataFrame(rows[lo:lo + step], schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "out")
+    q = (semdedup_stream(stream, cb, thresh_micro=990_000, cluster_cap=8)
+         .writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            semdedup_batch(spark.createDataFrame(rows, schema), cb,
+                           thresh_micro=990_000, cluster_cap=8).collect()}
+    assert got == want
+    assert len(want) > 0
+    # every derived twin is a scaled copy (cos = 1): the twin must hit
+    # its base whenever the base was admitted to the cluster
+    twin_hits = {(a, b) for a, b, _ in got if a - 1_000_000 == b}
+    assert len(twin_hits) > 0
