@@ -290,6 +290,49 @@ def main() -> int:
     rows, nb, durs, state = _drain(q, true_rows=n_docs)
     report("pack_stream", rows, nb, durs, state, time.time() - t0)
 
+    # ---- 4. embeddings-derived source for streaming SemDeDup ----
+    # state bound is k_clusters × cluster_cap members regardless of
+    # stream length — the x1/x2 series shows saturation, like neardup
+    from enexory_parquet_export_spark.streaming.semdedup_stream import (
+        quantize_codebook,
+        semdedup_stream,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    n_vec = emb.count()
+    cb = quantize_codebook(emb, k_clusters=32)
+
+    def vec_source(mult: int) -> str:
+        path = os.path.join(work, f"vecs_x{mult}")
+        parts = [emb.select((F.col("vec_id") + m * 10_000_000)
+                            .alias("vec_id"), "embedding")
+                 for m in range(mult)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        per_v = (n_vec * mult + n_files - 1) // n_files
+        (u.withColumn("_f", F.expr(
+            f"(vec_id % 10000000) DIV {max(per_v // mult, 1)}"))
+          .repartition("_f").write.partitionBy("_f")
+          .mode("overwrite").parquet(path))
+        return flatten_parts(path, path + "_flat")
+
+    vschema = "vec_id bigint, embedding array<double>"
+    for mult in (1, 2):
+        src = vec_source(mult)
+        t0 = time.time()
+        q = (semdedup_stream(
+                spark.readStream.schema(vschema)
+                     .option("maxFilesPerTrigger", "2").parquet(src),
+                cb, thresh_micro=995_000, cluster_cap=64)
+             .writeStream.format("noop")
+             .option("checkpointLocation",
+                     os.path.join(work, f"ckpt_sd{mult}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        rows, nb, durs, state = _drain(q, true_rows=n_vec * mult)
+        report(f"semdedup_stream_x{mult}", rows, nb, durs, state,
+               time.time() - t0)
+
     shutil.rmtree(work, ignore_errors=True)
 
     print("\n| operator | input rows | wall s | rows/s | batches "
