@@ -676,3 +676,129 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
     chunked = chunked.repartition(n_parts, "cluster", "_ba", "_bb")
     return chunked.groupBy("cluster", "_ba", "_bb").applyInPandas(
         _pair_block, out_schema)
+
+
+def pq_codebooks(q: DataFrame, *, n_codes: int, n_sub: int) -> list:
+    """Per-subspace product-quantization codebooks from the first
+    ``n_codes`` vectors by ``vec_id`` (the deterministic x44/x94
+    coarse-quantizer idiom — PQ training is offline in any real
+    deployment; the fixture pins the codebook the same way the IVF
+    and SemDeDup codebooks are pinned).  Driver state is
+    O(n_codes × dim) — the codebook-collect boundedness argument.
+
+    Returns a numpy array of shape (n_sub, n_codes, dim // n_sub).
+    """
+    import numpy as np
+
+    rows = q.orderBy("vec_id").limit(n_codes).collect()
+    C = np.array([r["qv"] for r in rows], dtype=np.float64)
+    dim = C.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    return C.reshape(n_codes, n_sub, d_sub).transpose(1, 0, 2).copy()
+
+
+def pq_adc_topk(q: DataFrame, probes: list, *, codebooks,
+                k: int = 5) -> DataFrame:
+    """Product-quantization ADC top-k scan (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search") — the
+    memory-bound ANN representation: each corpus vector is ENCODED as
+    ``n_sub`` small codes (64 quantized bigints → 4 bytes here), and a
+    probe scores a vector by summing ``n_sub`` precomputed lookup-table
+    entries instead of touching the vector at all.
+
+    Inputs: ``q(vec_id, qv)`` quantized corpus; ``probes`` a BOUNDED
+    collected list of ``(probe_id, qv)`` rows (the x44 probe-decimation
+    contract — probes are a query workload, not a second corpus);
+    ``codebooks`` from :func:`pq_codebooks`.
+
+    Plan shape (the 100 TB story): ONE mapInPandas pass encodes the
+    corpus (vectorized per-subspace argmin against the broadcast
+    codebook — the only pass that reads full vectors), ONE mapInPandas
+    pass streams the 4-byte codes against the broadcast probe LUTs and
+    emits only each partition's LOCAL top-k per probe (classic TopK
+    pushdown: shuffle traffic is partitions × P × k rows, never
+    corpus × P), and one bounded window takes the global top-k.  All
+    arithmetic integer-exact in float64 (squared L2 over quantized
+    components, every partial sum < 2⁵³); global ties break on vec_id,
+    matching the oracle's ``ORDER BY adc_dist, vec_id``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = codebooks                       # (n_sub, n_codes, d_sub)
+    n_sub, n_codes, d_sub = C.shape
+    cn2 = (C * C).sum(axis=2)           # (n_sub, n_codes)
+
+    pid = np.array([p[0] for p in probes], dtype=np.int64)
+    P = np.array([p[1] for p in probes],
+                 dtype=np.float64).reshape(len(probes), n_sub, d_sub)
+    # LUT[p, s, c] = ‖probe_s − C_s[c]‖² — exact integers in float64
+    LUT = ((P * P).sum(axis=2)[:, :, None]
+           - 2.0 * np.einsum("psd,scd->psc", P, C)
+           + cn2[None, :, :])
+
+    def encode(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                    "codes": pd.Series([], dtype="object")})
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["qv"].to_numpy()])
+            X = Q.reshape(len(Q), n_sub, d_sub)
+            # ‖x_s − c‖² = ‖x_s‖² − 2 x_s·c + ‖c‖²; argmin first
+            # occurrence = lowest code, the oracle's tie rule
+            dd = ((X * X).sum(axis=2)[:, :, None]
+                  - 2.0 * np.einsum("psd,scd->psc", X, C)
+                  + cn2[None, :, :])
+            codes = np.argmin(dd, axis=2).astype(np.int64)
+            yield pd.DataFrame({
+                "vec_id": pd.Series(pdf["vec_id"].to_numpy(),
+                                    dtype="int64"),
+                "codes": pd.Series([[int(c) for c in row]
+                                    for row in codes], dtype="object")})
+
+    encoded = q.select("vec_id", "qv").mapInPandas(
+        encode, "vec_id bigint, codes array<bigint>")
+
+    def scan(pdfs):
+        # accumulate the whole partition's ADC matrix rows chunk by
+        # chunk, keep only the partition-local top-k per probe
+        best = [[] for _ in range(len(pid))]     # (dist, vec_id) heaps
+        import heapq
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in pdf["codes"].to_numpy()])
+            # ADC[p, x] = Σ_s LUT[p, s, codes[x, s]]
+            adc = LUT[:, np.arange(n_sub)[None, :], codes].sum(axis=2)
+            for pi in range(len(pid)):
+                row = adc[pi]
+                mask = ids != pid[pi]            # self-exclusion
+                for d, v in zip(row[mask], ids[mask]):
+                    item = (-float(d), -int(v))  # max-heap on (d, id)
+                    if len(best[pi]) < k:
+                        heapq.heappush(best[pi], item)
+                    elif item > best[pi][0]:
+                        heapq.heapreplace(best[pi], item)
+        out_p, out_v, out_d = [], [], []
+        for pi in range(len(pid)):
+            for nd, nv in best[pi]:
+                out_p.append(int(pid[pi]))
+                out_v.append(-nv)
+                out_d.append(int(-nd))
+        yield pd.DataFrame({
+            "probe_id": pd.Series(out_p, dtype="int64"),
+            "vec_id": pd.Series(out_v, dtype="int64"),
+            "adc_dist": pd.Series(out_d, dtype="int64")})
+
+    local = encoded.mapInPandas(
+        scan, "probe_id bigint, vec_id bigint, adc_dist bigint")
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    return (local.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+                 .filter(F.col("rnk") <= k)
+                 .select("probe_id", "vec_id", "adc_dist", "rnk"))

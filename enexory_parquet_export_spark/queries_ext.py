@@ -3804,3 +3804,80 @@ def x100(spark, sf_dir):
     return (semdedup_batch(corpus, cb, thresh_micro=_SEMDEDUP_THRESH,
                            cluster_cap=_SEMDEDUP_CAP)
             .transform(bounded_sort, "vec_id", "nbr_id"))
+
+
+# --------------------------------------------------------------------------
+# X101 product-quantization ADC top-k (Jégou et al. 2011) — the
+# MEMORY-BOUND ANN representation that completes the similarity-search
+# family: x38 probes LSH buckets, x44 scans IVF lists over full
+# vectors, x101 scans 4-BYTE CODES (64 quantized bigints → n_sub=4
+# codes) and scores a probe with n_sub table lookups per vector — at
+# 100 TB the difference between an index that fits executor memory and
+# one that doesn't.  Plan shape: one mapInPandas encode pass (the only
+# pass that reads full vectors; vectorized per-subspace argmin against
+# the broadcast codebook), one code-scan pass emitting only each
+# partition's LOCAL top-k per probe (TopK pushdown — shuffle traffic
+# is partitions × P × k rows, never corpus × P), one bounded window.
+# Codebook = first-K-by-vec_id sub-vectors (the deterministic offline-
+# training idiom shared with x44/x97); probes are the x44 decimation
+# contract (a bounded query workload, never a second corpus).  All
+# distances integer-exact squared L2 over quantized components; ties
+# break on vec_id on both engines.
+# --------------------------------------------------------------------------
+_PQ_CODES = 8
+_PQ_SUB = 4
+_PQ_TOPK = 5
+
+
+@declared("x101_pq_adc_topk", f"""
+WITH q AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cv
+          FROM q ORDER BY vec_id LIMIT {_PQ_CODES}),
+sub AS (SELECT unnest(range(0, {_PQ_SUB})) AS s),
+enc AS (SELECT vec_id, s, c AS code FROM (
+  SELECT q.vec_id, sub.s, cents.c,
+         row_number() OVER (PARTITION BY q.vec_id, sub.s ORDER BY
+           list_sum(list_transform(range(1, {64 // _PQ_SUB} + 1),
+             i -> (q.qv[sub.s * {64 // _PQ_SUB} + i]
+                   - cents.cv[sub.s * {64 // _PQ_SUB} + i])
+                * (q.qv[sub.s * {64 // _PQ_SUB} + i]
+                   - cents.cv[sub.s * {64 // _PQ_SUB} + i]))),
+           cents.c) AS rn
+  FROM q, sub, cents) WHERE rn = 1),
+lut AS (
+  SELECT p.vec_id AS probe_id, sub.s, cents.c,
+         CAST(list_sum(list_transform(range(1, {64 // _PQ_SUB} + 1),
+           i -> (p.qv[sub.s * {64 // _PQ_SUB} + i]
+                 - cents.cv[sub.s * {64 // _PQ_SUB} + i])
+              * (p.qv[sub.s * {64 // _PQ_SUB} + i]
+                 - cents.cv[sub.s * {64 // _PQ_SUB} + i]))) AS BIGINT)
+           AS pd
+  FROM q p, sub, cents WHERE p.vec_id % 50 = 0),
+adc AS (
+  SELECT l.probe_id, e.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc_dist
+  FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.code
+  WHERE e.vec_id <> l.probe_id
+  GROUP BY l.probe_id, e.vec_id),
+top AS (SELECT probe_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist, vec_id) AS rnk
+        FROM adc)
+SELECT probe_id, vec_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+FROM top WHERE rnk <= {_PQ_TOPK} ORDER BY probe_id, rnk""")
+def x101(spark, sf_dir):
+    from .operators.similarity import pq_adc_topk, pq_codebooks
+
+    q = (_t(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.transform(F.col("embedding").cast("array<double>"),
+                             lambda x: F.floor(x * 1000).cast("bigint"))
+                  .alias("qv")))
+    cb = pq_codebooks(q, n_codes=_PQ_CODES, n_sub=_PQ_SUB)
+    # bounded probe workload by the x44 decimation contract
+    probes = [(r["vec_id"], list(r["qv"]))
+              for r in q.filter(F.col("vec_id") % 50 == 0).collect()]
+    return (pq_adc_topk(q, probes, codebooks=cb, k=_PQ_TOPK)
+            .transform(bounded_sort, "probe_id", "rnk"))

@@ -299,3 +299,51 @@ def test_semantic_dedup_chunked_value_identical(spark):
         df, k_clusters=3, thresh_micro=900_000, max_block=7).collect())
     assert chunked == base
     assert len(base) > 0
+
+
+def test_pq_adc_topk_matches_numpy_reference(spark, sf_dir):
+    """pq_adc_topk's two-pass (encode → local-top-k scan → global
+    window) plan must equal a single-process numpy ADC over the same
+    collected corpus — including the partition-local TopK pushdown
+    (any dropped local candidate must be outside the global top-k),
+    the self-exclusion rule, and (adc_dist, vec_id) tie order."""
+    import numpy as np
+
+    from enexory_parquet_export_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    q = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id",
+                 F.transform(F.col("embedding").cast("array<double>"),
+                             lambda x: F.floor(x * 1000).cast("bigint"))
+                  .alias("qv")))
+    cb = pq_codebooks(q, n_codes=4, n_sub=4)
+    rows = sorted((r["vec_id"], list(r["qv"])) for r in q.collect())
+    probes = [rows[i] for i in range(0, len(rows), 7)]
+
+    got = sorted(tuple(r) for r in
+                 pq_adc_topk(q, probes, codebooks=cb, k=3)
+                 .repartition(8).collect())
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([r[1] for r in rows], dtype=np.float64)
+    n_sub, n_codes, d_sub = cb.shape
+    X = Q.reshape(len(Q), n_sub, d_sub)
+    cn2 = (cb * cb).sum(axis=2)
+    dd = ((X * X).sum(axis=2)[:, :, None]
+          - 2.0 * np.einsum("psd,scd->psc", X, cb) + cn2[None, :, :])
+    codes = np.argmin(dd, axis=2)
+    want = []
+    for pid, pqv in probes:
+        p = np.asarray(pqv, dtype=np.float64).reshape(n_sub, d_sub)
+        lut = ((p * p).sum(axis=1)[:, None]
+               - 2.0 * np.einsum("sd,scd->sc", p, cb) + cn2)
+        adc = lut[np.arange(n_sub)[None, :], codes].sum(axis=1)
+        order = sorted((int(adc[i]), int(ids[i]))
+                       for i in range(len(ids)) if ids[i] != pid)
+        for rnk, (d, v) in enumerate(order[:3], start=1):
+            want.append((pid, v, d, rnk))
+    assert got == sorted(want)
+    assert len(got) == 3 * len(probes)
