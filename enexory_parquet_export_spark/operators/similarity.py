@@ -764,10 +764,16 @@ def pq_adc_topk(q: DataFrame, probes: list, *, codebooks,
         encode, "vec_id bigint, codes array<bigint>")
 
     def scan(pdfs):
-        # accumulate the whole partition's ADC matrix rows chunk by
-        # chunk, keep only the partition-local top-k per probe
-        best = [[] for _ in range(len(pid))]     # (dist, vec_id) heaps
-        import heapq
+        # per chunk: vectorized per-probe candidate selection — keep
+        # every entry at or below the chunk's k-th smallest distance
+        # (tie-SAFE: an equal-distance, smaller-id candidate at the
+        # boundary must survive to the exact (d, id) sort below; plain
+        # argpartition[:k] could drop it), then one lexsort per probe
+        # at partition end.  No per-row Python — the first cut of this
+        # kernel heap-looped every (probe, row) pair and measured 30 s
+        # at 250k vectors × 500 probes; this form is pure numpy.
+        cand_d = [[] for _ in range(len(pid))]
+        cand_v = [[] for _ in range(len(pid))]
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -776,21 +782,26 @@ def pq_adc_topk(q: DataFrame, probes: list, *, codebooks,
                               for c in pdf["codes"].to_numpy()])
             # ADC[p, x] = Σ_s LUT[p, s, codes[x, s]]
             adc = LUT[:, np.arange(n_sub)[None, :], codes].sum(axis=2)
-            for pi in range(len(pid)):
-                row = adc[pi]
-                mask = ids != pid[pi]            # self-exclusion
-                for d, v in zip(row[mask], ids[mask]):
-                    item = (-float(d), -int(v))  # max-heap on (d, id)
-                    if len(best[pi]) < k:
-                        heapq.heappush(best[pi], item)
-                    elif item > best[pi][0]:
-                        heapq.heapreplace(best[pi], item)
+            adc[ids[None, :] == pid[:, None]] = np.inf   # self-exclusion
+            kk = min(k, adc.shape[1])
+            th = np.partition(adc, kk - 1, axis=1)[:, kk - 1:kk]
+            keep = adc <= th
+            for pi, jj in enumerate(map(np.flatnonzero, keep)):
+                if len(jj):
+                    cand_d[pi].append(adc[pi, jj])
+                    cand_v[pi].append(ids[jj])
         out_p, out_v, out_d = [], [], []
         for pi in range(len(pid)):
-            for nd, nv in best[pi]:
-                out_p.append(int(pid[pi]))
-                out_v.append(-nv)
-                out_d.append(int(-nd))
+            if not cand_d[pi]:
+                continue
+            d = np.concatenate(cand_d[pi])
+            v = np.concatenate(cand_v[pi])
+            fin = np.isfinite(d)
+            d, v = d[fin], v[fin]
+            order = np.lexsort((v, d))[:k]
+            out_p.extend([int(pid[pi])] * len(order))
+            out_v.extend(int(x) for x in v[order])
+            out_d.extend(int(x) for x in d[order])
         yield pd.DataFrame({
             "probe_id": pd.Series(out_p, dtype="int64"),
             "vec_id": pd.Series(out_v, dtype="int64"),

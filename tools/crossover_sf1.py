@@ -776,6 +776,92 @@ def main() -> int:
             SELECT count(*) AS n_pairs, min(cm) AS min_cm
             FROM pairs WHERE cm >= 995000"""
         _duck_race("semdedup", duck_sd, ts)
+
+    if only is None or "pq_adc" in only:
+        # r7: x101's operator core at vector scale under the PQ
+        # standard (n_codes=256 per subspace — the fixture pins 8 for
+        # the oracle; the memory story is the same either way: 64
+        # quantized bigints → 4 one-byte codes).  Probes decimated to
+        # a bounded workload (%500).  DuckDB runs the relational ADC
+        # rendering — encode join LUT join sum — whose group-by input
+        # is corpus × probes rows; the engine's code-scan kernel
+        # touches the same pair space only inside per-partition numpy
+        # lookups and ships partitions × P × k rows.
+        import math as _math
+
+        vec_copies4 = 125
+        if "--vec-copies" in sys.argv:
+            vec_copies4 = int(sys.argv[sys.argv.index("--vec-copies") + 1])
+        from pyspark.sql import functions as F
+
+        from enexory_parquet_export_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_codebooks,
+        )
+        epath = build_scaled_emb(spark, vec_copies4)
+        qdf = (spark.read.parquet(epath)
+               .select("vec_id",
+                       F.transform(F.col("embedding").cast("array<double>"),
+                                   lambda x: F.floor(x * 1000)
+                                   .cast("bigint")).alias("qv")))
+        try:
+            con.execute(f"CREATE VIEW emb_pq AS SELECT * "
+                        f"FROM read_parquet('{epath}/*.parquet')")
+        except Exception:
+            pass
+        nv = qdf.count()
+        ncodes = 256
+        cb = pq_codebooks(qdf, n_codes=ncodes, n_sub=4)
+        probes = [(r["vec_id"], list(r["qv"]))
+                  for r in qdf.filter(F.col("vec_id") % 500 == 0).collect()]
+        print(f"pq_adc vectors: {nv:,}; codes={ncodes}; "
+              f"probes={len(probes)}", flush=True)
+        ts = _timed(lambda: pq_adc_topk(qdf, probes, codebooks=cb, k=5)
+                    .write.format("noop").mode("overwrite").save())
+        print(f"pq_adc: spark {ts:.2f}s", flush=True)
+        d_sub = 16
+        duck_pq = f"""
+            WITH q AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+              FROM emb_pq),
+            cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                             qv AS cv
+                      FROM q ORDER BY vec_id LIMIT {ncodes}),
+            sub AS (SELECT unnest(range(0, 4)) AS s),
+            enc AS (SELECT vec_id, s, c AS code FROM (
+              SELECT q.vec_id, sub.s, cents.c,
+                     row_number() OVER (PARTITION BY q.vec_id, sub.s ORDER BY
+                       list_sum(list_transform(range(1, {d_sub} + 1),
+                         i -> (q.qv[sub.s * {d_sub} + i]
+                               - cents.cv[sub.s * {d_sub} + i])
+                            * (q.qv[sub.s * {d_sub} + i]
+                               - cents.cv[sub.s * {d_sub} + i]))),
+                       cents.c) AS rn
+              FROM q, sub, cents) WHERE rn = 1),
+            lut AS (
+              SELECT p.vec_id AS probe_id, sub.s, cents.c,
+                     CAST(list_sum(list_transform(range(1, {d_sub} + 1),
+                       i -> (p.qv[sub.s * {d_sub} + i]
+                             - cents.cv[sub.s * {d_sub} + i])
+                          * (p.qv[sub.s * {d_sub} + i]
+                             - cents.cv[sub.s * {d_sub} + i])))
+                       AS BIGINT) AS pd
+              FROM q p, sub, cents WHERE p.vec_id % 500 = 0),
+            adc AS (
+              SELECT l.probe_id, e.vec_id,
+                     CAST(sum(l.pd) AS BIGINT) AS adc_dist
+              FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.code
+              WHERE e.vec_id <> l.probe_id
+              GROUP BY l.probe_id, e.vec_id),
+            top AS (SELECT probe_id, vec_id, adc_dist,
+                           row_number() OVER (PARTITION BY probe_id
+                                              ORDER BY adc_dist, vec_id)
+                             AS rnk
+                    FROM adc)
+            SELECT count(*) AS n, min(adc_dist) AS mn
+            FROM top WHERE rnk <= 5"""
+        _duck_race("pq_adc", duck_pq, ts)
     return 0
 
 
