@@ -215,11 +215,134 @@ def pnm_features(payload: bytes) -> list[float]:
     return means + [std] + [float(n) / total for n in hist]
 
 
+# --------------------------------------------------------------------------
+# Native WAV codec (RIFF / PCM, 8- or 16-bit, any channel count) —
+# dependency-free, the audio analog of the PNM path above.  RIFF is a
+# chunked container fully specified by 8-byte (id, size) headers; PCM
+# samples are raw little-endian integers, so decode/encode/resample
+# need nothing beyond numpy and the round trip is byte-exact for
+# canonical (16-bit) payloads.  JPEG/MP4 remain stubbed — those
+# formats genuinely need codec libraries.
+# --------------------------------------------------------------------------
+
+def _wav_chunks(buf: bytes) -> tuple[tuple, tuple[int, int]]:
+    """Parse RIFF/WAVE → ((channels, sample_rate, bits), (data_off,
+    data_len)).  Walks the chunk list; accepts only uncompressed PCM
+    (format tag 1) at 8 or 16 bits."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(buf):
+        cid = buf[i:i + 4]
+        size = int.from_bytes(buf[i + 4:i + 8], "little")
+        body = i + 8
+        if cid == b"fmt ":
+            if size < 16 or body + 16 > len(buf):
+                raise ValueError("truncated fmt chunk")
+            tag = int.from_bytes(buf[body:body + 2], "little")
+            ch = int.from_bytes(buf[body + 2:body + 4], "little")
+            rate = int.from_bytes(buf[body + 4:body + 8], "little")
+            bits = int.from_bytes(buf[body + 14:body + 16], "little")
+            if tag != 1 or bits not in (8, 16) or ch < 1:
+                raise ValueError(
+                    f"unsupported WAV: tag={tag} bits={bits} ch={ch}")
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            data = (body, size)
+        i = body + size + (size & 1)    # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """WAV bytes → (sample_rate, channels, int16 array (n, channels)).
+
+    8-bit PCM (unsigned, 128-centered) is normalized to the canonical
+    16-bit range by exact integer arithmetic ((s − 128) · 256) — the
+    maxval-normalization rule of :func:`decode_pnm` applied to audio,
+    so the byte-exact round-trip claim holds exactly for canonical
+    16-bit inputs and 8-bit inputs normalize deterministically."""
+    buf = bytes(payload)
+    (ch, rate, bits), (off, size) = _wav_chunks(buf)
+    raw = buf[off:off + size]
+    width = bits // 8
+    n = len(raw) // (width * ch)
+    if n * width * ch != size:
+        raise ValueError(
+            f"WAV data truncated: declared {size}, have {len(raw)}")
+    if bits == 16:
+        arr = np.frombuffer(raw[:n * 2 * ch],
+                            dtype="<i2").reshape(n, ch).astype(np.int16)
+    else:
+        u = np.frombuffer(raw[:n * ch], dtype=np.uint8).reshape(n, ch)
+        arr = ((u.astype(np.int32) - 128) * 256).astype(np.int16)
+    return rate, ch, arr
+
+
+def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
+    """int16 array (n, channels) → canonical 16-bit PCM RIFF bytes —
+    the canonical header makes decode∘encode the identity on bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    body = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    block = ch * 2
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    riff_len = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_len.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def is_wav(payload: bytes) -> bool:
+    b = bytes(payload[:12])
+    return len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
+def resample_wav(payload: bytes, new_rate: int) -> bytes:
+    """Nearest-neighbor resample (``src_idx = floor(dst_idx·src/dst)``)
+    — the :func:`resize_pnm` rule on the time axis: exactly
+    reproducible across platforms, no interpolation float paths, which
+    keeps the operator deterministic under Spark task retries."""
+    rate, _ch, arr = decode_wav(payload)
+    n_out = max(1, (len(arr) * new_rate) // rate)
+    idx = (np.arange(n_out) * rate) // new_rate
+    idx = np.minimum(idx, len(arr) - 1)
+    return encode_wav(arr[idx], new_rate)
+
+
+def wav_features(payload: bytes) -> list[float]:
+    """Real sample features for WAV payloads, FEATURE_DIM floats:
+    mean |amplitude|, RMS, zero-crossing rate, peak (all /32768), and
+    a 12-bin |amplitude| histogram (mass-normalized) — integer
+    accumulation throughout, one deterministic sqrt for RMS."""
+    _rate, _ch, arr = decode_wav(payload)
+    x = arr.astype(np.int64).ravel()
+    if not len(x):
+        raise ValueError("empty WAV data")
+    n = len(x)
+    mean_abs = float(np.abs(x).sum()) / n / 32768.0
+    rms = float(np.sqrt(float((x * x).sum()) / n)) / 32768.0
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    zcr = zc / max(n - 1, 1)
+    peak = float(np.abs(x).max()) / 32768.0
+    hist = np.bincount(np.minimum(np.abs(x) * 12 // 32768, 11),
+                       minlength=12)[:12]
+    return [mean_abs, rms, zcr, peak] + [float(h) / n for h in hist]
+
+
 def _decode_auto(payload: bytes) -> list[float]:
     """Default decode seam: REAL pixel features for PNM payloads,
-    deterministic stub features for formats this container has no
-    codec for (the per-payload sniff keeps mixed-format media tables
-    in one mapInPandas stage — no split/union shuffle)."""
+    REAL sample features for PCM WAV payloads, deterministic stub
+    features for formats this container has no codec for (the
+    per-payload sniff keeps mixed-format media tables in one
+    mapInPandas stage — no split/union shuffle)."""
     if payload is not None and is_pnm(payload):
         try:
             return pnm_features(payload)
@@ -229,6 +352,11 @@ def _decode_auto(payload: bytes) -> list[float]:
             # large media table would otherwise kill the job (r6
             # ADVICE); the stub features mark it deterministically
             return _decode_stub(payload)
+    if payload is not None and is_wav(payload):
+        try:
+            return wav_features(payload)
+        except ValueError:
+            return _decode_stub(payload)   # same per-row degradation
     return _decode_stub(payload)
 
 

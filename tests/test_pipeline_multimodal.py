@@ -367,3 +367,98 @@ class TestPnmRobustness:
         assert len(out) == 3
         assert bytes(out[1]) == good                 # real resize path
         assert len(bytes(out[2])) == 4               # stub pseudo-pixels
+
+
+class TestWavCodec:
+    """Round-7 native codec: RIFF/PCM WAV decode, encode,
+    nearest-neighbor resample — the audio analog of TestPnmCodec,
+    real bytes through the same mapInPandas seams."""
+
+    def _tone(self, n=480, ch=2):
+        import numpy as np
+        t = np.arange(n, dtype=np.int64)
+        left = ((t * 1103 + 7) % 65536 - 32768).astype(np.int16)
+        right = ((t * 331) % 65536 - 32768).astype(np.int16)
+        return np.stack([left, right], axis=1)[:, :ch]
+
+    def test_roundtrip_byte_exact(self):
+        s = self._tone()
+        payload = M.encode_wav(s, 8000)
+        rate, ch, back = M.decode_wav(payload)
+        assert (rate, ch) == (8000, 2)
+        assert (back == s).all()
+        # canonical encode∘decode is the byte identity
+        assert M.encode_wav(back, rate) == payload
+        # same-rate nearest-neighbor resample is also the byte identity
+        assert M.resample_wav(payload, 8000) == payload
+
+    def test_8bit_normalized_on_decode(self):
+        import numpy as np
+        raw = np.array([0, 128, 255], dtype=np.uint8)
+        body = raw.tobytes()
+        fmt = (b"fmt " + (16).to_bytes(4, "little")
+               + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + (8000).to_bytes(4, "little")
+               + (8000).to_bytes(4, "little")
+               + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+        data = b"data" + len(body).to_bytes(4, "little") + body
+        payload = (b"RIFF" + (4 + len(fmt) + len(data)).to_bytes(4, "little")
+                   + b"WAVE" + fmt + data)
+        rate, ch, arr = M.decode_wav(payload)
+        assert (rate, ch) == (8000, 1)
+        assert arr.ravel().tolist() == [(-128) * 256, 0, 127 * 256]
+
+    def test_resample_halves_and_is_deterministic(self):
+        s = self._tone(100, 1)
+        payload = M.encode_wav(s, 8000)
+        down = M.resample_wav(payload, 4000)
+        rate, _ch, arr = M.decode_wav(down)
+        assert rate == 4000 and len(arr) == 50
+        # src_idx = floor(dst·src/dst_rate): every kept sample is an
+        # original sample at the doubled stride
+        assert (arr.ravel() == s.ravel()[::2]).all()
+        assert M.resample_wav(payload, 4000) == down
+
+    def test_truncated_and_bad_magic_raise(self):
+        import pytest
+        s = self._tone(10, 1)
+        payload = M.encode_wav(s, 8000)
+        with pytest.raises(ValueError):
+            M.decode_wav(payload[:-3])      # truncated data
+        with pytest.raises(ValueError):
+            M.decode_wav(b"RIFX" + payload[4:])
+        with pytest.raises(ValueError):
+            M._wav_chunks(payload[:20])     # missing data chunk
+
+    def test_extract_features_real_samples_through_spark(self, spark):
+        import numpy as np
+        silent = M.encode_wav(np.zeros((64, 1), dtype=np.int16), 8000)
+        loud = M.encode_wav(np.full((64, 1), 32767, dtype=np.int16), 8000)
+        media = spark.createDataFrame(
+            [(1, "audio", bytearray(silent), None, None, 8),
+             (2, "audio", bytearray(loud), None, None, 8),
+             (3, "audio", bytearray(b"not wav bytes"), None, None, 8)],
+            M.MEDIA_SCHEMA)
+        got = {r["media_id"]: r["features"]
+               for r in M.extract_features(media).collect()}
+        assert got[1][0] == 0.0 and got[1][1] == 0.0   # silent mean/rms
+        assert got[1][4] == 1.0                        # all mass bin 0
+        assert got[2][3] > 0.999                       # loud peak
+        assert got[2][15] == 1.0                       # all mass bin 11
+        assert got[3] == [float(np.float32(v))
+                          for v in M._decode_stub(b"not wav bytes")]
+
+    def test_corrupt_wav_degrades_per_row_in_spark(self, spark):
+        import numpy as np
+        ok = M.encode_wav(self._tone(32, 1), 8000)
+        corrupt = ok[:-5]                     # truncated raster
+        media = spark.createDataFrame(
+            [(1, "audio", bytearray(ok), None, None, 4),
+             (2, "audio", bytearray(corrupt), None, None, 4)],
+            M.MEDIA_SCHEMA)
+        got = {r["media_id"]: r["features"]
+               for r in M.extract_features(media).collect()}
+        assert got[1] == [float(np.float32(v))
+                          for v in M.wav_features(ok)]
+        assert got[2] == [float(np.float32(v))
+                          for v in M._decode_stub(corrupt)]
