@@ -813,3 +813,121 @@ def pq_adc_topk(q: DataFrame, probes: list, *, codebooks,
     return (local.withColumn("rnk", F.row_number().over(w).cast("bigint"))
                  .filter(F.col("rnk") <= k)
                  .select("probe_id", "vec_id", "adc_dist", "rnk"))
+
+
+def ivf_pq_topk(q: DataFrame, probes: list, *, coarse, codebooks,
+                nprobe: int = 2, k: int = 5) -> DataFrame:
+    """IVF-PQ top-k (Jégou et al. 2011 §V; the faiss ``IVFPQ``
+    layout): the inverted-file coarse quantizer bounds WHICH vectors a
+    probe touches (``nprobe`` lists, the x44 contract) and product
+    quantization bounds WHAT is read per vector (4 one-byte codes, the
+    x101 contract) — together the index layout production ANN actually
+    deploys at corpus scale.
+
+    Inputs: ``q(vec_id, qv)`` quantized corpus; ``probes`` a bounded
+    collected ``(probe_id, qv)`` workload; ``coarse`` a (Kc × dim)
+    numpy coarse codebook (first-Kc-by-vec_id idiom); ``codebooks``
+    from :func:`pq_codebooks`.
+
+    Plan shape: ONE mapInPandas pass assigns the coarse list and the
+    PQ codes (the only pass reading full vectors), then the encoded
+    rows GROUP BY list id and each list's kernel scores ONLY the
+    probes routed to it (probe→list routing precomputed driver-side
+    from the bounded probe set) — per-list work is
+    O(|list| × |probes(list)| ) lookup sums, pair rows never exist,
+    and the shuffle carries 4-byte codes, not vectors.  A final
+    bounded window merges each probe's ≤ nprobe × k local rows.
+    Distances are integer-exact; ties break on vec_id — identical to
+    the oracle's ``ORDER BY adc_dist, vec_id``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = codebooks
+    n_sub, n_codes, d_sub = C.shape
+    cn2 = (C * C).sum(axis=2)
+    Cc = np.asarray(coarse, dtype=np.float64)
+    ccn2 = (Cc * Cc).sum(axis=1)
+
+    pid = np.array([p[0] for p in probes], dtype=np.int64)
+    P = np.array([p[1] for p in probes], dtype=np.float64)
+    # probe → nprobe nearest coarse lists (ties to lowest cid: argsort
+    # is stable over the (dist, cid) lex order by construction)
+    pdd = (P * P).sum(axis=1)[:, None] - 2.0 * (P @ Cc.T) + ccn2[None, :]
+    plists = np.argsort(pdd, kind="stable", axis=1)[:, :nprobe]
+    Ps = P.reshape(len(P), n_sub, d_sub)
+    LUT = ((Ps * Ps).sum(axis=2)[:, :, None]
+           - 2.0 * np.einsum("psd,scd->psc", Ps, C)
+           + cn2[None, :, :])
+    # list id → indices of the probes that scan it
+    routing: dict[int, list[int]] = {}
+    for i, ls in enumerate(plists):
+        for c in ls:
+            routing.setdefault(int(c), []).append(i)
+
+    def encode(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                yield pd.DataFrame({
+                    "cid": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "codes": pd.Series([], dtype="object")})
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["qv"].to_numpy()])
+            qdd = ((Q * Q).sum(axis=1)[:, None] - 2.0 * (Q @ Cc.T)
+                   + ccn2[None, :])
+            cid = np.argmin(qdd, axis=1).astype(np.int64)
+            X = Q.reshape(len(Q), n_sub, d_sub)
+            dd = ((X * X).sum(axis=2)[:, :, None]
+                  - 2.0 * np.einsum("psd,scd->psc", X, C)
+                  + cn2[None, :, :])
+            codes = np.argmin(dd, axis=2).astype(np.int64)
+            yield pd.DataFrame({
+                "cid": pd.Series(cid, dtype="int64"),
+                "vec_id": pd.Series(pdf["vec_id"].to_numpy(),
+                                    dtype="int64"),
+                "codes": pd.Series([[int(c) for c in row]
+                                    for row in codes], dtype="object")})
+
+    encoded = q.select("vec_id", "qv").mapInPandas(
+        encode, "cid bigint, vec_id bigint, codes array<bigint>")
+
+    def scan_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {"probe_id": "int64", "vec_id": "int64",
+                "adc_dist": "int64"}
+        cid = int(pdf["cid"].iloc[0])
+        pis = routing.get(cid, [])
+        if not pis or not len(pdf):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        codes = np.stack([np.asarray(c, dtype=np.int64)
+                          for c in pdf["codes"].to_numpy()])
+        sub = LUT[pis]                      # (|probes(list)|, n_sub, K)
+        adc = sub[:, np.arange(n_sub)[None, :], codes].sum(axis=2)
+        adc[ids[None, :] == pid[pis][:, None]] = np.inf
+        kk = min(k, adc.shape[1])
+        th = np.partition(adc, kk - 1, axis=1)[:, kk - 1:kk]
+        keep = adc <= th                    # tie-safe local top-k
+        out_p, out_v, out_d = [], [], []
+        for row, pi in enumerate(pis):
+            jj = np.flatnonzero(keep[row])
+            d = adc[row, jj]
+            fin = np.isfinite(d)
+            jj, d = jj[fin], d[fin]
+            order = np.lexsort((ids[jj], d))[:k]
+            out_p.extend([int(pid[pi])] * len(order))
+            out_v.extend(int(x) for x in ids[jj][order])
+            out_d.extend(int(x) for x in d[order])
+        return pd.DataFrame({
+            "probe_id": pd.Series(out_p, dtype="int64"),
+            "vec_id": pd.Series(out_v, dtype="int64"),
+            "adc_dist": pd.Series(out_d, dtype="int64")})
+
+    local = encoded.groupBy("cid").applyInPandas(
+        scan_list, "probe_id bigint, vec_id bigint, adc_dist bigint")
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    return (local.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+                 .filter(F.col("rnk") <= k)
+                 .select("probe_id", "vec_id", "adc_dist", "rnk"))

@@ -3881,3 +3881,98 @@ def x101(spark, sf_dir):
               for r in q.filter(F.col("vec_id") % 50 == 0).collect()]
     return (pq_adc_topk(q, probes, codebooks=cb, k=_PQ_TOPK)
             .transform(bounded_sort, "probe_id", "rnk"))
+
+
+# --------------------------------------------------------------------------
+# X102 IVF-PQ top-k (Jégou et al. 2011 §V — the faiss IVFPQ layout):
+# the composition production ANN actually deploys — the inverted-file
+# coarse quantizer bounds WHICH vectors a probe touches (nprobe lists,
+# x44's contract) and product quantization bounds WHAT is read per
+# vector (4 one-byte codes, x101's contract).  Plan: one encode pass
+# (coarse list + PQ codes — the only pass over full vectors), then
+# GROUP BY list id with each list's kernel scoring only the probes
+# routed to it (probe→list routing precomputed from the bounded probe
+# workload): per-list work O(|list|·|probes(list)|) lookup additions,
+# pair rows never exist, the shuffle carries codes not vectors, and a
+# bounded window merges ≤ nprobe·k rows per probe.  All arithmetic
+# integer-exact; ties on vec_id both engines.
+# --------------------------------------------------------------------------
+_IVFPQ_COARSE = 8
+_IVFPQ_NPROBE = 2
+
+
+@declared("x102_ivf_pq_topk", f"""
+WITH q AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+ccents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cc, qv AS cv
+           FROM q ORDER BY vec_id LIMIT {_IVFPQ_COARSE}),
+casg AS (SELECT vec_id, qv, cc FROM (
+  SELECT q.vec_id, q.qv, ccents.cc,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_sum(list_transform(range(1, 65),
+             i -> (q.qv[i] - ccents.cv[i]) * (q.qv[i] - ccents.cv[i]))),
+           ccents.cc) AS rn
+  FROM q, ccents) WHERE rn = 1),
+pcents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cv
+           FROM q ORDER BY vec_id LIMIT {_PQ_CODES}),
+sub AS (SELECT unnest(range(0, {_PQ_SUB})) AS s),
+enc AS (SELECT vec_id, cc, s, c AS code FROM (
+  SELECT a.vec_id, a.cc, sub.s, pcents.c,
+         row_number() OVER (PARTITION BY a.vec_id, sub.s ORDER BY
+           list_sum(list_transform(range(1, {64 // _PQ_SUB} + 1),
+             i -> (a.qv[sub.s * {64 // _PQ_SUB} + i]
+                   - pcents.cv[sub.s * {64 // _PQ_SUB} + i])
+                * (a.qv[sub.s * {64 // _PQ_SUB} + i]
+                   - pcents.cv[sub.s * {64 // _PQ_SUB} + i]))),
+           pcents.c) AS rn
+  FROM casg a, sub, pcents) WHERE rn = 1),
+probes AS (SELECT vec_id AS probe_id, qv FROM q WHERE vec_id % 50 = 0),
+plists AS (SELECT probe_id, cc FROM (
+  SELECT p.probe_id, ccents.cc,
+         row_number() OVER (PARTITION BY p.probe_id ORDER BY
+           list_sum(list_transform(range(1, 65),
+             i -> (p.qv[i] - ccents.cv[i]) * (p.qv[i] - ccents.cv[i]))),
+           ccents.cc) AS rn
+  FROM probes p, ccents) WHERE rn <= {_IVFPQ_NPROBE}),
+lut AS (
+  SELECT p.probe_id, sub.s, pcents.c,
+         CAST(list_sum(list_transform(range(1, {64 // _PQ_SUB} + 1),
+           i -> (p.qv[sub.s * {64 // _PQ_SUB} + i]
+                 - pcents.cv[sub.s * {64 // _PQ_SUB} + i])
+              * (p.qv[sub.s * {64 // _PQ_SUB} + i]
+                 - pcents.cv[sub.s * {64 // _PQ_SUB} + i]))) AS BIGINT)
+           AS pd
+  FROM probes p, sub, pcents),
+adc AS (
+  SELECT l.probe_id, e.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc_dist
+  FROM enc e
+  JOIN plists pl ON e.cc = pl.cc
+  JOIN lut l ON l.probe_id = pl.probe_id AND l.s = e.s AND l.c = e.code
+  WHERE e.vec_id <> pl.probe_id
+  GROUP BY l.probe_id, e.vec_id),
+top AS (SELECT probe_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist, vec_id) AS rnk
+        FROM adc)
+SELECT probe_id, vec_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+FROM top WHERE rnk <= {_PQ_TOPK} ORDER BY probe_id, rnk""")
+def x102(spark, sf_dir):
+    import numpy as np
+
+    from .operators.similarity import ivf_pq_topk, pq_codebooks
+
+    q = (_t(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.transform(F.col("embedding").cast("array<double>"),
+                             lambda x: F.floor(x * 1000).cast("bigint"))
+                  .alias("qv")))
+    coarse_rows = q.orderBy("vec_id").limit(_IVFPQ_COARSE).collect()
+    coarse = np.array([r["qv"] for r in coarse_rows], dtype=np.float64)
+    cb = pq_codebooks(q, n_codes=_PQ_CODES, n_sub=_PQ_SUB)
+    probes = [(r["vec_id"], list(r["qv"]))
+              for r in q.filter(F.col("vec_id") % 50 == 0).collect()]
+    return (ivf_pq_topk(q, probes, coarse=coarse, codebooks=cb,
+                        nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK)
+            .transform(bounded_sort, "probe_id", "rnk"))

@@ -347,3 +347,47 @@ def test_pq_adc_topk_matches_numpy_reference(spark, sf_dir):
             want.append((pid, v, d, rnk))
     assert got == sorted(want)
     assert len(got) == 3 * len(probes)
+
+
+def test_ivf_pq_full_probe_equals_flat_pq_scan(spark, sf_dir):
+    """With nprobe = every coarse list, IVF-PQ must return EXACTLY the
+    flat PQ-ADC top-k (coarse routing changes which vectors are
+    scanned, never their ADC distance) — pins the routing, the
+    per-list kernel, and the merge window against the already
+    reference-pinned pq_adc_topk.  A decimated nprobe must return a
+    per-probe subset of the flat scan's candidate distances or worse,
+    never better (IVF trades recall, not correctness)."""
+    import numpy as np
+
+    from enexory_parquet_export_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    q = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id",
+                 F.transform(F.col("embedding").cast("array<double>"),
+                             lambda x: F.floor(x * 1000).cast("bigint"))
+                  .alias("qv")))
+    n_coarse = 4
+    coarse = np.array([r["qv"] for r in
+                       q.orderBy("vec_id").limit(n_coarse).collect()],
+                      dtype=np.float64)
+    cb = pq_codebooks(q, n_codes=4, n_sub=4)
+    probes = [(r["vec_id"], list(r["qv"]))
+              for r in q.filter(F.col("vec_id") % 11 == 0).collect()]
+
+    flat = sorted(tuple(r) for r in
+                  pq_adc_topk(q, probes, codebooks=cb, k=3).collect())
+    full = sorted(tuple(r) for r in
+                  ivf_pq_topk(q, probes, coarse=coarse, codebooks=cb,
+                              nprobe=n_coarse, k=3).collect())
+    assert full == flat and len(flat) == 3 * len(probes)
+
+    part = {(r["probe_id"], r["rnk"]): r["adc_dist"] for r in
+            ivf_pq_topk(q, probes, coarse=coarse, codebooks=cb,
+                        nprobe=1, k=3).collect()}
+    best = {(r[0], r[3]): r[2] for r in flat}
+    for key, d in part.items():
+        assert d >= best.get(key, -1)       # recall trade, never better
