@@ -391,3 +391,47 @@ def test_ivf_pq_full_probe_equals_flat_pq_scan(spark, sf_dir):
     best = {(r[0], r[3]): r[2] for r in flat}
     for key, d in part.items():
         assert d >= best.get(key, -1)       # recall trade, never better
+
+
+def test_semdedup_batch_uncapped_equals_semantic_dedup(spark, sf_dir):
+    """With cluster_cap ≥ corpus, the ingest twin's event set (every
+    arrival × every EARLIER admitted member) is exactly the full
+    within-cluster triangle — so it must equal semantic_dedup's pairs
+    under (id_a, id_b) = (min, max) renaming, same codebook, same
+    threshold.  Cross-pins the streaming family's batch anchor against
+    the independently oracle-verified x97 operator (including the two
+    paths' independent quantize/assign kernels)."""
+    from enexory_parquet_export_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from enexory_parquet_export_spark.streaming.semdedup_stream import (
+        quantize_codebook,
+        semdedup_batch,
+    )
+
+    base = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>")
+                     .alias("embedding")))
+    # scaled twins guarantee pairs above the threshold (cos = 1)
+    twins_df = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                           F.transform("embedding", lambda x: x * 1.1)
+                            .alias("embedding"))
+    vecs = base.unionByName(twins_df)
+    k_clusters, thresh = 3, 900_000
+    cb = quantize_codebook(vecs, k_clusters=k_clusters)
+
+    twin = {(min(a, b), max(a, b), cm) for a, b, cm in
+            semdedup_batch(vecs, cb, thresh_micro=thresh,
+                           cluster_cap=10_000_000).collect()}
+
+    q = (vecs.select("vec_id",
+                     F.transform("embedding", lambda x:
+                                 F.floor(x * 1000).cast("bigint"))
+                      .alias("qv"))
+             .withColumn("nv", F.aggregate(
+                 "qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x)))
+    full = {(r["id_a"], r["id_b"], r["cos_micro"]) for r in
+            semantic_dedup(q, k_clusters=k_clusters,
+                           thresh_micro=thresh).collect()}
+    assert twin == full and len(full) > 0
