@@ -52,21 +52,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #        x54/x55/x56 (the r5 band, one round out) + x59/x66/x72
 #        (green r5, must not go >2 rounds) + x93–x98 (x97 joins the
 #        rotation for its FIRST driver row, post the r7 kernel
-#        rework; x98 likewise) + x99–x102 (NEW in r7 — first
-#        driver rows in their birth round) + tail q11.  Exactly
-#        50 slots.  The r6 band (q16–q29 + x57–x92 remainder) sits
+#        rework; x98 likewise) + x99–x103 (NEW in r7 — first
+#        driver rows in their birth round; no tail fill needed).
+#        Exactly 50 slots.  The r6 band (q16–q29 + x57–x92 remainder) sits
 #        out after its green round.
 #   r8+: rotate the r6 band back in (q16–q29 + x57/x58/x60/
 #        x62–x65/x67–x71/x73/x75–x92), tail from q01–q10.
 _R7_XBAND: tuple[int, ...] = (
     *range(30, 53),                                # x30..x52 (x53 rows-only)
     54, 55, 56, 59, 66, 72,
-    *range(93, 103),                               # x93..x102
+    *range(93, 104),                               # x93..x103
 )
 _PRIORITY: tuple[str, ...] = (
     *(f"q{i:02d}" for i in range(1, 11)),          # q01..q10
     *(f"x{i}" for i in _R7_XBAND),
-    *(f"q{i:02d}" for i in range(11, 12)),         # tail fill q11
 )
 
 

@@ -3976,3 +3976,91 @@ def x102(spark, sf_dir):
     return (ivf_pq_topk(q, probes, coarse=coarse, codebooks=cb,
                         nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK)
             .transform(bounded_sort, "probe_id", "rnk"))
+
+
+# --------------------------------------------------------------------------
+# X103 SemDeDup resolution — the end-to-end verdict the pipeline ships:
+# x97's semantic near-dup pairs → connected components → one canonical
+# vector per semantic group (min vec_id, deterministic) → a keep/drop
+# flag per corpus vector.  Composes three independently-verified
+# operators (semantic_dedup gram kernel, adaptive connected_components,
+# the x82 canonical-resolution idiom) into the x82 shape for SEMANTIC
+# rather than shingle clusters; the oracle composes the x97 pair CTEs
+# with the x82 recursive-reach min-label CTE.  Scale posture inherits
+# the parts: gram-kernel pair search (never pair-row joins), O(log d)
+# component rounds with the ≤200k-edge local fast path, hash-agg
+# resolution — no new shuffle shapes.
+# --------------------------------------------------------------------------
+@declared("x103_semdedup_resolve", f"""
+WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+corpus AS (SELECT vec_id, v FROM base
+           UNION ALL
+           SELECT vec_id + 1000000, list_transform(v, x -> x * 1.1)
+           FROM base),
+q AS (SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      FROM corpus),
+n AS (SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nv
+      FROM q),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+          FROM q ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+asg AS (SELECT vec_id, qv, nv, cid FROM (
+  SELECT n.vec_id, n.qv, n.nv, c.cid,
+         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> (n.qv[i] - c.cv[i]) * (n.qv[i] - c.cv[i]))),
+             c.cid) AS rn
+  FROM n, cents c) WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(CAST(list_sum(list_transform(
+                  range(1, len(a.qv) + 1),
+                  i -> a.qv[i] * b.qv[i])) AS BIGINT) * 1000000.0
+              / (sqrt(a.nv) * sqrt(b.nv))) AS BIGINT) AS cos_micro
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+e0 AS (SELECT id_a AS a, id_b AS b FROM pairs
+       WHERE cos_micro >= {_SEMDEDUP_THRESH}),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+complabels AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+labeled AS (
+  SELECT c.vec_id, coalesce(cl.label, c.vec_id) AS label
+  FROM corpus c LEFT JOIN complabels cl ON cl.node = c.vec_id)
+SELECT vec_id, CAST(label AS BIGINT) AS canonical_id,
+       vec_id = label AS is_kept
+FROM labeled ORDER BY vec_id""")
+def x103(spark, sf_dir):
+    from .operators.components import connected_components
+    from .operators.similarity import semantic_dedup
+
+    base = (_t(spark, sf_dir, "embeddings")
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v")))
+    twins = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                        F.transform("v", lambda x: x * 1.1).alias("v"))
+    corpus = base.unionByName(twins)
+    q = (corpus.select("vec_id",
+                       F.transform("v", lambda x:
+                                   F.floor(x * 1000).cast("bigint"))
+                        .alias("qv"))
+               .withColumn("nv", F.aggregate(
+                   "qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x)))
+    pairs = (semantic_dedup(q, k_clusters=_SEMDEDUP_K,
+                            thresh_micro=_SEMDEDUP_THRESH)
+             .select("id_a", "id_b"))
+    comp = (connected_components(pairs)
+            .withColumnRenamed("node", "vec_id"))
+    labeled = (corpus.select("vec_id")
+               .join(comp, "vec_id", "left")
+               .withColumn("label", F.coalesce("label", "vec_id")))
+    return (labeled.select(
+                "vec_id",
+                F.col("label").cast("bigint").alias("canonical_id"),
+                (F.col("vec_id") == F.col("label")).alias("is_kept"))
+            .transform(stable_sort, "vec_id"))
