@@ -4064,3 +4064,62 @@ def x103(spark, sf_dir):
                 F.col("label").cast("bigint").alias("canonical_id"),
                 (F.col("vec_id") == F.col("label")).alias("is_kept"))
             .transform(stable_sort, "vec_id"))
+
+
+# --------------------------------------------------------------------------
+# X104 calendar densify + forward fill — the time-series gap-fill the
+# reference's domain lives on (db_extractor.py's per-day export cycle
+# assumes a dense day grid; days a source skipped MUST exist downstream
+# or day-partitioned reconciliation (O18/O19) and window features read
+# phantom gaps).  Per user: the day calendar spans [first, last] event
+# day (explode of a bounded per-key sequence — never a corpus-wide
+# calendar cross join), the daily value is the day's max micro-value,
+# and missing days carry the last preceding non-null value
+# (`last(v, ignoreNulls=True)` over one (user, day) window = DuckDB's
+# `last_value(v IGNORE NULLS)` — identical frame, identical rule).
+# Scale: one hash agg + one bounded explode + one equi-join + one
+# window, all partitioned by user_id; fill never looks across users.
+# --------------------------------------------------------------------------
+@declared("x104_gap_fill", """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+daily AS (SELECT user_id, d,
+                 max(CAST(floor(value * 1000000) AS BIGINT)) AS v
+          FROM ev GROUP BY user_id, d),
+span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM ev
+         GROUP BY user_id),
+cal AS (SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM span),
+j AS (SELECT c.user_id, c.d, dl.v
+      FROM cal c LEFT JOIN daily dl
+        ON dl.user_id = c.user_id AND dl.d = c.d)
+SELECT user_id, CAST(d AS VARCHAR) AS day,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_micro,
+       v IS NULL AS is_filled
+FROM j ORDER BY user_id, day""")
+def x104(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", F.col("ts").cast("date").alias("d"), "value"))
+    daily = (ev.groupBy("user_id", "d")
+               .agg(F.max(F.floor(F.col("value") * 1e6).cast("bigint"))
+                     .alias("v")))
+    cal = (ev.groupBy("user_id")
+             .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+             .select("user_id",
+                     F.explode(F.sequence("d0", "d1")).alias("d")))
+    w = (Window.partitionBy("user_id").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (cal.join(daily, ["user_id", "d"], "left")
+               .select("user_id", "d", "v",
+                       F.last("v", ignorenulls=True).over(w)
+                        .cast("bigint").alias("value_micro"))
+               .select("user_id",
+                       F.col("d").cast("string").alias("day"),
+                       "value_micro",
+                       F.col("v").isNull().alias("is_filled"))
+               .transform(stable_sort, "user_id", "day"))
