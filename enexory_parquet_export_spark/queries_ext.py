@@ -4123,3 +4123,179 @@ def x104(spark, sf_dir):
                        "value_micro",
                        F.col("v").isNull().alias("is_filled"))
                .transform(stable_sort, "user_id", "day"))
+
+
+# --------------------------------------------------------------------------
+# X105 DSIR importance score — Xie et al. 2023 ("Data Selection via
+# Importance Resampling") discretized to engine-exact integers: target
+# distribution = the lang='en' slice, background = everything else;
+# each word votes +1/-1/0 by the SIGN of its smoothed pointwise
+# log-likelihood ratio ((ct+1)/(Nt+V) vs (cb+1)/(Nb+V) — compared as
+# the two IEEE-double ratios themselves, so no log and no last-ulp
+# libm divergence; both engines divide the same integers and get the
+# same doubles), and a document's importance score is the vote sum
+# over its token occurrences.  selected = score > 0 is the resampling
+# keep-set.  The double-ratio compare (not integer cross-multiply) is
+# deliberate: (ct+1)*(Nb+V) overflows BIGINT once corpus token counts
+# pass ~1e9, while the ratio form is scale-free.  Scale: one explode,
+# two hash aggs (word stats are vocabulary-sized), a 1-row broadcast
+# of the corpus totals, and ONE corpus-sized equi-join on word —
+# unhinted, like x80: vocabulary grows with the corpus, AQE promotes
+# a broadcast only when it is actually small.  No pair joins, no
+# Python.  (Reference parity: the reference has no selection stage;
+# this is the LLM-pipeline extension surface, same family as x34/x35.)
+# --------------------------------------------------------------------------
+@declared("x105_dsir_importance", """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_tgt, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+ws AS (
+  SELECT w,
+         CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM toks GROUP BY w),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS v
+  FROM ws),
+votes AS (
+  SELECT w,
+         CASE WHEN (ct + 1) / CAST(nt + v AS DOUBLE)
+                 > (cb + 1) / CAST(nb + v AS DOUBLE) THEN 1
+              WHEN (ct + 1) / CAST(nt + v AS DOUBLE)
+                 < (cb + 1) / CAST(nb + v AS DOUBLE) THEN -1
+              ELSE 0 END AS vote
+  FROM ws, tot),
+dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+       FROM toks GROUP BY doc_id, w)
+SELECT dw.doc_id,
+       CAST(sum(dw.n) AS BIGINT) AS n_tokens,
+       CAST(sum(dw.n * votes.vote) AS BIGINT) AS score,
+       CAST(sum(dw.n * votes.vote) AS BIGINT) > 0 AS selected
+FROM dw JOIN votes ON dw.w = votes.w
+GROUP BY dw.doc_id ORDER BY dw.doc_id""")
+def x105(spark, sf_dir):
+    toks = (_t(spark, sf_dir, "documents")
+            .select("doc_id", (F.col("lang") == "en").alias("is_tgt"),
+                    F.explode(F.split("text", " ")).alias("w"))
+            .transform(materialize, eager=False))  # consumers: ws, dw
+    ws = (toks.groupBy("w")
+              .agg(F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
+                    .cast("bigint").alias("ct"),
+                   F.sum(F.when(F.col("is_tgt"), 0).otherwise(1))
+                    .cast("bigint").alias("cb")))
+    tot = ws.agg(F.sum("ct").alias("nt"), F.sum("cb").alias("nb"),
+                 F.count("*").cast("bigint").alias("v"))
+    # exchange reuse dedups the shared groupBy(w) subtree between the
+    # totals branch and the votes branch — one word-stats shuffle.
+    rt = (F.col("ct") + 1) / (F.col("nt") + F.col("v")).cast("double")
+    rb = (F.col("cb") + 1) / (F.col("nb") + F.col("v")).cast("double")
+    votes = (ws.crossJoin(F.broadcast(tot))
+               .select("w", F.when(rt > rb, 1).when(rt < rb, -1)
+                             .otherwise(0).alias("vote")))
+    dw = (toks.groupBy("doc_id", "w")
+              .agg(F.count("*").cast("bigint").alias("n")))
+    return (dw.join(votes, "w")
+              .groupBy("doc_id")
+              .agg(F.sum("n").cast("bigint").alias("n_tokens"),
+                   F.sum(F.col("n") * F.col("vote")).cast("bigint")
+                    .alias("score"))
+              .withColumn("selected", F.col("score") > 0)
+              .transform(stable_sort, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# X106 temperature-weighted source mixing — the multinomial
+# alpha-sampling every multi-source pretraining corpus ships (GPT-3 /
+# XLM-R style: sample sources proportional to n^alpha, alpha = 0.5,
+# so head sources are down-weighted and tail sources up-weighted).
+# Engine-exact throughout: the weight is floor(sqrt(n * 1e6)) — sqrt
+# is IEEE correctly-rounded on both engines, so the floored BIGINT is
+# identical — and the per-source quota is the largest-remainder
+# apportionment of a budget T = N/2 over integer weights (base =
+# T*w DIV W, one +1 per remainder rank until the budget is exact).
+# T*w stays under 2^63 up to ~1e10 docs (see overflow note in x105 —
+# same scale-free discipline).  Document selection inside a quota is
+# by portable-hash order (md5-derived, functions.hashing) — a
+# deterministic uniform shuffle both engines replay bit-identically.
+# Scale: source stats are a hash agg; the apportionment relation is
+# source-alphabet-sized (the mixture config itself — genuinely
+# bounded, broadcast by construction); the only corpus-sized work is
+# one broadcast join + one per-source hash-order row_number.  At
+# cluster scale the rank can be replaced by a sampled hash-threshold
+# cut; the declared semantics (quota-th smallest hash) are unchanged.
+# --------------------------------------------------------------------------
+@declared("x106_source_mixing", f"""
+WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY source),
+wts AS (SELECT source, n,
+               CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS wt
+        FROM src),
+tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw, CAST(sum(n) AS BIGINT) AS nn
+        FROM wts),
+q0 AS (SELECT source, n, wt, nn // 2 AS t,
+              ((nn // 2) * wt) // tw AS base,
+              ((nn // 2) * wt) % tw AS rem
+       FROM wts, tot),
+rk AS (SELECT *, CAST(sum(base) OVER () AS BIGINT) AS sb,
+              row_number() OVER (ORDER BY rem DESC, source) AS r
+       FROM q0),
+quota AS (SELECT source, n, wt,
+                 base + CASE WHEN r <= t - sb THEN 1 ELSE 0 END AS quota
+          FROM rk),
+ranked AS (
+  SELECT d.source, d.doc_id, q.n, q.wt, q.quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY {portable_hash60_sql("CAST(d.doc_id AS VARCHAR)")},
+                    d.doc_id) AS rn
+  FROM documents d JOIN quota q USING (source))
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(wt) AS BIGINT) AS weight,
+       CAST(max(quota) AS BIGINT) AS quota,
+       CAST(sum(CASE WHEN rn <= quota THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(sum(CASE WHEN rn <= quota THEN doc_id ELSE 0 END) AS BIGINT)
+         AS sel_sum
+FROM ranked GROUP BY source ORDER BY source""")
+def x106(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.hashing import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    wts = src.withColumn(
+        "wt", F.floor(F.sqrt(F.col("n") * F.lit(1e6))).cast("bigint"))
+    tot = wts.agg(F.sum("wt").alias("tw"), F.sum("n").alias("nn"))
+    q0 = (wts.crossJoin(F.broadcast(tot))
+             .select("source", "n", "wt",
+                     F.expr("nn DIV 2").alias("t"),
+                     F.expr("((nn DIV 2) * wt) DIV tw").alias("base"),
+                     F.expr("((nn DIV 2) * wt) % tw").alias("rem")))
+    # apportionment windows run over the source alphabet (the mixture
+    # config itself) — bounded rows, single partition is the point
+    w_all = Window.partitionBy(F.lit(1))
+    w_rk = Window.partitionBy(F.lit(1)).orderBy(F.desc("rem"), F.asc("source"))
+    quota = (q0.withColumn("sb", F.sum("base").over(w_all))
+               .withColumn("r", F.row_number().over(w_rk))
+               .select("source", "n", "wt",
+                       (F.col("base")
+                        + F.when(F.col("r") <= F.col("t") - F.col("sb"), 1)
+                           .otherwise(0)).alias("quota")))
+    w_src = (Window.partitionBy("source")
+             .orderBy(portable_hash60(F.col("doc_id").cast("string")),
+                      "doc_id"))
+    ranked = (docs.join(F.broadcast(quota), "source")
+                  .withColumn("rn", F.row_number().over(w_src)))
+    sel = F.col("rn") <= F.col("quota")
+    return (ranked.groupBy("source")
+                  .agg(F.max("n").cast("bigint").alias("n_docs"),
+                       F.max("wt").cast("bigint").alias("weight"),
+                       F.max("quota").cast("bigint").alias("quota"),
+                       F.sum(F.when(sel, 1).otherwise(0)).cast("bigint")
+                        .alias("n_selected"),
+                       F.sum(F.when(sel, F.col("doc_id")).otherwise(0))
+                        .cast("bigint").alias("sel_sum"))
+                  .transform(stable_sort, "source"))

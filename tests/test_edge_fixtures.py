@@ -403,3 +403,51 @@ def test_x96_vocab_matches_reference(spark, tmp_path):
     got = [(r["token"], r["occurrences"]) for r in
            qx.SPARK_QUERIES["x96_bpe_vocab"](spark, d).collect()]
     assert got == want
+
+
+def test_x105_vote_signs_and_selection(spark, tmp_path):
+    # ct(good)=2 cb=0, ct(bad)=0 cb=1, ct(shared)=1 cb=1; Nt=3 Nb=2 V=3
+    # votes: good +1 (3/6 > 1/5), bad -1 (1/6 < 2/5),
+    # shared -1 (2/6 < 2/5 — proportionally rarer in target)
+    rows = [(0, "good good shared", "en", "s0", 16),
+            (1, "bad shared", "de", "s0", 10)]
+    d = _write(spark, tmp_path, "documents", rows,
+               "doc_id bigint, text string, lang string, source string,"
+               " n_chars bigint")
+    out = {r["doc_id"]: r for r in
+           qx.SPARK_QUERIES["x105_dsir_importance"](spark, d).collect()}
+    assert out[0]["score"] == 2 - 1 and out[0]["selected"] is True
+    assert out[1]["score"] == -2 and out[1]["selected"] is False
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 2
+
+
+def test_x105_all_target_corpus_no_division_blowup(spark, tmp_path):
+    # Nb = 0: background ratio degrades to 1/V smoothing, never 0/0
+    rows = [(0, "a b", "en", "s0", 3), (1, "a", "en", "s0", 1)]
+    d = _write(spark, tmp_path, "documents", rows,
+               "doc_id bigint, text string, lang string, source string,"
+               " n_chars bigint")
+    out = {r["doc_id"]: r for r in
+           qx.SPARK_QUERIES["x105_dsir_importance"](spark, d).collect()}
+    # a: 3/5 > 1/2 -> +1; b: 2/5 < 1/2 -> -1
+    assert out[0]["score"] == 0 and out[1]["score"] == 1
+
+
+def test_x106_apportionment_exact_and_sqrt_damped(spark, tmp_path):
+    # src a: 9 docs (w=3000), src b: 1 doc (w=1000); T = 10//2 = 5
+    # base a=3 rem 3000, base b=1 rem 1000 -> one +1 goes to a
+    rows = [(i, f"t{i}", "en", "a", 2) for i in range(9)]
+    rows.append((9, "t9", "en", "b", 2))
+    d = _write(spark, tmp_path, "documents", rows,
+               "doc_id bigint, text string, lang string, source string,"
+               " n_chars bigint")
+    out = {r["source"]: r for r in
+           qx.SPARK_QUERIES["x106_source_mixing"](spark, d).collect()}
+    assert out["a"]["quota"] == 4 and out["b"]["quota"] == 1
+    # budget exact, selection fills every quota
+    assert sum(r["quota"] for r in out.values()) == 5
+    for r in out.values():
+        assert r["n_selected"] == r["quota"]
+    # temperature damping: head share shrinks, tail share grows
+    assert out["a"]["quota"] / 5 < 9 / 10
+    assert out["b"]["quota"] / 5 > 1 / 10
