@@ -4299,3 +4299,129 @@ def x106(spark, sf_dir):
                        F.sum(F.when(sel, F.col("doc_id")).otherwise(0))
                         .cast("bigint").alias("sel_sum"))
                   .transform(stable_sort, "source"))
+
+
+# --------------------------------------------------------------------------
+# X107 corpus stats cube — the multi-dimensional rollup every corpus
+# card/datasheet ships: doc counts and char volumes at every
+# granularity of (lang × source) in ONE pass, including the per-lang,
+# per-source, and grand-total margins.  This exercises the one
+# relational operator the inventory hadn't yet: GROUPING SETS (Spark's
+# Expand — each input row fans out to its 4 cube cells BEFORE the hash
+# agg, so the shuffle carries pre-combined partials per cell, never a
+# second scan per margin; DuckDB's GROUP BY CUBE is the same plan).
+# grouping() flags disambiguate a margin cell from a literal value,
+# the dimensions are coalesced to '<all>' so no NULL reaches the
+# driver's value hash, and mean chars is integer-division micro
+# (BIGINT-exact both engines).  Scale: one scan, one Expand (×4 — the
+# cell count is the constant 2^dims, not data-dependent), one hash
+# agg keyed by (cell, lang, source) — cube cells partial-aggregate
+# map-side exactly like any groupBy; output is |lang|×|source| + two
+# margins + 1 rows, alphabet-sized.
+# --------------------------------------------------------------------------
+@declared("x107_corpus_cube", """
+SELECT CAST(grouping(lang) AS BIGINT) AS lang_all,
+       CAST(grouping(source) AS BIGINT) AS source_all,
+       coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(sum(n_chars) AS BIGINT) * 1000000
+         // CAST(count(*) AS BIGINT) AS mean_chars_micro
+FROM documents
+GROUP BY CUBE(lang, source)
+ORDER BY lang_all, source_all, lang, source""")
+def x107(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    return (docs.cube("lang", "source")
+                .agg(F.grouping("lang").cast("bigint").alias("lang_all"),
+                     F.grouping("source").cast("bigint").alias("source_all"),
+                     F.count("*").cast("bigint").alias("n_docs"),
+                     F.sum("n_chars").cast("bigint").alias("chars"))
+                .select("lang_all", "source_all",
+                        F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                        F.coalesce("source", F.lit("<all>")).alias("source"),
+                        "n_docs", "chars",
+                        F.expr("chars * 1000000 DIV n_docs")
+                         .alias("mean_chars_micro"))
+                .transform(stable_sort,
+                           "lang_all", "source_all", "lang", "source"))
+
+
+# --------------------------------------------------------------------------
+# X108 sequential event funnel — ordered-step conversion (view →
+# click → purchase): a user counts at step k only if step k's event
+# happens STRICTLY AFTER their step k-1 entry time (the first
+# qualifying occurrence, min-ts semantics — the standard funnel
+# definition, not mere set membership; x45 sessionize and q17's range
+# join cover the adjacent shapes, ordered multi-step conversion was
+# missing).  Each stage is a hash agg keyed by user_id joined to the
+# previous stage's entry times; all three stages and both joins share
+# ONE partitioning key (user_id), so AQE coalesces them onto the same
+# exchange layout, and each stage's survivor relation only shrinks —
+# the joins broadcast under AQE once the funnel narrows.  Conversion
+# ratios are integer-division micro over the 3-row summary (a
+# config-sized window, same posture as x106's apportionment).
+# --------------------------------------------------------------------------
+@declared("x108_event_funnel", """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+       GROUP BY e.user_id),
+steps AS (
+  SELECT 1 AS step, 'view' AS step_name,
+         CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+SELECT step, step_name, n_users,
+       coalesce(n_users * 1000000
+                  // nullif(lag(n_users) OVER (ORDER BY step), 0),
+                CASE WHEN step = 1 THEN 1000000 ELSE 0 END)
+         AS conversion_micro
+FROM steps ORDER BY step""")
+def x108(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_type", "ts")
+          .transform(materialize, eager=False))  # consumers: 3 stages
+    s1 = (ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+            .join(s1, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+            .join(s2, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id").agg(F.min("ts").alias("t3")))
+
+    def _count(df, step, name):
+        return (df.agg(F.count("*").cast("bigint").alias("n_users"))
+                  .select(F.lit(step).cast("int").alias("step"),
+                          F.lit(name).alias("step_name"), "n_users"))
+
+    steps = (_count(s1, 1, "view")
+             .unionByName(_count(s2, 2, "click"))
+             .unionByName(_count(s3, 3, "purchase")))
+    w = Window.partitionBy(F.lit(1)).orderBy("step")  # 3-row summary
+    # integer DIV keeps the ratio BIGINT-exact on both engines; a
+    # step that empties makes the NEXT ratio 0/0 — nullif + the step-1
+    # fallback pins that to 0, not a divide-by-zero
+    return (steps.withColumn("prev", F.lag("n_users").over(w))
+                 .withColumn("conversion_micro",
+                             F.coalesce(
+                                 F.expr("(n_users * 1000000)"
+                                        " DIV nullif(prev, 0)"),
+                                 F.when(F.col("step") == 1, 1000000)
+                                  .otherwise(0).cast("bigint")))
+                 .drop("prev")
+                 .transform(stable_sort, "step"))

@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..session import configure
 
@@ -71,6 +72,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         del _TABLE_MEMO[stale]
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_cols(path):
+        # pyarrow reports INT96 (Spark-written) timestamps as ns too,
+        # but Spark reads those as TIMESTAMP directly — only INT64
+        # TIMESTAMP(NANOS) surfaces as long under nanosAsLong, so the
+        # Spark dtype is the authoritative convert-or-not signal
+        if not isinstance(df.schema[col].dataType, LongType):
+            continue
         # integer div: ns → µs, exact, stays in whole-stage codegen
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     # µs-naive parquet timestamps (isAdjustedToUTC=false) surface as

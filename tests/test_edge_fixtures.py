@@ -451,3 +451,60 @@ def test_x106_apportionment_exact_and_sqrt_damped(spark, tmp_path):
     # temperature damping: head share shrinks, tail share grows
     assert out["a"]["quota"] / 5 < 9 / 10
     assert out["b"]["quota"] / 5 > 1 / 10
+
+
+def test_x107_cube_margins_reconcile(spark, tmp_path):
+    rows = [(0, "t", "en", "a", 10), (1, "t", "en", "b", 20),
+            (2, "t", "de", "a", 30)]
+    d = _write(spark, tmp_path, "documents", rows,
+               "doc_id bigint, text string, lang string, source string,"
+               " n_chars bigint")
+    out = qx.SPARK_QUERIES["x107_corpus_cube"](spark, d).collect()
+    cells = {(r["lang_all"], r["source_all"], r["lang"], r["source"]): r
+             for r in out}
+    # 2x2 leaf cells - one combo absent (de, b) - + 2 + 2 margins + total
+    assert len(out) == 3 + 2 + 2 + 1
+    assert cells[(1, 1, "<all>", "<all>")]["n_docs"] == 3
+    assert cells[(1, 1, "<all>", "<all>")]["chars"] == 60
+    assert cells[(0, 1, "en", "<all>")]["n_docs"] == 2
+    assert cells[(1, 0, "<all>", "a")]["chars"] == 40
+    assert cells[(0, 0, "de", "a")]["mean_chars_micro"] == 30_000_000
+    # margins reconcile with leaves
+    leaf_total = sum(r["n_docs"] for r in out
+                     if (r["lang_all"], r["source_all"]) == (0, 0))
+    assert leaf_total == 3
+
+
+def test_x108_funnel_strict_ordering_and_empty_step(spark, tmp_path):
+    # user 1: view(t1) -> click(t2) -> purchase(t3): full conversion
+    # user 2: click BEFORE view -> never reaches step 2
+    # user 3: view only
+    rows = [(1, "2024-01-01 00:00:01", 1, "view", 0.0, "{}"),
+            (2, "2024-01-01 00:00:02", 1, "click", 0.0, "{}"),
+            (3, "2024-01-01 00:00:03", 1, "purchase", 0.0, "{}"),
+            (4, "2024-01-01 00:00:01", 2, "click", 0.0, "{}"),
+            (5, "2024-01-01 00:00:02", 2, "view", 0.0, "{}"),
+            (6, "2024-01-01 00:00:01", 3, "view", 0.0, "{}")]
+    d = _write(spark, tmp_path, "events",
+               [(e, __import__("datetime").datetime.fromisoformat(t),
+                 u, ty, v, p) for e, t, u, ty, v, p in rows],
+               "event_id bigint, ts timestamp, user_id bigint,"
+               " event_type string, value double, props string")
+    out = {r["step"]: r for r in
+           qx.SPARK_QUERIES["x108_event_funnel"](spark, d).collect()}
+    assert out[1]["n_users"] == 3 and out[1]["conversion_micro"] == 1000000
+    assert out[2]["n_users"] == 1          # only user 1 clicks after view
+    assert out[2]["conversion_micro"] == 1000000 // 3
+    assert out[3]["n_users"] == 1 and out[3]["conversion_micro"] == 1000000
+
+
+def test_x108_emptied_step_yields_zero_not_div_by_zero(spark, tmp_path):
+    import datetime as dt
+    rows = [(1, dt.datetime(2024, 1, 1), 1, "view", 0.0, "{}")]
+    d = _write(spark, tmp_path, "events", rows,
+               "event_id bigint, ts timestamp, user_id bigint,"
+               " event_type string, value double, props string")
+    out = {r["step"]: r for r in
+           qx.SPARK_QUERIES["x108_event_funnel"](spark, d).collect()}
+    assert out[2]["n_users"] == 0 and out[2]["conversion_micro"] == 0
+    assert out[3]["n_users"] == 0 and out[3]["conversion_micro"] == 0
