@@ -57,9 +57,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #        Exactly 50 slots.  The r6 band (q16–q29 + x57–x92 remainder) sits
 #        out after its green round.
 #   r8+: rotate the r6 band back in (q16–q29 + x57/x58/x60/
-#        x62–x65/x67–x71/x73/x75–x92) plus x104 (born r7 after the
-#        window filled; local-gate-only this round, the x97/x98 r6
-#        precedent), tail from q01–q10.
+#        x62–x65/x67–x71/x73/x75–x92 = 45 slots) plus x104–x108
+#        (born r7 after the window filled; local-gate-only this
+#        round, the x97/x98 r6 precedent) — exactly 50, no tail.
 _R7_XBAND: tuple[int, ...] = (
     *range(30, 53),                                # x30..x52 (x53 rows-only)
     54, 55, 56, 59, 66, 72,
