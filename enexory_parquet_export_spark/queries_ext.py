@@ -4349,19 +4349,24 @@ def x107(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# X108 sequential event funnel — ordered-step conversion (view →
-# click → purchase): a user counts at step k only if step k's event
-# happens STRICTLY AFTER their step k-1 entry time (the first
-# qualifying occurrence, min-ts semantics — the standard funnel
-# definition, not mere set membership; x45 sessionize and q17's range
-# join cover the adjacent shapes, ordered multi-step conversion was
-# missing).  Each stage is a hash agg keyed by user_id joined to the
-# previous stage's entry times; all three stages and both joins share
-# ONE partitioning key (user_id), so AQE coalesces them onto the same
-# exchange layout, and each stage's survivor relation only shrinks —
-# the joins broadcast under AQE once the funnel narrows.  Conversion
-# ratios are integer-division micro over the 3-row summary (a
-# config-sized window, same posture as x106's apportionment).
+# X108 sequential event funnel, stage-pruned formulation — the scale
+# twin of x57 the way x88 twins x30.  Same funnel family, two
+# deliberate differences: (1) semantics — a user counts at step k
+# only if step k's event is STRICTLY AFTER their step k-1 entry time
+# (x57 uses at-or-after; strict-after is the re-engagement variant),
+# and the output is the per-step conversion table, not x57's one-row
+# summary; (2) the plan — x57's window cascade carries EVERY event
+# of every user through three full-partition window passes, which at
+# 100 TB means the whole event stream flows through all three
+# operators even though step-2+ touches a shrinking user subset.
+# Here each stage is a hash agg keyed by user_id joined to the
+# previous stage's entry times: the event scan is filtered to one
+# event type per stage BEFORE the shuffle, all three stages and both
+# joins share ONE partitioning key, and each stage's survivor
+# relation only shrinks — AQE broadcasts it once the funnel narrows.
+# Conversion ratios are integer-division micro over the 3-row
+# summary (a config-sized window, same posture as x106's
+# apportionment).
 # --------------------------------------------------------------------------
 @declared("x108_event_funnel", """
 WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
