@@ -4175,10 +4175,15 @@ SELECT dw.doc_id,
 FROM dw JOIN votes ON dw.w = votes.w
 GROUP BY dw.doc_id ORDER BY dw.doc_id""")
 def x105(spark, sf_dir):
+    # NO materialize on the exploded tokens: both consumers aggregate
+    # it straight down (vocab-sized ws, doc-sized dw), so recomputing
+    # the explode pipelines into each partial agg — a corpus-sized
+    # token checkpoint is exactly what cannot exist at 100 TB
+    # (measured: localCheckpoint here OOMs at 1.5M docs / ~300M
+    # tokens on local[32], while the two-scan plan runs in seconds)
     toks = (_t(spark, sf_dir, "documents")
             .select("doc_id", (F.col("lang") == "en").alias("is_tgt"),
-                    F.explode(F.split("text", " ")).alias("w"))
-            .transform(materialize, eager=False))  # consumers: ws, dw
+                    F.explode(F.split("text", " ")).alias("w")))
     ws = (toks.groupBy("w")
               .agg(F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
                     .cast("bigint").alias("ct"),
