@@ -2290,22 +2290,33 @@ def x80(spark, sf_dir):
             F.sequence(F.lit(1), F.size("ws") - 1),
             lambda p: F.struct(F.element_at("ws", p).alias("w1"),
                                F.element_at("ws", p + 1).alias("w2"))))
-         .alias("bg")).select("doc_id", "bg.w1", "bg.w2") \
-        .transform(materialize, eager=False)  # three consumers: bc, uc, join
-    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
-    uc = big.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
-    # NO broadcast hint on uc: the unigram table is vocabulary-sized
-    # (unbounded in the corpus) — AQE promotes it when actually small
-    scored = (big.join(bc, ["w1", "w2"])
+         .alias("bg")).select("doc_id", "bg.w1", "bg.w2")
+    # single-explode derivation chain — NO corpus-sized checkpoint
+    # (the former localCheckpoint of the bigram stream lost blocks
+    # under memory pressure at 300M tokens on local[32], the x105
+    # lesson): the per-doc bigram counts dbc are the finest relation,
+    # the corpus counts bc aggregate dbc, the unigram counts derive
+    # from bc as sum over w2 (c1 counts bigram OCCURRENCES led by w1,
+    # exactly the oracle's uc), and the score weights each bigram
+    # TYPE's p_micro by its in-doc count n — value-identical to
+    # scoring every occurrence row.
+    dbc = (big.groupBy("doc_id", "w1", "w2")
+              .agg(F.count("*").cast("bigint").alias("n")))
+    bc = (dbc.groupBy("w1", "w2")
+             .agg(F.sum("n").cast("bigint").alias("c12")))
+    uc = bc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    # NO broadcast hint on bc/uc: the n-gram tables are vocabulary-
+    # sized (unbounded in the corpus) — AQE promotes when small
+    scored = (dbc.join(bc, ["w1", "w2"])
                  .join(uc, "w1")
-                 .select("doc_id",
+                 .select("doc_id", "n",
                          F.floor(F.col("c12") * F.lit(1000000.0)
                                  / F.col("c1")).cast("bigint")
                           .alias("p_micro")))
     return (scored.groupBy("doc_id")
-                  .agg(F.count("*").cast("bigint").alias("n_bigrams"),
-                       F.expr("CAST(sum(p_micro) AS BIGINT) DIV count(*)")
-                        .alias("mean_p_micro"))
+                  .agg(F.sum("n").cast("bigint").alias("n_bigrams"),
+                       F.expr("CAST(sum(p_micro * n) AS BIGINT)"
+                              " DIV sum(n)").alias("mean_p_micro"))
                   .transform(stable_sort, "doc_id"))
 
 
@@ -3059,17 +3070,24 @@ SELECT sh.doc_id,
 FROM sh JOIN firsts f USING (h)
 GROUP BY sh.doc_id ORDER BY doc_id""")
 def x93(spark, sf_dir):
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = (D._exploded_shingles(docs, id_col="doc_id", text_col="text",
                                shingle_n=3, distinct=True)
-          .select("doc_id", F.xxhash64("s").alias("h"))
-          .transform(materialize, eager=False))  # firsts + join both read
-    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    return (sh.join(firsts, "h")
-              .groupBy("doc_id")
+          .select("doc_id", F.xxhash64("s").alias("h")))
+    # the firsts agg + join-back collapses into ONE window pass over
+    # partition-by-h (min over the whole unordered partition): one
+    # exchange instead of agg + join, and no corpus-sized shingle
+    # checkpoint (the former localCheckpoint here is the x105/x80
+    # failure class — block loss at ~300M tokens on local[32])
+    first_doc = F.min("doc_id").over(Window.partitionBy("h"))
+    marked = sh.select(
+        "doc_id",
+        F.when(first_doc == F.col("doc_id"), 1).otherwise(0).alias("novel"))
+    return (marked.groupBy("doc_id")
               .agg(F.count("*").cast("bigint").alias("n_shingles"),
-                   F.sum(novel).cast("bigint").alias("n_novel"))
+                   F.sum("novel").cast("bigint").alias("n_novel"))
               .select("doc_id", "n_shingles", "n_novel",
                       F.floor(F.col("n_novel") * F.lit(1000000.0)
                               / F.col("n_shingles")).cast("bigint")
@@ -3669,13 +3687,18 @@ def x98(spark, sf_dir):
               .filter(F.col("t2").isNotNull())
               .select("doc_id", "p",
                       F.xxhash64(F.concat_ws(" ", "t0", "t1", "t2"))
-                       .alias("h"))
-              .transform(materialize, eager=False))  # df agg + mark join both read
-    dup = (sh.groupBy("h")
-             .agg(F.count_distinct("doc_id").alias("df"))
-             .filter(F.col("df") >= 2)
-             .select("h"))
-    hits = sh.join(dup, "h").select("doc_id", "p")
+                       .alias("h")))
+    # "appears in ≥2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id) over
+    # the shingle's partition — the count_distinct agg + semi-join
+    # collapses into TWO window exprs over ONE partition-by-h spec
+    # (one Window operator, one exchange), and the corpus-sized
+    # shingle checkpoint disappears (the x105/x80 block-loss class)
+    wh = Window.partitionBy("h")
+    hits = (sh.select("doc_id", "p",
+                      (F.min("doc_id").over(wh)
+                       != F.max("doc_id").over(wh)).alias("is_dup"))
+              .filter(F.col("is_dup"))
+              .select("doc_id", "p"))
     w2 = Window.partitionBy("doc_id").orderBy("p")
     return (hits.select("doc_id", "p",
                         (F.col("p") - F.row_number().over(w2)).alias("grp"))
@@ -4400,9 +4423,11 @@ FROM steps ORDER BY step""")
 def x108(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = (_t(spark, sf_dir, "events")
-          .select("user_id", "event_type", "ts")
-          .transform(materialize, eager=False))  # consumers: 3 stages
+    # NO materialize across the 3 stages: each stage filters to ONE
+    # event type, and only an un-checkpointed plan lets that filter
+    # reach the parquet scan (PushedFilters) — three pruned scans
+    # beat one full-stream checkpoint at any scale
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     s1 = (ev.filter(F.col("event_type") == "view")
             .groupBy("user_id").agg(F.min("ts").alias("t1")))
     s2 = (ev.filter(F.col("event_type") == "click")
