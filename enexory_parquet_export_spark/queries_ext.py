@@ -2077,19 +2077,26 @@ def x76(spark, sf_dir):
     # move 8-byte longs instead of ~45-byte segment strings (the x32
     # pattern; a 64-bit collision merges two segments' doc counts with
     # p < 1e-7 at any realistic segment cardinality)
-    # the segment relation feeds BOTH the frequency agg and the join
-    # back — materialize once or the interpreted chunking transform
-    # re-executes per consumer (measured 1.22 s → 0.18 s at sf0.1)
+    # single-chain derivation, no segment-stream checkpoint (the
+    # x105/x80 token-class block-loss lesson) and the interpreted
+    # chunking transform still executes exactly ONCE: the finest
+    # pre-agg (doc_id, seg_h) → n carries everything downstream —
+    # each of its rows is one distinct (doc, segment) pair, so the
+    # distinct-doc frequency is a plain count(*) window over seg_h,
+    # and the per-doc totals weight by n (segment instances)
+    from pyspark.sql import Window
+
     segs = (docs.select("doc_id", F.explode(seg_arr).alias("_seg"))
-                .select("doc_id", F.xxhash64("_seg").alias("seg_h"))
-                .transform(materialize, eager=False))
-    freq = (segs.groupBy("seg_h")
-                .agg(F.countDistinct("doc_id").alias("ndocs")))
-    return (segs.join(freq, "seg_h")
-                .groupBy("doc_id")
-                .agg(F.count("*").cast("bigint").alias("n_segs"),
-                     F.sum(F.when(F.col("ndocs") >= _BOILER_MIN_DOCS, 1)
-                            .otherwise(0)).cast("bigint").alias("n_boiler"))
+                .select("doc_id", F.xxhash64("_seg").alias("seg_h")))
+    dsc = (segs.groupBy("doc_id", "seg_h")
+               .agg(F.count("*").cast("bigint").alias("n")))
+    marked = dsc.withColumn(
+        "ndocs", F.count("*").over(Window.partitionBy("seg_h")))
+    return (marked.groupBy("doc_id")
+                .agg(F.sum("n").cast("bigint").alias("n_segs"),
+                     F.sum(F.when(F.col("ndocs") >= _BOILER_MIN_DOCS,
+                                  F.col("n")).otherwise(0))
+                      .cast("bigint").alias("n_boiler"))
                 .transform(stable_sort, "doc_id"))
 
 
@@ -2351,11 +2358,14 @@ SELECT vec_id,
        CAST(max(CASE WHEN p = 1 THEN qv END) AS BIGINT) AS q_first
 FROM q GROUP BY vec_id ORDER BY vec_id""")
 def x81(spark, sf_dir):
+    # no checkpoint: the numeric posexplode recomputes per consumer
+    # for less than a vec-count×dims block store costs (the dim-stats
+    # branch map-side-combines to 64 rows; the quant branch joins the
+    # 64-row broadcast and pipelines into the per-vector agg)
     ex = (_t(spark, sf_dir, "embeddings")
           .select("vec_id", F.posexplode(F.col("embedding")
                                           .cast("array<double>"))
-                             .alias("pos", "x"))
-          .transform(materialize, eager=False))  # dim stats + quant both read it
+                             .alias("pos", "x")))
     ds = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     qv = F.when(F.col("mx") > F.col("mn"),
                 F.floor((F.col("x") - F.col("mn"))
@@ -2742,8 +2752,10 @@ def x87(spark, sf_dir):
                   F.posexplode(F.col("embedding").cast("array<double>"))
                    .alias("pos0", "x"))
           .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
-                  F.floor(F.col("x") * 1000).cast("bigint").alias("qx"))
-          .transform(materialize, eager=False))  # centroid agg + join both read
+                  F.floor(F.col("x") * 1000).cast("bigint").alias("qx")))
+    # no checkpoint (x81 rationale): centroid agg map-side-combines to
+    # K×dims rows, the join side is that broadcast — both consumers
+    # pipeline the recomputed numeric explode
     cent = (ex.groupBy("label", "pos")
               .agg(F.sum("qx").cast("bigint").alias("cs")))
     parts = (ex.join(F.broadcast(cent), ["label", "pos"])
