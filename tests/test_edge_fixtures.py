@@ -508,3 +508,37 @@ def test_x108_emptied_step_yields_zero_not_div_by_zero(spark, tmp_path):
            qx.SPARK_QUERIES["x108_event_funnel"](spark, d).collect()}
     assert out[2]["n_users"] == 0 and out[2]["conversion_micro"] == 0
     assert out[3]["n_users"] == 0 and out[3]["conversion_micro"] == 0
+
+
+def test_load_table_nanos_and_int96_timestamps_agree(spark, tmp_path):
+    """load_table's ns->us conversion must fire ONLY for INT64
+    TIMESTAMP(NANOS) storage (driver fixtures), never for Spark-written
+    timestamps that pyarrow also reports as ns (INT96) — the latter
+    already surface as TIMESTAMP and a second convert corrupts them."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from enexory_parquet_export_spark.sources.tables import load_table
+
+    instants = [dt.datetime(2024, 1, 1, 0, 0, 1),
+                dt.datetime(2024, 6, 15, 12, 30, 45)]
+
+    ns_dir = tmp_path / "ns_fixture"; ns_dir.mkdir()
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array(instants, pa.timestamp("ns"))}),
+        str(ns_dir / "events.parquet"))
+
+    sp_dir = tmp_path / "spark_fixture"
+    (spark.createDataFrame(list(zip([1, 2], instants)),
+                           "event_id bigint, ts timestamp")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(sp_dir / "events.parquet")))
+
+    a = {r["event_id"]: r["ts"]
+         for r in load_table(spark, str(ns_dir), "events").collect()}
+    b = {r["event_id"]: r["ts"]
+         for r in load_table(spark, str(sp_dir), "events").collect()}
+    assert a == b and a[1] == instants[0] and a[2] == instants[1]
