@@ -2298,32 +2298,36 @@ def x80(spark, sf_dir):
             lambda p: F.struct(F.element_at("ws", p).alias("w1"),
                                F.element_at("ws", p + 1).alias("w2"))))
          .alias("bg")).select("doc_id", "bg.w1", "bg.w2")
-    # single-explode derivation chain — NO corpus-sized checkpoint
-    # (the former localCheckpoint of the bigram stream lost blocks
-    # under memory pressure at 300M tokens on local[32], the x105
-    # lesson): the per-doc bigram counts dbc are the finest relation,
-    # the corpus counts bc aggregate dbc, the unigram counts derive
-    # from bc as sum over w2 (c1 counts bigram OCCURRENCES led by w1,
-    # exactly the oracle's uc), and the score weights each bigram
-    # TYPE's p_micro by its in-doc count n — value-identical to
-    # scoring every occurrence row.
-    dbc = (big.groupBy("doc_id", "w1", "w2")
-              .agg(F.count("*").cast("bigint").alias("n")))
-    bc = (dbc.groupBy("w1", "w2")
-             .agg(F.sum("n").cast("bigint").alias("c12")))
-    uc = bc.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
-    # NO broadcast hint on bc/uc: the n-gram tables are vocabulary-
-    # sized (unbounded in the corpus) — AQE promotes when small
-    scored = (dbc.join(bc, ["w1", "w2"])
-                 .join(uc, "w1")
-                 .select("doc_id", "n",
-                         F.floor(F.col("c12") * F.lit(1000000.0)
-                                 / F.col("c1")).cast("bigint")
-                          .alias("p_micro")))
+    # NO corpus-sized checkpoint (the former localCheckpoint of the
+    # bigram stream lost blocks at 300M tokens on local[32], the x105
+    # lesson) and NO corpus-wide shuffle either: the bigram/unigram
+    # keys hash to 8-byte longs BEFORE any exchange (the x76 seam —
+    # a 64-bit collision merges two types' counts with p < 1e-7 at
+    # realistic vocabulary sizes), so the count tables bc/uc
+    # map-side-combine to vocabulary size over the in-place token
+    # stream, AQE broadcasts them when they fit (then the join moves
+    # ZERO corpus rows), and the only corpus-sized exchange left is
+    # the final per-doc agg — which map-side-combines to one row per
+    # doc per partition.  bc/uc stay UNHINTED: vocabulary grows with
+    # the corpus, the broadcast is AQE's call.
+    keyed = big.select(
+        "doc_id", F.xxhash64("w1").alias("h1"),
+        F.xxhash64("w1", "w2").alias("h12"))
+    bc = (keyed.groupBy("h12")
+               .agg(F.count("*").cast("bigint").alias("c12"),
+                    F.max("h1").alias("bh1")))
+    uc = (bc.groupBy("bh1").agg(F.sum("c12").cast("bigint").alias("c1"))
+            .withColumnRenamed("bh1", "uh1"))
+    scored = (keyed.join(bc, "h12")
+                   .join(uc, F.col("h1") == F.col("uh1"))
+                   .select("doc_id",
+                           F.floor(F.col("c12") * F.lit(1000000.0)
+                                   / F.col("c1")).cast("bigint")
+                            .alias("p_micro")))
     return (scored.groupBy("doc_id")
-                  .agg(F.sum("n").cast("bigint").alias("n_bigrams"),
-                       F.expr("CAST(sum(p_micro * n) AS BIGINT)"
-                              " DIV sum(n)").alias("mean_p_micro"))
+                  .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                       F.expr("CAST(sum(p_micro) AS BIGINT)"
+                              " DIV count(*)").alias("mean_p_micro"))
                   .transform(stable_sort, "doc_id"))
 
 
