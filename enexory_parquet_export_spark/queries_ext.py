@@ -4219,10 +4219,15 @@ def x105(spark, sf_dir):
     # the explode pipelines into each partial agg — a corpus-sized
     # token checkpoint is exactly what cannot exist at 100 TB
     # (measured: localCheckpoint here OOMs at 1.5M docs / ~300M
-    # tokens on local[32], while the two-scan plan runs in seconds)
+    # tokens on local[32], while the two-scan plan runs in seconds).
+    # The word itself never leaves the scan: every exchange and join
+    # key is the 8-byte xxhash64 of the word (the x76/x80 collision
+    # seam — two words merging their counts has p < 1e-7 at any
+    # realistic vocabulary, and the ±1 votes are count-derived).
     toks = (_t(spark, sf_dir, "documents")
             .select("doc_id", (F.col("lang") == "en").alias("is_tgt"),
-                    F.explode(F.split("text", " ")).alias("w")))
+                    F.explode(F.split("text", " ")).alias("w0"))
+            .select("doc_id", "is_tgt", F.xxhash64("w0").alias("w")))
     ws = (toks.groupBy("w")
               .agg(F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
                     .cast("bigint").alias("ct"),
