@@ -3089,9 +3089,14 @@ def x93(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # hash BEFORE the distinct so the dedup exchange moves 16-byte
+    # (doc_id, h) longs instead of shingle strings (the x76/x80 seam;
+    # distinct-then-hash and hash-then-distinct differ only on a
+    # 64-bit collision)
     sh = (D._exploded_shingles(docs, id_col="doc_id", text_col="text",
-                               shingle_n=3, distinct=True)
-          .select("doc_id", F.xxhash64("s").alias("h")))
+                               shingle_n=3)
+          .select("doc_id", F.xxhash64("s").alias("h"))
+          .distinct())
     # the firsts agg + join-back collapses into ONE window pass over
     # partition-by-h (min over the whole unordered partition): one
     # exchange instead of agg + join, and no corpus-sized shingle
