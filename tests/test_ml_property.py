@@ -154,3 +154,91 @@ def test_kmeans_matches_integer_reference(spark, vecs):
     got = {r["vec_id"]: (r["cluster"], r["dist_q"])
            for r in kmeans_assign(emb).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r7-continuation operators: DSIR importance votes (x105) and
+# temperature source mixing (x106) vs pure-Python references — the
+# same randomized-oracle-diff strategy as the BPE/k-means suites.
+# ---------------------------------------------------------------------------
+
+_x105_doc = st.tuples(st.sampled_from(["en", "de"]),
+                      st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                               min_size=1, max_size=6))
+_x105_corpus = st.lists(_x105_doc, min_size=1, max_size=8)
+
+
+def _dsir_reference(docs):
+    """docs: [(lang, [words])] → {doc_id: (n_tokens, score, selected)}."""
+    ct, cb = {}, {}
+    for lang, words in docs:
+        tgt = lang == "en"
+        for w in words:
+            (ct if tgt else cb)[w] = (ct if tgt else cb).get(w, 0) + 1
+    vocab = set(ct) | set(cb)
+    nt, nb, v = sum(ct.values()), sum(cb.values()), len(vocab)
+    votes = {}
+    for w in vocab:
+        rt = (ct.get(w, 0) + 1) / float(nt + v)
+        rb = (cb.get(w, 0) + 1) / float(nb + v)
+        votes[w] = 1 if rt > rb else (-1 if rt < rb else 0)
+    out = {}
+    for i, (lang, words) in enumerate(docs):
+        score = sum(votes[w] for w in words)
+        out[i] = (len(words), score, score > 0)
+    return out
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(_x105_corpus)
+def test_x105_matches_pure_python_reference(spark, tmp_path_factory, docs):
+    from enexory_parquet_export_spark.queries_ext import SPARK_QUERIES
+
+    d = tmp_path_factory.mktemp("x105p")
+    rows = [(i, " ".join(words), lang, "s0", len(" ".join(words)))
+            for i, (lang, words) in enumerate(docs)]
+    (spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+              " n_chars bigint")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(d / "documents.parquet")))
+    got = {r["doc_id"]: (r["n_tokens"], r["score"], r["selected"])
+           for r in SPARK_QUERIES["x105_dsir_importance"](
+               spark, str(d)).collect()}
+    assert got == _dsir_reference(docs)
+
+
+def _mixing_reference(source_of_doc):
+    """{doc_id: source} → {source: quota}; largest-remainder, T=N//2."""
+    ns = {}
+    for s in source_of_doc.values():
+        ns[s] = ns.get(s, 0) + 1
+    wt = {s: math.floor(math.sqrt(n * 1e6)) for s, n in ns.items()}
+    tw, nn = sum(wt.values()), sum(ns.values())
+    t = nn // 2
+    base = {s: (t * w) // tw for s, w in wt.items()}
+    rem = {s: (t * w) % tw for s, w in wt.items()}
+    bonus = t - sum(base.values())
+    order = sorted(ns, key=lambda s: (-rem[s], s))
+    return {s: base[s] + (1 if order.index(s) < bonus else 0) for s in ns}
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12))
+def test_x106_quotas_match_pure_python_reference(spark, tmp_path_factory,
+                                                 sources):
+    from enexory_parquet_export_spark.queries_ext import SPARK_QUERIES
+
+    d = tmp_path_factory.mktemp("x106p")
+    rows = [(i, f"t{i}", "en", s, 2) for i, s in enumerate(sources)]
+    (spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+              " n_chars bigint")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(d / "documents.parquet")))
+    out = {r["source"]: r for r in
+           SPARK_QUERIES["x106_source_mixing"](spark, str(d)).collect()}
+    want = _mixing_reference(dict(enumerate(sources)))
+    assert {s: r["quota"] for s, r in out.items()} == want
+    for r in out.values():
+        assert r["n_selected"] == r["quota"]
