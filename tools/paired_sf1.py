@@ -121,6 +121,12 @@ def main() -> int:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    # --sf-dir: race an arbitrary fixture dir (e.g. the 1.5M-doc
+    # .scratch/fixture_docs_full_x300) with the same purity-aware
+    # billing instead of building the default sf1 multiple
+    sf_dir_override = None
+    if "--sf-dir" in sys.argv:
+        sf_dir_override = sys.argv[sys.argv.index("--sf-dir") + 1]
 
     import __spark_entry__ as entrymod
     from enexory_parquet_export_spark import session as _session
@@ -131,15 +137,19 @@ def main() -> int:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     _cm = spark._jsparkSession.sharedState().cacheManager()
-    sf1 = build_sf1(spark, copies)
+    sf1 = sf_dir_override or build_sf1(spark, copies)
     print(f"sf1 dir: {sf1}", flush=True)
 
     import duckdb
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.cpu_count()}")
     for t in TABLES:
+        path = os.path.join(sf1, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue  # partial fixture dirs carry only some tables
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf1}/{t}.parquet/*.parquet')")
+                    f"read_parquet('{pat}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = [n for n in sorted(qs) if only is None or n in only]
