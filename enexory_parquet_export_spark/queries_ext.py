@@ -3086,29 +3086,32 @@ SELECT sh.doc_id,
 FROM sh JOIN firsts f USING (h)
 GROUP BY sh.doc_id ORDER BY doc_id""")
 def x93(spark, sf_dir):
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # hash BEFORE the distinct so the dedup exchange moves 16-byte
-    # (doc_id, h) longs instead of shingle strings (the x76/x80 seam;
-    # distinct-then-hash and hash-then-distinct differ only on a
-    # 64-bit collision)
+    # hash at the scan (the x76/x80 seam: shingle identity is its
+    # xxhash64; two shingles merging has p < 1e-7), then novelty
+    # DECOMPOSES into two aggregates over the in-place shingle stream
+    # — no corpus-sized checkpoint (the x105/x80 block-loss class),
+    # no window sort, no join-back of the token stream:
+    #   · each distinct shingle credits exactly ONE novel count to
+    #     min(doc_id) over its occurrences → groupBy(h).min(doc_id)
+    #     (map-side-combines to vocabulary partials) then a doc-sized
+    #     count;
+    #   · per-doc distinct-shingle totals are a countDistinct(h)
+    #     hash agg (Spark's partial-distinct two-phase plan).
+    # Docs that own no firsts left-join to 0.
     sh = (D._exploded_shingles(docs, id_col="doc_id", text_col="text",
                                shingle_n=3)
-          .select("doc_id", F.xxhash64("s").alias("h"))
-          .distinct())
-    # the firsts agg + join-back collapses into ONE window pass over
-    # partition-by-h (min over the whole unordered partition): one
-    # exchange instead of agg + join, and no corpus-sized shingle
-    # checkpoint (the former localCheckpoint here is the x105/x80
-    # failure class — block loss at ~300M tokens on local[32])
-    first_doc = F.min("doc_id").over(Window.partitionBy("h"))
-    marked = sh.select(
-        "doc_id",
-        F.when(first_doc == F.col("doc_id"), 1).otherwise(0).alias("novel"))
-    return (marked.groupBy("doc_id")
-              .agg(F.count("*").cast("bigint").alias("n_shingles"),
-                   F.sum("novel").cast("bigint").alias("n_novel"))
+          .select("doc_id", F.xxhash64("s").alias("h")))
+    novel = (sh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("bigint").alias("n_novel")))
+    totals = (sh.groupBy("doc_id")
+                .agg(F.count_distinct("h").cast("bigint")
+                      .alias("n_shingles")))
+    return (totals.join(novel, "doc_id", "left")
+              .select("doc_id", "n_shingles",
+                      F.coalesce("n_novel", F.lit(0)).cast("bigint")
+                       .alias("n_novel"))
               .select("doc_id", "n_shingles", "n_novel",
                       F.floor(F.col("n_novel") * F.lit(1000000.0)
                               / F.col("n_shingles")).cast("bigint")
