@@ -3712,17 +3712,20 @@ def x98(spark, sf_dir):
               .select("doc_id", "p",
                       F.xxhash64(F.concat_ws(" ", "t0", "t1", "t2"))
                        .alias("h")))
-    # "appears in ≥2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id) over
-    # the shingle's partition — the count_distinct agg + semi-join
-    # collapses into TWO window exprs over ONE partition-by-h spec
-    # (one Window operator, one exchange), and the corpus-sized
-    # shingle checkpoint disappears (the x105/x80 block-loss class)
-    wh = Window.partitionBy("h")
-    hits = (sh.select("doc_id", "p",
-                      (F.min("doc_id").over(wh)
-                       != F.max("doc_id").over(wh)).alias("is_dup"))
-              .filter(F.col("is_dup"))
-              .select("doc_id", "p"))
+    # dup detection stays the hash-agg + semi-join shape and NOT a
+    # window over partition-by-h: a boilerplate shingle present in
+    # every document would make one window partition corpus-sized
+    # with no skew remedy, while the agg side map-side-combines
+    # ("min≠max doc_id" ⇔ df≥2 over distinct docs — cheaper than
+    # count_distinct) and AQE's skew split covers the join back.
+    # The former corpus-sized shingle checkpoint is gone (the
+    # x105/x80 block-loss class): the probe branch recomputes the
+    # shingle stream, which pipelines into the join.
+    dup = (sh.groupBy("h")
+             .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup"))
+             .filter(F.col("is_dup"))
+             .select("h"))
+    hits = sh.join(dup, "h", "semi").select("doc_id", "p")
     w2 = Window.partitionBy("doc_id").orderBy("p")
     return (hits.select("doc_id", "p",
                         (F.col("p") - F.row_number().over(w2)).alias("grp"))
