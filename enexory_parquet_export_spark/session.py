@@ -175,8 +175,13 @@ def get_spark(app_name: str = "enexory-parquet-export-spark",
     for key, value in STATIC_CONFS.items():
         builder = builder.config(key, value)
     builder = builder.config("spark.sql.shuffle.partitions", str(par))
+    # local mode: the driver JVM IS every executor plus the block
+    # store, so it gets cluster-sized memory (the host has 128 GiB;
+    # 48g leaves room for a concurrent DuckDB race and pytest).  8g —
+    # the old default — made 100M-event CDC merges and 300M-token
+    # checkpoints die of heap, masking plan problems as memory ones.
     builder = builder.config("spark.driver.memory",
-                             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     builder = builder.config("spark.ui.enabled", "false")
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
