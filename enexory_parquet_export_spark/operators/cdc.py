@@ -228,7 +228,15 @@ def cdc_merge(events: DataFrame, split_seq=None) -> DataFrame:
         # broadcast-crossed into the changelog — no driver collect, no
         # extra job per invocation (callers that already know the split
         # pass it and skip even this)
-        med = log.agg(F.median("seq").alias("_split_seq"))
+        # APPROXIMATE median: the merged mirror is split-invariant by
+        # construction (snapshot-at-split + replay-after-split yields
+        # the same final state for ANY split point), so the split only
+        # needs to be NEAR the middle for balance — and Spark's exact
+        # median is an object-hash aggregate that measured 34 s of
+        # q24's 40 s total at 10M changes, while the single-pass
+        # approx sketch reads in ~1 s.
+        med = log.agg(F.percentile_approx("seq", F.lit(0.5), F.lit(1000))
+                       .alias("_split_seq"))
         log = log.crossJoin(F.broadcast(med))
         split_col = F.col("_split_seq")
     else:
