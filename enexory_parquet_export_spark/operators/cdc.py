@@ -40,7 +40,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.datetime import DT_FORMAT, day_key, utc2_render
-from ..session import materialize
 
 #: FIXTURES.md §2.1 — deterministic event_type → changelog op mapping
 OP_MAPPING = {"signup": "I", "view": "U", "click": "U",
@@ -219,10 +218,12 @@ def cdc_merge(events: DataFrame, split_seq=None) -> DataFrame:
     (consolidate.cpp:45-53).
     """
     log = derive_changelog(events)
-    # three consumers read the changelog (median agg, snapshot replay,
-    # tail consolidation) — materialize the derivation once instead of
-    # re-scanning events per branch
-    log = log.transform(materialize, eager=False)
+    # NO checkpoint on the changelog (the token/input-class rule,
+    # BASELINE r7): block-storing one row per change measured SLOWER
+    # at every size — 4.5 → 3.2 s at 10M and 87–108 → 20 s at 100M
+    # events — because the derivation is scan+project (recomputing it
+    # per consumer pipelines into each branch's partial agg) while
+    # the block store pays write + memory pressure on 100M rows.
     if split_seq is None:
         # compute the median split INSIDE the plan: a 1-row aggregate
         # broadcast-crossed into the changelog — no driver collect, no
