@@ -56,18 +56,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #        driver rows in their birth round; no tail fill needed).
 #        Exactly 50 slots.  The r6 band (q16–q29 + x57–x92 remainder) sits
 #        out after its green round.
-#   r8+: rotate the r6 band back in (q16–q29 + x57/x58/x60/
-#        x62–x65/x67–x71/x73/x75–x92 = 45 slots) plus x104–x108
-#        (born r7 after the window filled; local-gate-only this
-#        round, the x97/x98 r6 precedent) — exactly 50, no tail.
-_R7_XBAND: tuple[int, ...] = (
-    *range(30, 53),                                # x30..x52 (x53 rows-only)
-    54, 55, 56, 59, 66, 72,
-    *range(93, 104),                               # x93..x103
+#   r8 (this round): the r6 band returns after one round out —
+#        q16–q29 (14) + x57/x58/x60/x62–x65/x67–x71/x73/x75–x92
+#        (31) — plus x104–x108 (5, born r7 after the window filled;
+#        first driver rows this round, the x97/x98 precedent).
+#        Exactly 50 slots, no tail.  The r7 band (q01–q10 + x30–x52
+#        + x54/x55/x56 + x59/x66/x72 + x93–x103) sits out after its
+#        green round.
+#   r9+: rotate the r7 band back in (q01–q15 + x30–x56 remainder +
+#        x93–x103) plus any queries born in r8.
+_R8_XBAND: tuple[int, ...] = (
+    57, 58, 60, 62, 63, 64, 65,
+    *range(67, 72),                                # x67..x71
+    73,
+    *range(75, 93),                                # x75..x92 (x74 rows-only)
+    *range(104, 109),                              # x104..x108 (first rows)
 )
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(1, 11)),          # q01..q10
-    *(f"x{i}" for i in _R7_XBAND),
+    *(f"q{i:02d}" for i in range(16, 30)),         # q16..q29
+    *(f"x{i}" for i in _R8_XBAND),
 )
 
 
