@@ -321,41 +321,60 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
         cn += C[:, i] * C[:, i]
     cn = np.sqrt(cn)
 
-    @pandas_udf("array<bigint>")
-    def _probe_lists(vs):
-        if len(vs) == 0:
-            return pd.Series([], dtype="object")
-        A = np.stack(vs.to_numpy()).astype(np.float64)
-        dots = _ordered_pair_dots(A, C, np)  # cache-tiled, fold-exact
-        na = np.zeros(len(A))
-        for i in range(A.shape[1]):          # ordered fold per element
-            na += A[:, i] * A[:, i]
-        cs = dots / (np.sqrt(na)[:, None] * cn[None, :])
-        return pd.Series([
-            [int(cids[j]) for j in np.lexsort((cids, -cs[r]))[:nprobe]]
-            for r in range(len(A))])
+    # ONE fused Python pass (r8, the x101 single-pass shape): probe
+    # assignment and role fan-out happen inside a single mapInPandas
+    # over the corpus scan, emitting the index row (role 0, top-1
+    # list) and the ``nprobe`` probe rows (role 1) directly into the
+    # grouping exchange.  The previous shape — a pandas_udf probe
+    # stage, a localCheckpoint, and a two-branch union reading it —
+    # paid TWO Python stage dispatches (~0.9 s each at sf0.1, the
+    # 1.6 s floor residency VERDICT r7 flagged) plus checkpoint
+    # traffic; per-vector Arrow volume is unchanged (each vector ships
+    # once in, 1+nprobe thin rows out, never per-centroid pairs).
+    assign_schema = "_role int, vec_id bigint, v array<double>, cid bigint"
 
-    # per-VECTOR Arrow traffic (one row each), not per (vector×centroid)
-    # pair — the crossJoin formulation shipped the vectors |centroids|
-    # times and measured ~7× slower.  The lazy localCheckpoint cuts the
-    # plan: `assigned` feeds BOTH branches below (index + probes), and
-    # without it each branch re-executes the Arrow probe stage — the
-    # fused single evaluation measured 1.33 s → 0.96 s at sf0.1 and
-    # halves the Python-stage work at any scale.
+    def _assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            dots = _ordered_pair_dots(A, C, np)  # cache-tiled, fold-exact
+            na = np.zeros(len(A))
+            for i in range(A.shape[1]):          # ordered fold per element
+                na += A[:, i] * A[:, i]
+            cs = dots / (np.sqrt(na)[:, None] * cn[None, :])
+            vid = pdf["vec_id"].to_numpy()
+            vlist = pdf["v"].tolist()
+            roles, vids, vs, cs_out = [], [], [], []
+            for r in range(len(A)):
+                order = np.lexsort((cids, -cs[r]))[:nprobe]
+                roles.append(0)                  # top-1 = home list
+                vids.append(int(vid[r]))
+                vs.append(vlist[r])
+                cs_out.append(int(cids[order[0]]))
+                for j in order:
+                    roles.append(1)
+                    vids.append(int(vid[r]))
+                    vs.append(vlist[r])
+                    cs_out.append(int(cids[j]))
+            yield pd.DataFrame({
+                "_role": pd.Series(roles, dtype="int32"),
+                "vec_id": pd.Series(vids, dtype="int64"),
+                "v": pd.Series(vs, dtype="object"),
+                "cid": pd.Series(cs_out, dtype="int64")})
+
     # Chunking only matters when SOME list could exceed max_block; for
     # a corpus at or under it (every sf fixture) the whole machinery
-    # compiles away and the plan is byte-identical to the unchunked
-    # one — keeping x44's small-scale floor intact (+~1 s measured for
-    # the sizes agg + eager checkpoint otherwise).
+    # compiles away and the assignment pipelines straight into the
+    # grouping exchange — zero extra jobs.  When chunking, the sizes
+    # agg makes a SECOND consumer of the assignment output, so an
+    # EAGER materialize pins a single Python evaluation (the by_doc
+    # lesson: a lazy checkpoint with concurrent consumers is raced).
     chunking = n_rows > max_block
-    # EAGER when chunking: three consumers (index, probes, and the
-    # chunk-size broadcast) — broadcast exchanges execute concurrently,
-    # so a lazy checkpoint would be raced and the Arrow probe stage
-    # computed 3× (the by_doc lesson from the PPJoin path).  Lazy
-    # otherwise: the two union branches fuse into one evaluation.
-    assigned = (base.withColumn("_probes",
-                                _probe_lists.asNondeterministic()("v"))
-                    .transform(materialize, eager=chunking, pinned=True))
+    pre = (base.mapInPandas(_assign_batches, assign_schema)
+               .transform(materialize, eager=True, pinned=True)
+           if chunking else
+           base.mapInPandas(_assign_batches, assign_schema))
     # Rerank is a GROUPED BLOCK KERNEL per inverted list, not a
     # candidate pair join: the r3 pair formulation materialized
     # N·nprobe·|list| rows each carrying TWO full vectors — ~250 GB of
@@ -382,11 +401,6 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # over chunks² tasks instead of one straggler.  (The real 100 TB
     # fix is balanced trained centroids; this bounds the damage for
     # any quantizer.)
-    index = assigned.select(F.lit(0).alias("_role"), "vec_id", "v",
-                            F.element_at("_probes", 1).alias("cid"))
-    probes = assigned.select(F.lit(1).alias("_role"), "vec_id", "v",
-                             F.explode("_probes").alias("cid"))
-    pre = index.unionByName(probes)
     is_m = F.col("_role") == 0
     if chunking:
         sizes = (pre.groupBy("cid").agg(

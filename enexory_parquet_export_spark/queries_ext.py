@@ -865,24 +865,38 @@ def x55(spark, sf_dir):
     docs2 = docs.unionByName(twins)
     # r7: the probe suite is bounded by contract, so its shingle-hash
     # set broadcasts — semi-filter the corpus stream to probe hashes
-    # BEFORE any corpus-side shuffle (the only full-corpus work is
-    # explode + xxhash64, a map-side pass).  df counts per surviving
-    # hash are unchanged by the restriction (every (doc_id, h) row of
-    # a kept h survives), so the hot-shingle cap below removes the
-    # same keys from the join as the oracle's full-index formulation.
-    probe = (D._exploded_shingles(docs.filter(F.col("doc_id") % 100 == 0),
-                                  id_col="doc_id", text_col="text",
-                                  shingle_n=3, distinct=True)
-             .select(F.col("doc_id").alias("probe_id"),
-                     F.xxhash64("s").alias("h")))
-    ph = probe.select("h").distinct()
-    corpus0 = (D._exploded_shingles(
+    # BEFORE any corpus-side shuffle (the only full-corpus work is the
+    # in-row shingle-hash fold — zero shuffles, see
+    # _exploded_shingle_hashes).  df counts per surviving hash are
+    # unchanged by the restriction (every (doc_id, h) row of a kept h
+    # survives), so the hot-shingle cap below removes the same keys
+    # from the join as the oracle's full-index formulation.  r8: no
+    # checkpoint — the df-cap branch and the join branch share
+    # corpus0's single probe-bounded h-exchange via AQE reuse (the
+    # x85 shape; skew contract on the corpus0 comment below).
+    probe = (D._exploded_shingle_hashes(
+                 docs.filter(F.col("doc_id") % 100 == 0),
+                 id_col="doc_id", text_col="text", shingle_n=3)
+             .select(F.col("doc_id").alias("probe_id"), "h")
+             .distinct())
+    # ONE probe broadcast serves both the semi filter (keyed on h —
+    # duplicate build keys are legal for LeftSemi) and the pair join
+    # below: identical BroadcastExchange subtrees, so AQE materializes
+    # the probe set once.  The corpus exchange partitions by h alone
+    # (the x66 subset trick): the (doc_id, h) distinct agg, the df
+    # agg, AND the anti-join all sit on that single exchange with no
+    # further shuffle — HashPartitioning(h) satisfies both groupings.
+    # Skew note: unlike x98's corpus-unbounded shingle stream, this
+    # exchange is probe-bounded (every row's h is in the query set),
+    # so the hottest h partition is ≤ df(h) ≤ ndocs rows of 16 B —
+    # acceptable where the x98 window-over-h was not; the df cap then
+    # bounds the pair fan-out as before.
+    corpus0 = (D._exploded_shingle_hashes(
                    docs2.filter(F.col("doc_id") % 100 != 0),
                    id_col="doc_id", text_col="text", shingle_n=3)
-               .select("doc_id", F.xxhash64("s").alias("h"))
-               .join(F.broadcast(ph), "h", "semi")
-               .distinct()
-               .transform(materialize, eager=False))  # df-cap + anti + join
+               .join(F.broadcast(probe), "h", "semi")
+               .repartition("h")
+               .distinct())
     nd = (docs2.filter(F.col("doc_id") % 100 != 0)
                .agg(F.count("*").alias("ndocs")))
     hot = (corpus0.groupBy("h").agg(F.count("*").alias("df"))
@@ -2609,15 +2623,15 @@ def x85(spark, sf_dir):
                      .alias("text")))
 
     def shingle_hashes(df, id_col):
-        # flat-codegen shingle build (posexplode + lead window, the
-        # x32 shape) — the array-lambda transform formulation is
-        # interpreted per element and measured ~6× slower on the
-        # corpus side (3.9 s → 0.6 s for the whole query at sf0.1)
-        ex = D._exploded_shingles(df.withColumnRenamed(id_col, "doc_id"),
-                                  id_col="doc_id", text_col="text",
-                                  shingle_n=3)
-        return (ex.select(F.col("doc_id").alias(id_col),
-                          F.xxhash64("s").alias("h"))
+        # zero-shuffle hashed-shingle build (r8): the output of this
+        # query is shared-shingle COUNTS, so the engine-side shingle
+        # hash never crosses the oracle boundary and the in-row
+        # zip_with fold replaces the token-row window exchange — see
+        # _exploded_shingle_hashes for the measured tradeoff
+        ex = D._exploded_shingle_hashes(
+            df.withColumnRenamed(id_col, "doc_id"),
+            id_col="doc_id", text_col="text", shingle_n=3)
+        return (ex.select(F.col("doc_id").alias(id_col), "h")
                   .distinct())
 
     ss = shingle_hashes(snip, "snip_id")
@@ -2628,19 +2642,26 @@ def x85(spark, sf_dir):
     # any corpus-side shuffle.  The query-set contract (x55 shape)
     # bounds |ssh| ≤ |snippets| × (_SNIP_TOKS − 2) keys, so the
     # broadcast-hash semi join is a pure map-side filter over the
-    # exploded corpus scan — the only full-corpus work left is
-    # explode + xxhash64, zero shuffles.  Per-hash document
+    # exploded corpus scan — the only full-corpus work left is the
+    # in-row shingle-hash fold, zero shuffles.  Per-hash document
     # frequencies are unchanged by the restriction (all (doc_id, h)
     # rows of a surviving h are kept), so the df-cap filter below
     # computes the same hot set ∩ ssh and the join output is
     # value-identical to the unfiltered formulation the oracle runs.
-    ssh = ss.select("h").distinct()
-    ex = D._exploded_shingles(docs, id_col="doc_id", text_col="text",
-                              shingle_n=3)
-    ds0 = (ex.select("doc_id", F.xxhash64("s").alias("h"))
-             .join(F.broadcast(ssh), "h", "semi")
-             .distinct()
-             .transform(materialize, eager=False))  # df-cap agg + anti + join
+    # r8: the checkpoint is gone — ONE ss broadcast serves the semi
+    # filter and the pair join (identical BroadcastExchange subtrees,
+    # AQE materializes once), and the corpus exchange partitions by h
+    # alone (the x66 subset trick) so the (doc_id, h) distinct, the
+    # df-cap agg, and the anti-join all share that single exchange
+    # with no further shuffle.  Skew: the exchange is probe-bounded
+    # (every h is in the snippet set), so the hottest h partition is
+    # ≤ df(h) rows of 16 B — the x98 corpus-unbounded objection does
+    # not apply, and the df cap still bounds the pair fan-out.
+    ex = D._exploded_shingle_hashes(docs, id_col="doc_id",
+                                    text_col="text", shingle_n=3)
+    ds0 = (ex.join(F.broadcast(ss), "h", "semi")
+             .repartition("h")
+             .distinct())
     nd = docs.agg(F.count("*").alias("ndocs"))
     hot = (ds0.groupBy("h").agg(F.count("*").alias("df"))
               .crossJoin(F.broadcast(nd))   # 1-row scalar, q24 idiom
@@ -2653,7 +2674,7 @@ def x85(spark, sf_dir):
                 .groupBy("snip_id", "doc_id")
                 .agg(F.count("*").cast("bigint").alias("shr")))
     cont = F.col("shr") * F.lit(1000000.0) / F.col("nsh")
-    return (shared.join(sn, "snip_id")
+    return (shared.join(F.broadcast(sn), "snip_id")
             .filter(cont >= _CONT_THRESH_MICRO)
             .select("snip_id", "doc_id",
                     F.floor(cont).cast("bigint").alias("cont_micro"))

@@ -115,6 +115,20 @@ def test_ivf_flat_invariants_and_recall_floor(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)  # rank order = cos order
 
 
+def test_ivf_flat_chunked_path_identical(spark, sf_dir):
+    """Hot-list chunking (max_block < corpus) must be result-invariant:
+    the (cid, qchunk, mchunk) spread visits every (qid, nbr) pair
+    exactly once, so the fused single-pass assignment (r8) + chunked
+    rerank must reproduce the unchunked output byte-for-byte."""
+    from enexory_parquet_export_spark.operators.similarity import ivf_flat_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = sorted(map(tuple, ivf_flat_topk(
+        emb, k=3, centroid_stride=7, nprobe=2).collect()))
+    chunked = sorted(map(tuple, ivf_flat_topk(
+        emb, k=3, centroid_stride=7, nprobe=2, max_block=5).collect()))
+    assert plain == chunked
+
+
 # ---------------------------------------------------------------------------
 # Property-based: the PPJoin prefix/length/positional pruning must be
 # LOSSLESS — on ANY corpus, ngram_jaccard_pairs returns exactly the
