@@ -4302,9 +4302,12 @@ def x105(spark, sf_dir):
 # Scale: source stats are a hash agg; the apportionment relation is
 # source-alphabet-sized (the mixture config itself — genuinely
 # bounded, broadcast by construction); the only corpus-sized work is
-# one broadcast join + one per-source hash-order row_number.  At
-# cluster scale the rank can be replaced by a sampled hash-threshold
-# cut; the declared semantics (quota-th smallest hash) are unchanged.
+# one broadcast join + one per-source hash-order row_number.  The
+# cluster-scale path is IMPLEMENTED as operators/mixing.quota_select
+# (mode="threshold"): a percentile_approx sketch cut with no
+# per-source corpus window — same hash order, so it converges on the
+# declared semantics (quota-th smallest hash); pinned by
+# tests/test_mixing.py.
 # --------------------------------------------------------------------------
 @declared("x106_source_mixing", f"""
 WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n
@@ -4343,8 +4346,6 @@ FROM ranked GROUP BY source ORDER BY source""")
 def x106(spark, sf_dir):
     from pyspark.sql import Window
 
-    from .functions.hashing import portable_hash60
-
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     src = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
     wts = src.withColumn(
@@ -4365,21 +4366,26 @@ def x106(spark, sf_dir):
                        (F.col("base")
                         + F.when(F.col("r") <= F.col("t") - F.col("sb"), 1)
                            .otherwise(0)).alias("quota")))
-    w_src = (Window.partitionBy("source")
-             .orderBy(portable_hash60(F.col("doc_id").cast("string")),
-                      "doc_id"))
-    ranked = (docs.join(F.broadcast(quota), "source")
-                  .withColumn("rn", F.row_number().over(w_src)))
-    sel = F.col("rn") <= F.col("quota")
-    return (ranked.groupBy("source")
-                  .agg(F.max("n").cast("bigint").alias("n_docs"),
-                       F.max("wt").cast("bigint").alias("weight"),
-                       F.max("quota").cast("bigint").alias("quota"),
-                       F.sum(F.when(sel, 1).otherwise(0)).cast("bigint")
-                        .alias("n_selected"),
-                       F.sum(F.when(sel, F.col("doc_id")).otherwise(0))
-                        .cast("bigint").alias("sel_sum"))
-                  .transform(stable_sort, "source"))
+    # selection routes through the quota_select operator (r8): exact
+    # mode here for oracle parity; the 100 TB path is its
+    # mode="threshold" sketch cut (no per-source corpus window) —
+    # identity between the modes is pinned by tests/test_mixing.py
+    from .operators.mixing import quota_select
+
+    sel_agg = (quota_select(docs, quota, mode="exact")
+               .groupBy("source")
+               .agg(F.count("*").cast("bigint").alias("_nsel"),
+                    F.sum("doc_id").cast("bigint").alias("_ssum")))
+    return (quota.join(sel_agg, "source", "left")
+                 .select("source",
+                         F.col("n").cast("bigint").alias("n_docs"),
+                         F.col("wt").cast("bigint").alias("weight"),
+                         F.col("quota").cast("bigint").alias("quota"),
+                         F.coalesce("_nsel", F.lit(0)).cast("bigint")
+                          .alias("n_selected"),
+                         F.coalesce("_ssum", F.lit(0)).cast("bigint")
+                          .alias("sel_sum"))
+                 .transform(stable_sort, "source"))
 
 
 # --------------------------------------------------------------------------

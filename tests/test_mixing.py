@@ -1,0 +1,86 @@
+"""quota_select: exact vs sampled-threshold mixture selection (x106
+scale path — VERDICT r7 #4: the docstring's hash-threshold cut must be
+an executable code path with pinned quota accuracy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enexory_parquet_export_spark.operators.mixing import quota_select
+from enexory_parquet_export_spark.sources.tables import load_table
+
+
+def _fixture(spark):
+    """Skewed three-source corpus with a deterministic key space."""
+    rows = []
+    for i in range(600):
+        rows.append((i, "web"))          # head source
+    for i in range(600, 750):
+        rows.append((i, "books"))        # mid source
+    for i in range(750, 780):
+        rows.append((i, "code"))         # tail source
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    quota = spark.createDataFrame(
+        [("web", 600, 120), ("books", 150, 75), ("code", 30, 40)],
+        "source string, n bigint, quota bigint")   # code: quota > n
+    return docs, quota
+
+
+def test_exact_mode_counts_and_determinism(spark):
+    docs, quota = _fixture(spark)
+    sel = quota_select(docs, quota, mode="exact")
+    counts = {r["source"]: r["cnt"] for r in
+              sel.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # exact mode selects exactly min(quota, n) per source
+    assert counts == {"web": 120, "books": 75, "code": 30}
+    again = sorted(r["doc_id"] for r in sel.collect())
+    assert again == sorted(r["doc_id"] for r in
+                           quota_select(docs, quota, mode="exact").collect())
+
+
+def test_threshold_mode_quota_accuracy_and_subset_coherence(spark):
+    docs, quota = _fixture(spark)
+    exact = {s: set() for s in ("web", "books", "code")}
+    for r in quota_select(docs, quota, mode="exact").collect():
+        exact[r["source"]].add(r["doc_id"])
+    approx = {s: set() for s in ("web", "books", "code")}
+    for r in quota_select(docs, quota, mode="threshold").collect():
+        approx[r["source"]].add(r["doc_id"])
+    for s, want in (("web", 120), ("books", 75), ("code", 30)):
+        got = len(approx[s])
+        # sketch + grid tolerance: within 5% of the target or ±3 docs
+        assert abs(got - want) <= max(3, int(0.05 * want)), (s, got, want)
+        # same hash order ⇒ the smaller selection is (nearly) nested in
+        # the larger: symmetric difference bounded by the count gap +
+        # one grid cell of boundary docs
+        sym = len(exact[s] ^ approx[s])
+        assert sym <= abs(got - want) + max(3, int(0.05 * want)), (s, sym)
+
+
+def test_threshold_mode_zero_quota_selects_nothing(spark):
+    docs, _ = _fixture(spark)
+    quota = spark.createDataFrame(
+        [("web", 600, 0), ("books", 150, 10), ("code", 30, 0)],
+        "source string, n bigint, quota bigint")
+    sel = quota_select(docs, quota, mode="threshold")
+    srcs = {r["source"] for r in sel.select("source").distinct().collect()}
+    assert srcs == {"books"}
+
+
+def test_exact_mode_matches_x106_fixture(spark, sf_dir):
+    """On the real documents fixture the operator's exact mode must
+    reproduce x106's n_selected per source (the declared semantics)."""
+    from enexory_parquet_export_spark import queries_ext as qx
+
+    out = {r["source"]: r for r in
+           qx.SPARK_QUERIES["x106_source_mixing"](
+               spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    quota = spark.createDataFrame(
+        [(s, int(out[s]["n_docs"]), int(out[s]["quota"])) for s in out],
+        "source string, n bigint, quota bigint")
+    counts = {r["source"]: r["cnt"] for r in
+              quota_select(docs, quota, mode="exact")
+              .groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for s in out:
+        assert counts.get(s, 0) == out[s]["n_selected"], s
