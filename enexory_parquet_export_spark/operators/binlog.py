@@ -173,9 +173,14 @@ def assign_global_seq(changelog: DataFrame, *,
         # timestamp preservation must not reorder numbered segments
         order_keys.insert(1, F.col("file_mtime").asc_nulls_last())
         file_cols.append("file_mtime")
+    from ..session import guarded_window
+
+    rank_w = Window.orderBy(*order_keys)
     files = (changelog.select(*file_cols).distinct()
              .withColumn("_frank",
-                         F.row_number().over(Window.orderBy(*order_keys))
+                         guarded_window(
+                             F.row_number().over(rank_w), rank_w,
+                             8_388_608, "assign_global_seq file list")
                          - F.lit(1))
              .select("file", "_frank"))
     cols = [c for c in changelog.columns if c != "file_mtime"]

@@ -30,7 +30,7 @@ from .operators.binlog import parse_binlog_text, render_binlog_text
 from .operators.similarity import ann_lsh_topk, ivf_flat_topk, lsh_planes
 from .queries import CHANGELOG_CTE, bounded_sort, stable_sort, tiny_sort
 from .sources.tables import load_table
-from .session import materialize
+from .session import guarded_window, materialize
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -2162,10 +2162,14 @@ def x77(spark, sf_dir):
     local = b.withColumn(
         "_local", F.coalesce(F.sum("n_tokens").over(in_w), F.lit(0)))
     totals = b.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
-    off_w = (Window.orderBy("_bkt")
-                   .rowsBetween(Window.unboundedPreceding, -1))
+    off_base = Window.orderBy("_bkt")
+    off_w = off_base.rowsBetween(Window.unboundedPreceding, -1)
+    # bucket-offset relation = corpus/_PACK_BUCKET rows; the serial
+    # prefix sum is fine to ~1M offsets (16 B rows), loud beyond
     offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0)))
+        "_off", guarded_window(
+            F.coalesce(F.sum("_tot").over(off_w), F.lit(0)),
+            off_base, 1_000_000, "x77 pack bucket offsets"))
     c = (local.join(F.broadcast(offsets.select("_bkt", "_off")), "_bkt")
               .withColumn("start",
                           (F.col("_off") + F.col("_local")).cast("bigint")))
@@ -2550,8 +2554,13 @@ def x84(spark, sf_dir):
     top = c.orderBy(F.col("cnt").desc(), "token").limit(_ZIPF_K)
     w = Window.orderBy(F.col("cnt").desc(), "token")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the limit() above structurally bounds the window input at
+    # _ZIPF_K rows; the guard makes the contract loud if the head
+    # derivation ever changes
     return (top.crossJoin(F.broadcast(tot))
-            .select(F.row_number().over(w).cast("bigint").alias("rank"),
+            .select(guarded_window(F.row_number().over(w), w, _ZIPF_K,
+                                   "x84 Zipf head")
+                     .cast("bigint").alias("rank"),
                     "token", "cnt",
                     F.floor(F.sum("cnt").over(run) * F.lit(1000000.0)
                             / F.col("total")).cast("bigint")
@@ -2884,10 +2893,14 @@ def x89(spark, sf_dir):
     in_w = Window.partitionBy("_bkt").orderBy("hv", "doc_id")
     local = b.withColumn("_lrank", F.row_number().over(in_w))
     counts = b.groupBy("_bkt").agg(F.count("*").alias("_n"))
-    off_w = (Window.orderBy("_bkt")
-                   .rowsBetween(Window.unboundedPreceding, -1))
+    off_base = Window.orderBy("_bkt")
+    off_w = off_base.rowsBetween(Window.unboundedPreceding, -1)
+    # hv DIV 2^48 over 60 hash bits = exactly 4096 possible buckets —
+    # structurally bounded; guarded loud in case the shift changes
     offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+        "_off", guarded_window(
+            F.coalesce(F.sum("_n").over(off_w), F.lit(0)),
+            off_base, 4096, "x89 shuffle bucket offsets"))
     return (local.join(F.broadcast(offsets.select("_bkt", "_off")), "_bkt")
             .select("doc_id",
                     (F.col("_off") + F.col("_lrank")).cast("bigint")
@@ -2945,13 +2958,18 @@ def x90(spark, sf_dir):
     # h is the bounded distinct-length relation: the single-partition
     # window below runs over ≤(max doc length) rows, never the corpus.
     n = h.agg(F.sum("c").cast("bigint").alias("n"))
-    cum_w = (Window.orderBy("nt")
-                   .rowsBetween(Window.unboundedPreceding,
-                                Window.currentRow))
+    cum_base = Window.orderBy("nt")
+    cum_w = cum_base.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)
+    # distinct token-length histogram: bounded by max doc length, not
+    # corpus size; loud at 1M distinct lengths
     b = (h.crossJoin(F.broadcast(n))
           .select("nt",
-                  F.ceil(F.sum("c").over(cum_w) * F.lit(float(_N_BINS))
-                         / F.col("n")).cast("bigint").alias("bin")))
+                  guarded_window(
+                      F.ceil(F.sum("c").over(cum_w) * F.lit(float(_N_BINS))
+                             / F.col("n")),
+                      cum_base, 1_000_000, "x90 length histogram")
+                  .cast("bigint").alias("bin")))
     return (t.join(F.broadcast(b), "nt")
              .groupBy("bin")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -3234,8 +3252,10 @@ def kmeans_assign(emb: DataFrame, *, k: int = _KMEANS_K,
                                        s["cid"].alias("cid"))))
                            .alias("m")))
 
+    seed_w = Window.orderBy("vec_id")
     cent = (qv.orderBy("vec_id").limit(k)
-              .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
+              .select((guarded_window(F.row_number().over(seed_w),
+                                      seed_w, k, "x94 centroid seed") - 1)
                        .alias("cid"),
                       F.col("qv").alias("c")))
     sc = None
@@ -4361,7 +4381,9 @@ def x106(spark, sf_dir):
     w_all = Window.partitionBy(F.lit(1))
     w_rk = Window.partitionBy(F.lit(1)).orderBy(F.desc("rem"), F.asc("source"))
     quota = (q0.withColumn("sb", F.sum("base").over(w_all))
-               .withColumn("r", F.row_number().over(w_rk))
+               .withColumn("r", guarded_window(
+                   F.row_number().over(w_rk), w_rk, 1_000_000,
+                   "x106 source alphabet"))
                .select("source", "n", "wt",
                        (F.col("base")
                         + F.when(F.col("r") <= F.col("t") - F.col("sb"), 1)
@@ -4514,7 +4536,9 @@ def x108(spark, sf_dir):
     # integer DIV keeps the ratio BIGINT-exact on both engines; a
     # step that empties makes the NEXT ratio 0/0 — nullif + the step-1
     # fallback pins that to 0, not a divide-by-zero
-    return (steps.withColumn("prev", F.lag("n_users").over(w))
+    return (steps.withColumn("prev", guarded_window(
+                     F.lag("n_users").over(w), w, 16,
+                     "x108 funnel step summary"))
                  .withColumn("conversion_micro",
                              F.coalesce(
                                  F.expr("(n_users * 1000000)"

@@ -151,6 +151,43 @@ def materialize(df, *, eager: bool, pinned: bool = False):
     return df.localCheckpoint(eager=eager)
 
 
+def guarded_window(value, base, bound: int, what: str, *,
+                   ordered: bool = True):
+    """Evaluate a window expression over an UNPARTITIONED spec while
+    loudly enforcing the bounded-relation contract that justifies it.
+
+    Single-partition windows are legal ONLY over relations bounded by
+    contract (bucket offsets, length histograms, vocabulary heads,
+    file lists) — VERDICT r7 #5 asked for the components.py
+    ``limit(bound+1)`` discipline at every such site.  Expressed as a
+    ZERO-COST plan node instead of an extra action: a full-frame
+    ``count`` over the SAME partition/order spec rides in the existing
+    Window operator (multiple frames over one spec share one
+    WindowExec — no extra exchange, no extra job), and ``raise_error``
+    fires on the first produced row once the relation outgrows the
+    contract.  ``base`` is the UNFRAMED spec the value's frame was
+    built from; ``value`` is the original window expression.  Pass
+    ``ordered=False`` for a spec with no ``orderBy`` (its default
+    frame is already the full partition; an explicit ROWS frame would
+    be rejected there, and the default frame over an ORDERED spec
+    would count only up to the current row).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    full = (base.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+            if ordered else base)
+    n = F.count(F.lit(1)).over(full)
+    return F.when(
+        n > bound,
+        F.raise_error(F.format_string(
+            f"{what}: unpartitioned-window relation exceeded its "
+            f"declared bound {bound} (got %s rows) — re-bucket or "
+            f"repartition before scaling further", n.cast("string")))
+    ).otherwise(value)
+
+
 def default_parallelism() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus:

@@ -239,3 +239,33 @@ def test_bigram_lm_score_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r["mean_p_micro"] <= 1_000_000
         assert r["n_bigrams"] >= 1
+
+
+def test_guarded_window_passes_within_bound_and_raises_beyond(spark):
+    """VERDICT r7 #5: unpartitioned bounded windows carry a loud
+    in-plan cardinality guard (no extra exchange or action).  Within
+    the bound the wrapped value is unchanged; one row past it the
+    query fails with the contract message."""
+    import pytest
+    from pyspark.sql import Window, functions as F
+
+    from enexory_parquet_export_spark.session import guarded_window
+
+    df = spark.range(10).select(F.col("id"))
+    w = Window.orderBy("id")
+    ok = df.select(guarded_window(F.row_number().over(w), w, 10,
+                                  "test relation").alias("rn")).collect()
+    assert sorted(r["rn"] for r in ok) == list(range(1, 11))
+    with pytest.raises(Exception, match="test relation.*bound 9"):
+        df.select(guarded_window(F.row_number().over(w), w, 9,
+                                 "test relation").alias("rn")).collect()
+    # unordered spec variant (default full frame)
+    w0 = Window.partitionBy(F.lit(1))
+    ok0 = df.select(guarded_window(F.sum("id").over(w0), w0, 10,
+                                   "test relation", ordered=False)
+                    .alias("s")).collect()
+    assert all(r["s"] == 45 for r in ok0)
+    with pytest.raises(Exception, match="test relation.*bound 3"):
+        df.select(guarded_window(F.sum("id").over(w0), w0, 3,
+                                 "test relation", ordered=False)
+                  .alias("s")).collect()
