@@ -65,6 +65,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #        green round.
 #   r9+: rotate the r7 band back in (q01–q15 + x30–x56 remainder +
 #        x93–x103) plus any queries born in r8.
+#   INVARIANT: x53/x74 are rows-only sketches — they can never
+#        hash-match and must NEVER occupy a window slot; their error
+#        bounds are pytest'd (tests/test_functions.py) and their
+#        rows-only declaration pinned by tests/test_entry_contract.py
+#        (see README "Rotation rule").
 _R8_XBAND: tuple[int, ...] = (
     57, 58, 60, 62, 63, 64, 65,
     *range(67, 72),                                # x67..x71
