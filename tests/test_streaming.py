@@ -719,3 +719,119 @@ def test_semdedup_stream_equals_batch(spark, tmp_path):
     # its base whenever the base was admitted to the cluster
     twin_hits = {(a, b) for a, b, _ in got if a - 1_000_000 == b}
     assert len(twin_hits) > 0
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint recovery (VERDICT r7 #7): each stateful family must survive
+# a kill-and-restart from checkpointLocation — part 2 of the data
+# arrives only after the first query has terminated, the second query
+# resumes from the SAME checkpoint, and the union of outputs must match
+# one uninterrupted run.  This is the production failure mode (the
+# reference's cron abort-and-rerun posture, parse_binlogs.sh).
+# ---------------------------------------------------------------------------
+
+def test_cdc_stream_recovery_from_checkpoint(spark, tmp_path):
+    """foreachBatch CDC merge: part-2 updates/deletes hit part-1 keys,
+    so a restart that lost offsets or reapplied part 1 would corrupt
+    the mirror."""
+    part1 = [(1, 10, "I", "2024-01-01 00:00:01", 1.0, 100, "2024-01-01"),
+             (2, 11, "I", "2024-01-01 00:00:02", 2.0, 101, "2024-01-01"),
+             (3, 12, "I", "2024-01-02 00:00:03", 3.0, 102, "2024-01-02")]
+    part2 = [(4, 10, "U", "2024-01-01 00:00:04", 9.0, 103, "2024-01-01"),
+             (5, 11, "D", "2024-01-01 00:00:05", 0.0, 104, "2024-01-01"),
+             (6, 13, "I", "2024-01-02 00:00:06", 4.0, 105, "2024-01-02")]
+    src, mirror, ckpt = (str(tmp_path / d) for d in ("src", "mirror", "ckpt"))
+
+    spark.createDataFrame(part1, CHANGELOG_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = start_cdc_merge_stream(stream_changelog(spark, src), mirror, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive  # killed: availableNow drained part 1 only
+
+    spark.createDataFrame(part2, CHANGELOG_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q2 = start_cdc_merge_stream(stream_changelog(spark, src), mirror, ckpt)
+    q2.awaitTermination(120)
+
+    got = _final_state(read_day_partitioned(spark, mirror)
+                       .select("day", "pk", "date_time", "value", "ts_epoch"))
+    assert got == {("2024-01-01", 10): ("2024-01-01 00:00:04", 9.0, 103),
+                   ("2024-01-02", 12): ("2024-01-02 00:00:03", 3.0, 102),
+                   ("2024-01-02", 13): ("2024-01-02 00:00:06", 4.0, 105)}
+
+
+def test_neardup_stream_recovery_from_checkpoint(spark, tmp_path):
+    """applyInPandasWithState MinHash-LSH: the part-2 twins duplicate
+    part-1 originals, so the pairs only appear if the bucket state
+    (part-1 signatures) survived the restart."""
+    from enexory_parquet_export_spark.streaming.neardup_stream import (
+        neardup_batch,
+        neardup_stream,
+    )
+
+    from conftest import SF_DIR
+    base = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").limit(60))
+    rows = [(r["doc_id"], r["text"]) for r in base.collect()]
+    twins = [(d + 1_000_000, t + " zz0 zz1 zz2") for d, t in rows]
+    schema = "doc_id bigint, text string"
+    src, out, ckpt = (str(tmp_path / d) for d in ("docs", "out", "ckpt"))
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = (neardup_stream(stream, bucket_cap=8).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    spark.createDataFrame(rows, schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(twins, schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            neardup_batch(spark.createDataFrame(rows + twins, schema),
+                          bucket_cap=8).collect()}
+    assert got == want
+    # cross-restart pairs specifically: twin vs its part-1 original
+    assert any(a - 1_000_000 == b for a, b, _ in got)
+
+
+def test_pack_stream_recovery_from_checkpoint(spark, tmp_path):
+    """Stateful packer: shard offsets are one BIGINT of state each —
+    after the restart, part-2 docs must CONTINUE the running offsets
+    (a reset would restart every shard at bin 0)."""
+    from enexory_parquet_export_spark.streaming.packing import (
+        pack_batch,
+        pack_stream,
+    )
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(300)]
+    schema = "doc_id bigint, n_tokens bigint"
+    src, out, ckpt = (str(tmp_path / d) for d in ("docs", "out", "ckpt"))
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = (pack_stream(stream).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    spark.createDataFrame(rows[:200], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(rows[200:], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            pack_batch(spark.createDataFrame(rows, schema)).collect()}
+    assert got == want and len(got) == 300
