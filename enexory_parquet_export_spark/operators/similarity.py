@@ -321,17 +321,18 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
         cn += C[:, i] * C[:, i]
     cn = np.sqrt(cn)
 
-    # ONE fused Python pass (r8, the x101 single-pass shape): probe
-    # assignment and role fan-out happen inside a single mapInPandas
-    # over the corpus scan, emitting the index row (role 0, top-1
-    # list) and the ``nprobe`` probe rows (role 1) directly into the
-    # grouping exchange.  The previous shape — a pandas_udf probe
-    # stage, a localCheckpoint, and a two-branch union reading it —
-    # paid TWO Python stage dispatches (~0.9 s each at sf0.1, the
-    # 1.6 s floor residency VERDICT r7 flagged) plus checkpoint
-    # traffic; per-vector Arrow volume is unchanged (each vector ships
-    # once in, 1+nprobe thin rows out, never per-centroid pairs).
-    assign_schema = "_role int, vec_id bigint, v array<double>, cid bigint"
+    # ONE fused Python pass (r8): probe assignment happens inside a
+    # single mapInPandas over the corpus scan, PASSING THE VECTOR
+    # THROUGH UNTOUCHED (the column object is reused as-is — no
+    # per-row tolist/rebuild; a first r8 attempt that duplicated v
+    # (1+nprobe)× through Python object lists regressed the 1M-vector
+    # crossover 238 s → 354 s on output serialization alone).  The
+    # role fan-out to the index row (role 0, top-1 list) and nprobe
+    # probe rows happens JVM-side as ONE columnar explode, so the
+    # Python stage has a SINGLE consumer when unchunked — no
+    # checkpoint, no two-branch union, none of the ~0.9 s dispatch
+    # pair that kept x44 at the 1.6 s sf0.1 floor (VERDICT r7 #3).
+    assign_schema = "vec_id bigint, v array<double>, _probes array<bigint>"
 
     def _assign_batches(batches):
         for pdf in batches:
@@ -343,25 +344,13 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
             for i in range(A.shape[1]):          # ordered fold per element
                 na += A[:, i] * A[:, i]
             cs = dots / (np.sqrt(na)[:, None] * cn[None, :])
-            vid = pdf["vec_id"].to_numpy()
-            vlist = pdf["v"].tolist()
-            roles, vids, vs, cs_out = [], [], [], []
-            for r in range(len(A)):
-                order = np.lexsort((cids, -cs[r]))[:nprobe]
-                roles.append(0)                  # top-1 = home list
-                vids.append(int(vid[r]))
-                vs.append(vlist[r])
-                cs_out.append(int(cids[order[0]]))
-                for j in order:
-                    roles.append(1)
-                    vids.append(int(vid[r]))
-                    vs.append(vlist[r])
-                    cs_out.append(int(cids[j]))
+            probes = [[int(cids[j]) for j in
+                       np.lexsort((cids, -cs[r]))[:nprobe]]
+                      for r in range(len(A))]
             yield pd.DataFrame({
-                "_role": pd.Series(roles, dtype="int32"),
-                "vec_id": pd.Series(vids, dtype="int64"),
-                "v": pd.Series(vs, dtype="object"),
-                "cid": pd.Series(cs_out, dtype="int64")})
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],                   # pass-through, no copy
+                "_probes": pd.Series(probes, dtype="object")})
 
     # Chunking only matters when SOME list could exceed max_block; for
     # a corpus at or under it (every sf fixture) the whole machinery
@@ -369,12 +358,23 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # grouping exchange — zero extra jobs.  When chunking, the sizes
     # agg makes a SECOND consumer of the assignment output, so an
     # EAGER materialize pins a single Python evaluation (the by_doc
-    # lesson: a lazy checkpoint with concurrent consumers is raced).
+    # lesson: a lazy checkpoint with concurrent consumers is raced);
+    # the checkpointed relation is one row per vector (v + nprobe
+    # bigints), the same volume the r7 shape checkpointed.
     chunking = n_rows > max_block
-    pre = (base.mapInPandas(_assign_batches, assign_schema)
-               .transform(materialize, eager=True, pinned=True)
-           if chunking else
-           base.mapInPandas(_assign_batches, assign_schema))
+    pre0 = base.mapInPandas(_assign_batches, assign_schema)
+    if chunking:
+        pre0 = pre0.transform(materialize, eager=True, pinned=True)
+    # single-arg lambda only (the F.transform second-slot trap)
+    fan = F.concat(
+        F.array(F.struct(F.lit(0).alias("_role"),
+                         F.element_at("_probes", 1).alias("cid"))),
+        F.transform("_probes",
+                    lambda p: F.struct(F.lit(1).alias("_role"),
+                                       p.alias("cid"))))
+    pre = (pre0.select("vec_id", "v", F.explode(fan).alias("_rc"))
+               .select(F.col("_rc._role").alias("_role"), "vec_id", "v",
+                       F.col("_rc.cid").alias("cid")))
     # Rerank is a GROUPED BLOCK KERNEL per inverted list, not a
     # candidate pair join: the r3 pair formulation materialized
     # N·nprobe·|list| rows each carrying TWO full vectors — ~250 GB of
