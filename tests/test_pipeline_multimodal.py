@@ -462,3 +462,36 @@ class TestWavCodec:
                           for v in M.wav_features(ok)]
         assert got[2] == [float(np.float32(v))
                           for v in M._decode_stub(corrupt)]
+
+
+class TestJpegSeam:
+    """Import-guarded PIL seam (r8): real JPEG decode when pillow is
+    installed, deterministic stub degradation in this container."""
+
+    def test_is_jpeg_sniff(self):
+        from enexory_parquet_export_spark.operators.multimodal import (
+            is_jpeg, is_pnm, is_wav)
+        j = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+        assert is_jpeg(j) and not is_pnm(j) and not is_wav(j)
+        assert not is_jpeg(b"P6 1 1 255 \x00\x00\x00")
+
+    def test_decode_auto_jpeg_branch(self):
+        from enexory_parquet_export_spark.operators import multimodal as M
+
+        payload = b"\xff\xd8\xff\xe0" + bytes(range(64))
+        got = M._decode_auto(payload)
+        assert len(got) == M.FEATURE_DIM
+        if M._pil():
+            # real decode path: a 4-byte-header fake JPEG is corrupt,
+            # so PIL raises and the row degrades to the stub
+            assert got == M._decode_stub(payload)
+        else:
+            # no pillow in this container: jpeg_features must raise
+            # ValueError (per-row degradation contract), and the auto
+            # seam must return the deterministic stub
+            import pytest
+            with pytest.raises(ValueError, match="PIL unavailable"):
+                M.jpeg_features(payload)
+            assert got == M._decode_stub(payload)
+        # determinism across calls (task-retry safety)
+        assert got == M._decode_auto(payload)
