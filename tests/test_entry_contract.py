@@ -110,14 +110,12 @@ def test_driver_window_covers_contract_core():
     names = list(entrymod.queries())
     first50 = names[:50]
     window = set(first50)
-    # r7 window: q01–q10 + x30–x52/x54–x56 (the r5 band, one round
-    # out) + x59/x66/x72 + x93–x103 (x97/x98's FIRST driver slots,
-    # post the x97 kernel rework; x99–x103 new in r7, slotted
-    # in their birth round; no tail fill — exactly 50 slots; the r6
-    # band sits out after its green round — see the rotation ledger
-    # in the module)
-    must = {f"q{i:02d}" for i in range(1, 11)}
-    must |= {f"x{i}" for i in entrymod._R7_XBAND}
+    # r8 window: q16–q29 + the r6 x-band (x57/x58/x60/x62–x65/
+    # x67–x71/x73/x75–x92) + x104–x108 (born r7, FIRST driver slots
+    # this round) — exactly 50; the r7 band sits out after its green
+    # round — see the rotation ledger in the module
+    must = {f"q{i:02d}" for i in range(16, 30)}
+    must |= {f"x{i}" for i in entrymod._R8_XBAND}
     prefixes = {n.split("_")[0] for n in window}
     missing = must - prefixes
     assert not missing, f"driver window misses rotation set: {sorted(missing)}"
