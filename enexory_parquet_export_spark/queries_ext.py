@@ -879,22 +879,37 @@ def x55(spark, sf_dir):
                  id_col="doc_id", text_col="text", shingle_n=3)
              .select(F.col("doc_id").alias("probe_id"), "h")
              .distinct())
-    # ONE probe broadcast serves both the semi filter (keyed on h —
-    # duplicate build keys are legal for LeftSemi) and the pair join
-    # below: identical BroadcastExchange subtrees, so AQE materializes
-    # the probe set once.  The corpus exchange partitions by h alone
-    # (the x66 subset trick): the (doc_id, h) distinct agg, the df
-    # agg, AND the anti-join all sit on that single exchange with no
-    # further shuffle — HashPartitioning(h) satisfies both groupings.
-    # Skew note: unlike x98's corpus-unbounded shingle stream, this
-    # exchange is probe-bounded (every row's h is in the query set),
-    # so the hottest h partition is ≤ df(h) ≤ ndocs rows of 16 B —
-    # acceptable where the x98 window-over-h was not; the df cap then
-    # bounds the pair fan-out as before.
+    # r8 PROBE-CLASS COLLAPSE: benchmark suites carry duplicate probes
+    # (and every copy-scaled fixture duplicates them wholesale), and
+    # probes with IDENTICAL shingle sets have identical shared-counts
+    # against every corpus doc — so the pair join runs against one
+    # representative per class and the per-doc rollup multiplies by
+    # class multiplicity.  Exact by construction (shared(doc, p) is a
+    # function of p's shingle SET), and the pair fan-out shrinks by
+    # the duplication factor.  All class relations are probe-bounded.
+    psig = (probe.groupBy("probe_id")
+                 .agg(F.xxhash64(F.sort_array(F.collect_list("h")))
+                       .alias("cls")))
+    pmult = psig.groupBy("cls").agg(F.count("*").cast("bigint")
+                                     .alias("mult"))
+    pch = (probe.join(F.broadcast(psig), "probe_id")
+                .select("cls", "h").distinct())
+    # ONE class-shingle broadcast serves both the semi filter (keyed
+    # on h — duplicate build keys are legal for LeftSemi) and the pair
+    # join below: identical BroadcastExchange subtrees, so AQE
+    # materializes the set once.  The corpus exchange partitions by h
+    # alone (the x66 subset trick): the (doc_id, h) distinct agg, the
+    # df agg, AND the anti-join all sit on that single exchange with
+    # no further shuffle — HashPartitioning(h) satisfies both
+    # groupings.  Skew note: unlike x98's corpus-unbounded shingle
+    # stream, this exchange is probe-bounded (every row's h is in the
+    # query set), so the hottest h partition is ≤ df(h) ≤ ndocs rows
+    # of 16 B — acceptable where the x98 window-over-h was not; the
+    # df cap then bounds the pair fan-out as before.
     corpus0 = (D._exploded_shingle_hashes(
                    docs2.filter(F.col("doc_id") % 100 != 0),
                    id_col="doc_id", text_col="text", shingle_n=3)
-               .join(F.broadcast(probe), "h", "semi")
+               .join(F.broadcast(pch), "h", "semi")
                .repartition("h")
                .distinct())
     nd = (docs2.filter(F.col("doc_id") % 100 != 0)
@@ -906,12 +921,13 @@ def x55(spark, sf_dir):
                       F.expr(f"ndocs DIV {_DF_CAP_DIV}")))
                   .select("h"))
     corpus = corpus0.join(F.broadcast(hot), "h", "left_anti")
-    hits = (corpus.join(F.broadcast(probe), "h")
-                  .groupBy("doc_id", "probe_id")
+    hits = (corpus.join(F.broadcast(pch), "h")
+                  .groupBy("doc_id", "cls")
                   .agg(F.count("*").alias("shared"))
                   .filter(F.col("shared") >= _DECON_K))
-    return (hits.groupBy("doc_id")
-                .agg(F.count("*").cast("bigint").alias("n_probes_hit"),
+    return (hits.join(F.broadcast(pmult), "cls")
+                .groupBy("doc_id")
+                .agg(F.sum("mult").cast("bigint").alias("n_probes_hit"),
                      F.max("shared").cast("bigint").alias("max_shared"))
                 .transform(bounded_sort, "doc_id"))
 
@@ -2644,9 +2660,22 @@ def x85(spark, sf_dir):
                   .distinct())
 
     ss = shingle_hashes(snip, "snip_id")
-    # the snippet shingle set is read twice (size + join): tiny, but
-    # distinct() above already bounds it; no checkpoint needed
-    sn = ss.groupBy("snip_id").agg(F.count("*").cast("bigint").alias("nsh"))
+    # r8 SNIPPET-CLASS COLLAPSE (the x55 probe-class idea, with an
+    # expansion join because snip_id appears in the OUTPUT): snippets
+    # with identical shingle sets share every (doc, shared) pair and
+    # the same nsh, so the corpus pair join runs once per CLASS and
+    # the thresholded result fans back out to member snip_ids through
+    # a broadcast join over the (tiny) filtered hits.  Exact by
+    # construction; the pair fan-out shrinks by the duplication
+    # factor (copy-scaled fixtures duplicate snippets wholesale, and
+    # real containment suites repeat canonical snippets too).
+    ssig = (ss.groupBy("snip_id")
+              .agg(F.xxhash64(F.sort_array(F.collect_list("h")))
+                    .alias("cls")))
+    sch = (ss.join(F.broadcast(ssig), "snip_id")
+             .select("cls", "h").distinct())
+    sncls = sch.groupBy("cls").agg(F.count("*").cast("bigint")
+                                    .alias("nsh"))
     # r7: semi-filter the corpus stream to the snippet hash set BEFORE
     # any corpus-side shuffle.  The query-set contract (x55 shape)
     # bounds |ssh| ≤ |snippets| × (_SNIP_TOKS − 2) keys, so the
@@ -2668,7 +2697,7 @@ def x85(spark, sf_dir):
     # not apply, and the df cap still bounds the pair fan-out.
     ex = D._exploded_shingle_hashes(docs, id_col="doc_id",
                                     text_col="text", shingle_n=3)
-    ds0 = (ex.join(F.broadcast(ss), "h", "semi")
+    ds0 = (ex.join(F.broadcast(sch), "h", "semi")
              .repartition("h")
              .distinct())
     nd = docs.agg(F.count("*").alias("ndocs"))
@@ -2679,12 +2708,13 @@ def x85(spark, sf_dir):
                   F.expr(f"ndocs DIV {_DF_CAP_DIV}")))
               .select("h"))
     ds = ds0.join(F.broadcast(hot), "h", "left_anti")
-    shared = (ds.join(F.broadcast(ss), "h")
-                .groupBy("snip_id", "doc_id")
+    shared = (ds.join(F.broadcast(sch), "h")
+                .groupBy("cls", "doc_id")
                 .agg(F.count("*").cast("bigint").alias("shr")))
     cont = F.col("shr") * F.lit(1000000.0) / F.col("nsh")
-    return (shared.join(F.broadcast(sn), "snip_id")
+    return (shared.join(F.broadcast(sncls), "cls")
             .filter(cont >= _CONT_THRESH_MICRO)
+            .join(F.broadcast(ssig), "cls")   # expand to member snip_ids
             .select("snip_id", "doc_id",
                     F.floor(cont).cast("bigint").alias("cont_micro"))
             .transform(bounded_sort, "snip_id", "doc_id"))
