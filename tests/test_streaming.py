@@ -835,3 +835,95 @@ def test_pack_stream_recovery_from_checkpoint(spark, tmp_path):
     want = {tuple(r) for r in
             pack_batch(spark.createDataFrame(rows, schema)).collect()}
     assert got == want and len(got) == 300
+
+
+def test_change_detect_stream_recovery_from_checkpoint(spark, tmp_path):
+    """Stateful change detector: part-2 polls continue part-1 key
+    state (same-error suppression, alert level), so a restart that
+    lost state would re-emit suppressed events or miss flips."""
+    from enexory_parquet_export_spark.streaming.change_detect import (
+        POLL_SCHEMA,
+        detect_changes_batch,
+        detect_changes_stream,
+    )
+
+    seqs = sorted({p[1] for p in POLLS})
+    cut = seqs[len(seqs) // 2]
+    src, out, ckpt = (str(tmp_path / d) for d in ("polls", "out", "ckpt"))
+
+    def run_once():
+        stream = (spark.readStream.schema(POLL_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = (detect_changes_stream(stream).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    for seq in [s for s in seqs if s <= cut]:
+        (spark.createDataFrame([p for p in POLLS if p[1] == seq], POLL_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(src))
+    run_once()
+    for seq in [s for s in seqs if s > cut]:
+        (spark.createDataFrame([p for p in POLLS if p[1] == seq], POLL_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(src))
+    run_once()
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in detect_changes_batch(
+        spark.createDataFrame(POLLS, POLL_SCHEMA)).collect()}
+    assert got == want
+
+
+def test_semdedup_stream_recovery_from_checkpoint(spark, tmp_path):
+    """Streaming SemDeDup: part-2 twins dedup against part-1 cluster
+    state — pairs appear only if the admitted-member state survived
+    the restart."""
+    from enexory_parquet_export_spark.streaming.semdedup_stream import (
+        quantize_codebook,
+        semdedup_batch,
+        semdedup_stream,
+    )
+
+    from conftest import SF_DIR
+    base = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>")
+                     .alias("embedding")).orderBy("vec_id").limit(40))
+    twins = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                        F.transform("embedding", lambda x: x * 1.1)
+                         .alias("embedding"))
+    corpus_df = base.unionByName(twins)
+    cb = quantize_codebook(corpus_df, k_clusters=4)
+    rows = [(r["vec_id"], list(r["embedding"]))
+            for r in corpus_df.orderBy("vec_id").collect()]
+    half = [r for r in rows if r[0] < 1_000_000]
+    rest = [r for r in rows if r[0] >= 1_000_000]
+
+    schema = "vec_id bigint, embedding array<double>"
+    src, out, ckpt = (str(tmp_path / d) for d in ("vecs", "out", "ckpt"))
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = (semdedup_stream(stream, cb, thresh_micro=990_000,
+                             cluster_cap=8).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    spark.createDataFrame(half, schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(rest, schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            semdedup_batch(spark.createDataFrame(half + rest, schema), cb,
+                           thresh_micro=990_000, cluster_cap=8).collect()}
+    assert got == want
+    # cross-restart evidence: some pair joins a twin to a part-1 vector
+    assert any(a >= 1_000_000 and b < 1_000_000 for a, b, *_ in got), got
