@@ -27,6 +27,17 @@ two execution modes a 100 TB mix job needs:
 Both modes select by the SAME hash order, so the threshold selection
 converges on the exact selection as accuracy grows — pinned by
 ``tests/test_mixing.py``.
+
+Measured at 1.5M docs / 20 sources (local[32]): threshold error
+≤ 213 ppm of quota per source; wall exact 1.0 s vs threshold 1.9 s
+(and 2.0 vs 2.3 s when ALL rows are one source) — locally the
+single-task sort of even a corpus-sized window partition is cheap, so
+threshold mode is NOT a local win; its value is the bound it removes:
+exact mode's per-task memory/time grows linearly with the hottest
+source (a 10⁹-row source is one task), threshold mode's stays
+O(rows/partition) with a sketch whose state is O(grid·accuracy)
+regardless of skew.  Choose exact for oracle parity and modest
+sources, threshold for corpora whose largest source dwarfs a task.
 """
 
 from __future__ import annotations
