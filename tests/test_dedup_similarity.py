@@ -449,3 +449,42 @@ def test_semdedup_batch_uncapped_equals_semantic_dedup(spark, sf_dir):
             semantic_dedup(q, k_clusters=k_clusters,
                            thresh_micro=thresh).collect()}
     assert twin == full and len(full) > 0
+
+
+def test_exploded_shingle_hashes_matches_string_shingles(spark):
+    """The zero-shuffle hashed-shingle build (r8, x55/x85) must agree
+    with the string-shingle window build on every per-doc distinct
+    SET relation: same shingle count per doc, and two docs share a
+    shingle string iff they share a shingle hash (64-bit collisions
+    aside).  Includes sub-shingle docs, duplicate shingles inside one
+    doc, irregular whitespace, and identical docs."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c a b c a b"),          # internal duplicate shingles
+        (3, "  a   b    c "),            # irregular whitespace
+        (4, "x y"),                      # sub-shingle: no rows
+        (5, "a b c d e"),                # exact twin of doc 1
+        (6, ""),                         # empty
+    ]
+    df = docs_df(spark, rows)
+    hashed = (D._exploded_shingle_hashes(df, id_col="doc_id",
+                                         text_col="text", shingle_n=3)
+              .distinct())
+    strings = (D._exploded_shingles(df, id_col="doc_id", text_col="text",
+                                    shingle_n=3, distinct=True))
+    hs = {}
+    for r in hashed.collect():
+        hs.setdefault(r["doc_id"], set()).add(r["h"])
+    ss = {}
+    for r in strings.collect():
+        ss.setdefault(r["doc_id"], set()).add(r["s"])
+    assert set(hs) == set(ss)            # same docs yield shingles
+    for d in ss:
+        assert len(hs[d]) == len(ss[d]), d
+    # shared-set relations agree pairwise
+    docs = sorted(ss)
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            assert (len(ss[a] & ss[b])
+                    == len(hs[a] & hs[b])), (a, b)
