@@ -313,3 +313,53 @@ def test_stream_hopping_rollup_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got, "stream emitted no closed windows"
     assert set(got) <= set(expected)
+
+
+@pytest.mark.slow
+def test_stream_rollup_recovery_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill-and-resume for the watermarked windowed aggregate: part 2
+    arrives only after the first query terminated, the restart resumes
+    from checkpoint, and windows SPANNING the restart boundary must be
+    emitted exactly once with their full (part1 + part2) counts."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("ts", "event_type", "value")
+          .orderBy("ts").limit(3000))
+    rows = ev.collect()
+    cut = len(rows) // 2
+    expected = sorted(map(tuple, windowed_counts(ev).collect()))
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+
+    def run_once():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        q = (windowed_counts_stream(stream)
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    spark.createDataFrame(rows[:cut], ev.schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(rows[cut:], ev.schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got_rows = [tuple(r) for r in spark.read.parquet(out).collect()]
+    # exactly-once: no (window, event_type) key emitted twice across
+    # the restart
+    keys = [(r[0], r[1]) for r in got_rows]
+    assert len(keys) == len(set(keys)), "window emitted twice"
+    got = set(got_rows)
+    assert got, "stream emitted no closed windows"
+    # every emitted row carries the FULL cross-restart aggregate
+    assert got <= set(expected), got - set(expected)
+    # the boundary window (containing rows[cut]) must close and match
+    # once part 2 advances the watermark past it
+    max_ts = rows[-1]["ts"].timestamp()
+    horizon = max_ts - 30 * 60
+    import datetime
+    for row in set(expected) - got:
+        ws = datetime.datetime.fromisoformat(row[0]).timestamp()
+        assert ws + 3600 > horizon, f"closed window lost: {row}"
