@@ -3,4 +3,5 @@ from .cdc import (  # noqa: F401
     cdc_merge,
 )
 from .components import connected_components  # noqa: F401
+from .mixing import quota_select  # noqa: F401
 from .skew import salted_join  # noqa: F401
