@@ -56,30 +56,37 @@ def entry(spark: SparkSession) -> DataFrame:
 #        driver rows in their birth round; no tail fill needed).
 #        Exactly 50 slots.  The r6 band (q16–q29 + x57–x92 remainder) sits
 #        out after its green round.
-#   r8 (this round): the r6 band returns after one round out —
-#        q16–q29 (14) + x57/x58/x60/x62–x65/x67–x71/x73/x75–x92
-#        (31) — plus x104–x108 (5, born r7 after the window filled;
-#        first driver rows this round, the x97/x98 precedent).
-#        Exactly 50 slots, no tail.  The r7 band (q01–q10 + x30–x52
-#        + x54/x55/x56 + x59/x66/x72 + x93–x103) sits out after its
-#        green round.
-#   r9+: rotate the r7 band back in (q01–q15 + x30–x56 remainder +
-#        x93–x103) plus any queries born in r8.
+#   r8: the r6 band returned after one round out — q16–q29 (14) +
+#        x57/x58/x60/x62–x65/x67–x71/x73/x75–x92 (31) — plus
+#        x104–x108 (5, born r7 after the window filled; first driver
+#        rows, the x97/x98 precedent).  ALL green (CORRECTNESS_r08
+#        50/50).  The r7 band sat out after its green round.
+#   r9 (this round): the verdict's stated band (q01–q15 + x30–x56
+#        remainder + x93–x103) is 55 names for 50 slots, so five
+#        carry over: q11–q15 are MANDATORY (last green r6 — already
+#        two rounds out), and x45–x49 (stable since r5, green r5+r7)
+#        sit out one extra round and join the r10 band.  Window =
+#        q01–q15 (15) + x30–x44 (15) + x50–x52/x54–x56 (6) +
+#        x59/x66/x72 (3) + x93–x103 (11) = exactly 50.  Nothing was
+#        born in r8.
+#   r10+: rotate the r8 band back in (q16–q29 + x57–x92 remainder +
+#        x104–x108 = 50) — that fills the window, so x45–x49 take
+#        the FIRST five slots and five r8-band queries with the
+#        freshest double-green history (x88–x92) carry to r11.
 #   INVARIANT: x53/x74 are rows-only sketches — they can never
 #        hash-match and must NEVER occupy a window slot; their error
 #        bounds are pytest'd (tests/test_functions.py) and their
 #        rows-only declaration pinned by tests/test_entry_contract.py
 #        (see README "Rotation rule").
-_R8_XBAND: tuple[int, ...] = (
-    57, 58, 60, 62, 63, 64, 65,
-    *range(67, 72),                                # x67..x71
-    73,
-    *range(75, 93),                                # x75..x92 (x74 rows-only)
-    *range(104, 109),                              # x104..x108 (first rows)
+_R9_XBAND: tuple[int, ...] = (
+    *range(30, 45),                                # x30..x44
+    50, 51, 52, 54, 55, 56,                        # x45–x49 carry to r10
+    59, 66, 72,
+    *range(93, 104),                               # x93..x103
 )
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(16, 30)),         # q16..q29
-    *(f"x{i}" for i in _R8_XBAND),
+    *(f"q{i:02d}" for i in range(1, 16)),          # q01..q15
+    *(f"x{i}" for i in _R9_XBAND),
 )
 
 

@@ -887,9 +887,17 @@ def x55(spark, sf_dir):
     # class multiplicity.  Exact by construction (shared(doc, p) is a
     # function of p's shingle SET), and the pair fan-out shrinks by
     # the duplication factor.  All class relations are probe-bounded.
+    # r9 (ADVICE): the class key is a STRUCT carrying count(h)/min(h)
+    # alongside the 64-bit set signature — a signature collision
+    # between different shingle sets would silently merge classes and
+    # corrupt shared-counts for all members of both, a wider blast
+    # radius than the accepted single shingle-hash collision.
     psig = (probe.groupBy("probe_id")
-                 .agg(F.xxhash64(F.sort_array(F.collect_list("h")))
-                       .alias("cls")))
+                 .agg(F.struct(
+                     F.xxhash64(F.sort_array(F.collect_list("h")))
+                      .alias("sig"),
+                     F.count("*").alias("n"),
+                     F.min("h").alias("mn")).alias("cls")))
     pmult = psig.groupBy("cls").agg(F.count("*").cast("bigint")
                                      .alias("mult"))
     pch = (probe.join(F.broadcast(psig), "probe_id")
@@ -2669,9 +2677,14 @@ def x85(spark, sf_dir):
     # construction; the pair fan-out shrinks by the duplication
     # factor (copy-scaled fixtures duplicate snippets wholesale, and
     # real containment suites repeat canonical snippets too).
+    # r9 (ADVICE): struct class key with count(h)/min(h) collision
+    # tiebreaks — see the x55 psig note.
     ssig = (ss.groupBy("snip_id")
-              .agg(F.xxhash64(F.sort_array(F.collect_list("h")))
-                    .alias("cls")))
+              .agg(F.struct(
+                  F.xxhash64(F.sort_array(F.collect_list("h")))
+                   .alias("sig"),
+                  F.count("*").alias("n"),
+                  F.min("h").alias("mn")).alias("cls")))
     sch = (ss.join(F.broadcast(ssig), "snip_id")
              .select("cls", "h").distinct())
     sncls = sch.groupBy("cls").agg(F.count("*").cast("bigint")
