@@ -59,7 +59,8 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 
 def _exploded_shingle_hashes(docs: DataFrame, *, id_col: str, text_col: str,
-                             shingle_n: int) -> DataFrame:
+                             shingle_n: int,
+                             distinct_in_row: bool = False) -> DataFrame:
     """(doc_id, h) rows — shingle HASHES only, built with ZERO shuffles.
 
     For consumers that never need the shingle string (x55/x85: the
@@ -96,6 +97,14 @@ def _exploded_shingle_hashes(docs: DataFrame, *, id_col: str, text_col: str,
                        for i in range(shingle_n)])
     zh = F.transform(z, lambda s: F.xxhash64(
         *[s[f"_f{i}"] for i in range(shingle_n)]))
+    if distinct_in_row:
+        # per-(doc, h) dedup WITHOUT an exchange: ``array_distinct``
+        # is native per-row work, so consumers that need distinct
+        # (doc_id, h) rows (x55/x85: set semantics) skip the
+        # corpus-row distinct aggregate entirely — at cluster scale
+        # that turns a shuffled HashAggregate over every surviving
+        # row into co-located array ops (r9, VERDICT #2)
+        zh = F.array_distinct(zh)
     return base.select("doc_id", F.explode(zh).alias("h"))
 
 

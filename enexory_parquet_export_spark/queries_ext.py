@@ -874,11 +874,23 @@ def x55(spark, sf_dir):
     # checkpoint — the df-cap branch and the join branch share
     # corpus0's single probe-bounded h-exchange via AQE reuse (the
     # x85 shape; skew contract on the corpus0 comment below).
-    probe = (D._exploded_shingle_hashes(
+    # r9: ONE materialized per-probe relation (probe-bounded by
+    # contract, so the checkpoint is legal under the token-class
+    # rule) carrying the sorted distinct shingle-hash ARRAY — every
+    # probe-side derivation (class signature, multiplicity, class
+    # shingle rows, semi-filter key set) is an in-row projection of
+    # it, so the probe fold runs exactly once.  Measured plans showed
+    # AQE exchange reuse NEVER fires across consumers (r8's
+    # assumption; the r9 plan audit counted 13 parquet scans and zero
+    # ReusedExchange), and a chain of per-consumer checkpoints paid
+    # one serial job each — one checkpoint, in-row derivations.
+    pdocs = (D._exploded_shingle_hashes(
                  docs.filter(F.col("doc_id") % 100 == 0),
-                 id_col="doc_id", text_col="text", shingle_n=3)
-             .select(F.col("doc_id").alias("probe_id"), "h")
-             .distinct())
+                 id_col="doc_id", text_col="text", shingle_n=3,
+                 distinct_in_row=True)
+             .groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+             .transform(materialize, eager=True))
     # r8 PROBE-CLASS COLLAPSE: benchmark suites carry duplicate probes
     # (and every copy-scaled fixture duplicates them wholesale), and
     # probes with IDENTICAL shingle sets have identical shared-counts
@@ -892,43 +904,42 @@ def x55(spark, sf_dir):
     # between different shingle sets would silently merge classes and
     # corrupt shared-counts for all members of both, a wider blast
     # radius than the accepted single shingle-hash collision.
-    psig = (probe.groupBy("probe_id")
-                 .agg(F.struct(
-                     F.xxhash64(F.sort_array(F.collect_list("h")))
-                      .alias("sig"),
-                     F.count("*").alias("n"),
-                     F.min("h").alias("mn")).alias("cls")))
-    pmult = psig.groupBy("cls").agg(F.count("*").cast("bigint")
-                                     .alias("mult"))
-    pch = (probe.join(F.broadcast(psig), "probe_id")
-                .select("cls", "h").distinct())
-    # ONE class-shingle broadcast serves both the semi filter (keyed
-    # on h — duplicate build keys are legal for LeftSemi) and the pair
-    # join below: identical BroadcastExchange subtrees, so AQE
-    # materializes the set once.  The corpus exchange partitions by h
-    # alone (the x66 subset trick): the (doc_id, h) distinct agg, the
-    # df agg, AND the anti-join all sit on that single exchange with
-    # no further shuffle — HashPartitioning(h) satisfies both
-    # groupings.  Skew note: unlike x98's corpus-unbounded shingle
-    # stream, this exchange is probe-bounded (every row's h is in the
-    # query set), so the hottest h partition is ≤ df(h) ≤ ndocs rows
-    # of 16 B — acceptable where the x98 window-over-h was not; the
-    # df cap then bounds the pair fan-out as before.
+    _cls = F.struct(F.xxhash64("hs").alias("sig"),
+                    F.size("hs").cast("bigint").alias("n"),
+                    F.element_at("hs", 1).alias("mn")).alias("cls")
+    pmult = (pdocs.select(_cls)
+                  .groupBy("cls").agg(F.count("*").cast("bigint")
+                                       .alias("mult")))
+    pch = (pdocs.select(_cls, F.explode("hs").alias("h")).distinct())
+    # r9 SINGLE-PASS CORPUS (VERDICT #2): the r8 shape had TWO
+    # consumers of the semi-filtered corpus stream (the df-cap agg →
+    # broadcast(hot) → anti-join, and the pair join), and exchange
+    # reuse never fired — so the full corpus fold executed twice.
+    # The df cap is now a ``count(*) over (partition by h)`` window
+    # riding the SAME h-exchange, and the cap filter is an in-plan
+    # predicate: scan → in-row-distinct fold → broadcast semi →
+    # exchange(h) → window(df) → filter → broadcast pair join →
+    # partial agg.  ONE corpus pass, no checkpoint, no second fold.
+    # Skew note: the window partitions by h exactly as the exchange
+    # does, so it adds no new hot-partition class — the exchange is
+    # probe-bounded (every row's h is in the query set), hottest h
+    # partition ≤ df(h) ≤ ndocs rows of 16 B, accepted since r8.
+    from pyspark.sql import Window
     corpus0 = (D._exploded_shingle_hashes(
                    docs2.filter(F.col("doc_id") % 100 != 0),
-                   id_col="doc_id", text_col="text", shingle_n=3)
-               .join(F.broadcast(pch), "h", "semi")
-               .repartition("h")
-               .distinct())
+                   id_col="doc_id", text_col="text", shingle_n=3,
+                   distinct_in_row=True)
+               .join(F.broadcast(pch.select("h").distinct()), "h", "semi")
+               .repartition("h"))
     nd = (docs2.filter(F.col("doc_id") % 100 != 0)
                .agg(F.count("*").alias("ndocs")))
-    hot = (corpus0.groupBy("h").agg(F.count("*").alias("df"))
-                  .crossJoin(F.broadcast(nd))  # 1-row scalar, q24 idiom
-                  .filter(F.col("df") > F.greatest(
-                      F.lit(_DF_CAP_MIN).cast("bigint"),
-                      F.expr(f"ndocs DIV {_DF_CAP_DIV}")))
-                  .select("h"))
-    corpus = corpus0.join(F.broadcast(hot), "h", "left_anti")
+    corpus = (corpus0
+              .withColumn("df", F.count("*").over(Window.partitionBy("h")))
+              .crossJoin(F.broadcast(nd))  # 1-row scalar, q24 idiom
+              .filter(F.col("df") <= F.greatest(
+                  F.lit(_DF_CAP_MIN).cast("bigint"),
+                  F.expr(f"ndocs DIV {_DF_CAP_DIV}")))
+              .select("doc_id", "h"))
     hits = (corpus.join(F.broadcast(pch), "h")
                   .groupBy("doc_id", "cls")
                   .agg(F.count("*").alias("shared"))
@@ -2655,19 +2666,20 @@ def x85(spark, sf_dir):
                                          _SNIP_TOKS), " ")
                      .alias("text")))
 
-    def shingle_hashes(df, id_col):
-        # zero-shuffle hashed-shingle build (r8): the output of this
-        # query is shared-shingle COUNTS, so the engine-side shingle
-        # hash never crosses the oracle boundary and the in-row
-        # zip_with fold replaces the token-row window exchange — see
-        # _exploded_shingle_hashes for the measured tradeoff
-        ex = D._exploded_shingle_hashes(
-            df.withColumnRenamed(id_col, "doc_id"),
-            id_col="doc_id", text_col="text", shingle_n=3)
-        return (ex.select(F.col("doc_id").alias(id_col), "h")
-                  .distinct())
-
-    ss = shingle_hashes(snip, "snip_id")
+    # r9: ONE materialized per-snippet relation carrying the sorted
+    # distinct shingle-hash array (snippet-bounded by contract, so
+    # the checkpoint is legal) — class signature, nsh, class shingle
+    # rows, and the semi key set are all in-row projections of it,
+    # so the snippet fold runs exactly once (see the x55 r9 note:
+    # AQE exchange reuse measured never firing across consumers).
+    sdocs = (D._exploded_shingle_hashes(
+                 snip.withColumnRenamed("snip_id", "doc_id"),
+                 id_col="doc_id", text_col="text", shingle_n=3,
+                 distinct_in_row=True)
+             .groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+             .withColumnRenamed("doc_id", "snip_id")
+             .transform(materialize, eager=True))
     # r8 SNIPPET-CLASS COLLAPSE (the x55 probe-class idea, with an
     # expansion join because snip_id appears in the OUTPUT): snippets
     # with identical shingle sets share every (doc, shared) pair and
@@ -2677,18 +2689,15 @@ def x85(spark, sf_dir):
     # construction; the pair fan-out shrinks by the duplication
     # factor (copy-scaled fixtures duplicate snippets wholesale, and
     # real containment suites repeat canonical snippets too).
-    # r9 (ADVICE): struct class key with count(h)/min(h) collision
-    # tiebreaks — see the x55 psig note.
-    ssig = (ss.groupBy("snip_id")
-              .agg(F.struct(
-                  F.xxhash64(F.sort_array(F.collect_list("h")))
-                   .alias("sig"),
-                  F.count("*").alias("n"),
-                  F.min("h").alias("mn")).alias("cls")))
-    sch = (ss.join(F.broadcast(ssig), "snip_id")
-             .select("cls", "h").distinct())
-    sncls = sch.groupBy("cls").agg(F.count("*").cast("bigint")
-                                    .alias("nsh"))
+    # r9 (ADVICE): the class key is a STRUCT with count(h)/min(h)
+    # collision tiebreaks — see the x55 note.
+    _cls = F.struct(F.xxhash64("hs").alias("sig"),
+                    F.size("hs").cast("bigint").alias("n"),
+                    F.element_at("hs", 1).alias("mn")).alias("cls")
+    ssig = sdocs.select("snip_id", _cls)
+    sch = sdocs.select(_cls, F.explode("hs").alias("h")).distinct()
+    sncls = (sdocs.select(_cls, F.size("hs").cast("bigint").alias("nsh"))
+                  .distinct())
     # r7: semi-filter the corpus stream to the snippet hash set BEFORE
     # any corpus-side shuffle.  The query-set contract (x55 shape)
     # bounds |ssh| ≤ |snippets| × (_SNIP_TOKS − 2) keys, so the
@@ -2708,19 +2717,24 @@ def x85(spark, sf_dir):
     # (every h is in the snippet set), so the hottest h partition is
     # ≤ df(h) rows of 16 B — the x98 corpus-unbounded objection does
     # not apply, and the df cap still bounds the pair fan-out.
+    # r9 SINGLE-PASS CORPUS (VERDICT #2, the x55 shape): the df cap
+    # is a count(*) window over the SAME h-exchange instead of a
+    # second consumer (agg → broadcast(hot) → anti-join) — measured
+    # plans showed exchange reuse never fired, so the r8 shape ran
+    # the corpus fold twice.  One fold, one exchange, no checkpoint.
+    from pyspark.sql import Window
     ex = D._exploded_shingle_hashes(docs, id_col="doc_id",
-                                    text_col="text", shingle_n=3)
-    ds0 = (ex.join(F.broadcast(sch), "h", "semi")
-             .repartition("h")
-             .distinct())
+                                    text_col="text", shingle_n=3,
+                                    distinct_in_row=True)
+    ds0 = (ex.join(F.broadcast(sch.select("h").distinct()), "h", "semi")
+             .repartition("h"))
     nd = docs.agg(F.count("*").alias("ndocs"))
-    hot = (ds0.groupBy("h").agg(F.count("*").alias("df"))
-              .crossJoin(F.broadcast(nd))   # 1-row scalar, q24 idiom
-              .filter(F.col("df") > F.greatest(
-                  F.lit(_DF_CAP_MIN).cast("bigint"),
-                  F.expr(f"ndocs DIV {_DF_CAP_DIV}")))
-              .select("h"))
-    ds = ds0.join(F.broadcast(hot), "h", "left_anti")
+    ds = (ds0.withColumn("df", F.count("*").over(Window.partitionBy("h")))
+             .crossJoin(F.broadcast(nd))   # 1-row scalar, q24 idiom
+             .filter(F.col("df") <= F.greatest(
+                 F.lit(_DF_CAP_MIN).cast("bigint"),
+                 F.expr(f"ndocs DIV {_DF_CAP_DIV}")))
+             .select("doc_id", "h"))
     shared = (ds.join(F.broadcast(sch), "h")
                 .groupBy("cls", "doc_id")
                 .agg(F.count("*").cast("bigint").alias("shr")))

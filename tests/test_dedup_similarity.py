@@ -488,3 +488,12 @@ def test_exploded_shingle_hashes_matches_string_shingles(spark):
             a, b = docs[i], docs[j]
             assert (len(ss[a] & ss[b])
                     == len(hs[a] & hs[b])), (a, b)
+    # r9: the in-row distinct variant (array_distinct before the
+    # explode — no exchange) must emit exactly the distinct set of
+    # the plain build, already deduped per (doc, h)
+    inrow = (D._exploded_shingle_hashes(df, id_col="doc_id",
+                                        text_col="text", shingle_n=3,
+                                        distinct_in_row=True))
+    rows_inrow = [(r["doc_id"], r["h"]) for r in inrow.collect()]
+    assert len(rows_inrow) == len(set(rows_inrow))   # no dups emitted
+    assert set(rows_inrow) == {(d, h) for d, s in hs.items() for h in s}
