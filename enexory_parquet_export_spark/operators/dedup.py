@@ -108,6 +108,135 @@ def _exploded_shingle_hashes(docs: DataFrame, *, id_col: str, text_col: str,
     return base.select("doc_id", F.explode(zh).alias("h"))
 
 
+def _query_side_relations(docs: DataFrame, *, id_col: str, text_col: str,
+                          shingle_n: int):
+    """Shared query-side machinery for :func:`decontaminate` /
+    :func:`containment`: ONE materialized per-document relation
+    carrying the sorted distinct shingle-hash array (legal under the
+    token-class checkpoint rule because the query side is bounded by
+    contract — a benchmark suite or snippet set, not the corpus), from
+    which every derivation is an in-row projection:
+
+    - ``sig``   (id, cls)            — class signature per query doc
+    - ``ch``    (cls, h)             — class shingle rows
+    - ``keys``  (h)                  — semi-filter key set
+    (the class struct's ``n`` field IS the distinct-shingle count, so
+    consumers needing it read ``cls.n`` — no extra relation)
+
+    CLASS COLLAPSE (r8): query docs with identical shingle sets have
+    identical shared-counts against every corpus doc, so the pair join
+    runs once per class; the class key is a STRUCT of (xxhash64 of the
+    sorted array, count, min) so a 64-bit signature collision cannot
+    silently merge classes (r9 ADVICE).  Measured plans showed AQE
+    exchange reuse NEVER fires across consumers (r9 audit: 13 parquet
+    scans, zero ReusedExchange in the un-materialized shape), which is
+    why the one eager checkpoint exists.
+    """
+    qdocs = (_exploded_shingle_hashes(docs, id_col=id_col,
+                                      text_col=text_col,
+                                      shingle_n=shingle_n,
+                                      distinct_in_row=True)
+             .groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+             .withColumnRenamed("doc_id", id_col)
+             .transform(materialize, eager=True))
+    cls = F.struct(F.xxhash64("hs").alias("sig"),
+                   F.size("hs").cast("bigint").alias("n"),
+                   F.element_at("hs", 1).alias("mn")).alias("cls")
+    sig = qdocs.select(id_col, cls)
+    ch = qdocs.select(cls, F.explode("hs").alias("h")).distinct()
+    keys = qdocs.select(F.explode("hs").alias("h")).distinct()
+    return sig, ch, keys
+
+
+def _capped_corpus_matches(corpus: DataFrame, keys: DataFrame, *,
+                           id_col: str, text_col: str, shingle_n: int,
+                           df_cap_min: int, df_cap_div: int) -> DataFrame:
+    """SINGLE-PASS corpus side (r9): scan → in-row-distinct shingle
+    fold (zero shuffle, no string materialization) → broadcast semi
+    filter on the bounded query key set → ONE exchange on ``h`` →
+    document-frequency window + stop-shingle cap filter in-plan.
+
+    The df cap (drop shingles appearing in more than
+    ``max(df_cap_min, ndocs // df_cap_div)`` corpus docs) is a
+    ``count(*) over (partition by h)`` window riding the same
+    h-exchange instead of a second consumer (agg → broadcast hot →
+    anti-join): measured plans showed exchange reuse never fires, so
+    the two-consumer shape folded the full corpus twice.  Skew: the
+    window partitions exactly as the exchange does, so it adds no new
+    hot-partition class — the exchange is query-bounded (every row's
+    ``h`` is in the key set), hottest partition ≤ df(h) rows of 16 B.
+    Returns distinct (doc_id, h) matches below the cap.
+    """
+    from pyspark.sql import Window
+
+    nd = corpus.agg(F.count("*").alias("ndocs"))
+    ex = _exploded_shingle_hashes(corpus, id_col=id_col,
+                                  text_col=text_col, shingle_n=shingle_n,
+                                  distinct_in_row=True)
+    return (ex.join(F.broadcast(keys), "h", "semi")
+              .repartition("h")
+              .withColumn("df", F.count("*").over(Window.partitionBy("h")))
+              .crossJoin(F.broadcast(nd))       # 1-row scalar
+              .filter(F.col("df") <= F.greatest(
+                  F.lit(df_cap_min).cast("bigint"),
+                  F.expr(f"ndocs DIV {df_cap_div}")))
+              .select("doc_id", "h"))
+
+
+def decontaminate(corpus: DataFrame, probes: DataFrame, *, k: int,
+                  shingle_n: int = 3, df_cap_min: int, df_cap_div: int,
+                  probe_id_col: str = "probe_id") -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ ``k`` distinct
+    ``shingle_n``-token shingles with any probe document — the
+    test-set-overlap scrub every training pipeline runs (x55).
+
+    ``corpus``/``probes`` are (doc_id|probe_id, text) relations; the
+    probe side is BOUNDED BY CONTRACT (a benchmark suite).  Returns
+    (doc_id, n_probes_hit, max_shared), unsorted.
+    """
+    sig, ch, keys = _query_side_relations(
+        probes.select(F.col(probe_id_col).alias("probe_id"), "text"),
+        id_col="probe_id", text_col="text", shingle_n=shingle_n)
+    mult = sig.groupBy("cls").agg(F.count("*").cast("bigint")
+                                   .alias("mult"))
+    matches = _capped_corpus_matches(
+        corpus, keys, id_col="doc_id", text_col="text",
+        shingle_n=shingle_n, df_cap_min=df_cap_min, df_cap_div=df_cap_div)
+    hits = (matches.join(F.broadcast(ch), "h")
+                   .groupBy("doc_id", "cls")
+                   .agg(F.count("*").alias("shared"))
+                   .filter(F.col("shared") >= k))
+    return (hits.join(F.broadcast(mult), "cls")
+                .groupBy("doc_id")
+                .agg(F.sum("mult").cast("bigint").alias("n_probes_hit"),
+                     F.max("shared").cast("bigint").alias("max_shared")))
+
+
+def containment(corpus: DataFrame, snippets: DataFrame, *,
+                thresh_micro: int, shingle_n: int = 3,
+                df_cap_min: int, df_cap_div: int,
+                snip_id_col: str = "snip_id") -> DataFrame:
+    """Snippet containment: fraction (in micro-units) of each bounded
+    snippet's distinct shingles found in each corpus doc, thresholded
+    (x85).  Returns (snip_id, doc_id, cont_micro), unsorted."""
+    sig, ch, keys = _query_side_relations(
+        snippets.select(F.col(snip_id_col).alias("snip_id"), "text"),
+        id_col="snip_id", text_col="text", shingle_n=shingle_n)
+    matches = _capped_corpus_matches(
+        corpus, keys, id_col="doc_id", text_col="text",
+        shingle_n=shingle_n, df_cap_min=df_cap_min, df_cap_div=df_cap_div)
+    # the class struct carries the distinct-shingle count as cls.n
+    cont = F.col("shr") * F.lit(1000000.0) / F.col("cls.n")
+    return (matches.join(F.broadcast(ch), "h")
+                   .groupBy("cls", "doc_id")
+                   .agg(F.count("*").cast("bigint").alias("shr"))
+                   .filter(cont >= thresh_micro)
+                   .join(F.broadcast(sig), "cls")  # expand to members
+                   .select(F.col("snip_id").alias(snip_id_col), "doc_id",
+                           F.floor(cont).cast("bigint").alias("cont_micro")))
+
+
 def _exploded_shingles(docs: DataFrame, *, id_col: str, text_col: str,
                        shingle_n: int, distinct: bool = False) -> DataFrame:
     """(doc_id, s) rows: posexplode tokens → ``lead()`` window — the

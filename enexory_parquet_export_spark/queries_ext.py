@@ -874,81 +874,20 @@ def x55(spark, sf_dir):
     # checkpoint — the df-cap branch and the join branch share
     # corpus0's single probe-bounded h-exchange via AQE reuse (the
     # x85 shape; skew contract on the corpus0 comment below).
-    # r9: ONE materialized per-probe relation (probe-bounded by
-    # contract, so the checkpoint is legal under the token-class
-    # rule) carrying the sorted distinct shingle-hash ARRAY — every
-    # probe-side derivation (class signature, multiplicity, class
-    # shingle rows, semi-filter key set) is an in-row projection of
-    # it, so the probe fold runs exactly once.  Measured plans showed
-    # AQE exchange reuse NEVER fires across consumers (r8's
-    # assumption; the r9 plan audit counted 13 parquet scans and zero
-    # ReusedExchange), and a chain of per-consumer checkpoints paid
-    # one serial job each — one checkpoint, in-row derivations.
-    pdocs = (D._exploded_shingle_hashes(
-                 docs.filter(F.col("doc_id") % 100 == 0),
-                 id_col="doc_id", text_col="text", shingle_n=3,
-                 distinct_in_row=True)
-             .groupBy("doc_id")
-             .agg(F.sort_array(F.collect_list("h")).alias("hs"))
-             .transform(materialize, eager=True))
-    # r8 PROBE-CLASS COLLAPSE: benchmark suites carry duplicate probes
-    # (and every copy-scaled fixture duplicates them wholesale), and
-    # probes with IDENTICAL shingle sets have identical shared-counts
-    # against every corpus doc — so the pair join runs against one
-    # representative per class and the per-doc rollup multiplies by
-    # class multiplicity.  Exact by construction (shared(doc, p) is a
-    # function of p's shingle SET), and the pair fan-out shrinks by
-    # the duplication factor.  All class relations are probe-bounded.
-    # r9 (ADVICE): the class key is a STRUCT carrying count(h)/min(h)
-    # alongside the 64-bit set signature — a signature collision
-    # between different shingle sets would silently merge classes and
-    # corrupt shared-counts for all members of both, a wider blast
-    # radius than the accepted single shingle-hash collision.
-    _cls = F.struct(F.xxhash64("hs").alias("sig"),
-                    F.size("hs").cast("bigint").alias("n"),
-                    F.element_at("hs", 1).alias("mn")).alias("cls")
-    pmult = (pdocs.select(_cls)
-                  .groupBy("cls").agg(F.count("*").cast("bigint")
-                                       .alias("mult")))
-    pch = (pdocs.select(_cls, F.explode("hs").alias("h")).distinct())
-    # r9 SINGLE-PASS CORPUS (VERDICT #2): the r8 shape had TWO
-    # consumers of the semi-filtered corpus stream (the df-cap agg →
-    # broadcast(hot) → anti-join, and the pair join), and exchange
-    # reuse never fired — so the full corpus fold executed twice.
-    # The df cap is now a ``count(*) over (partition by h)`` window
-    # riding the SAME h-exchange, and the cap filter is an in-plan
-    # predicate: scan → in-row-distinct fold → broadcast semi →
-    # exchange(h) → window(df) → filter → broadcast pair join →
-    # partial agg.  ONE corpus pass, no checkpoint, no second fold.
-    # Skew note: the window partitions by h exactly as the exchange
-    # does, so it adds no new hot-partition class — the exchange is
-    # probe-bounded (every row's h is in the query set), hottest h
-    # partition ≤ df(h) ≤ ndocs rows of 16 B, accepted since r8.
-    from pyspark.sql import Window
-    corpus0 = (D._exploded_shingle_hashes(
-                   docs2.filter(F.col("doc_id") % 100 != 0),
-                   id_col="doc_id", text_col="text", shingle_n=3,
-                   distinct_in_row=True)
-               .join(F.broadcast(pch.select("h").distinct()), "h", "semi")
-               .repartition("h"))
-    nd = (docs2.filter(F.col("doc_id") % 100 != 0)
-               .agg(F.count("*").alias("ndocs")))
-    corpus = (corpus0
-              .withColumn("df", F.count("*").over(Window.partitionBy("h")))
-              .crossJoin(F.broadcast(nd))  # 1-row scalar, q24 idiom
-              .filter(F.col("df") <= F.greatest(
-                  F.lit(_DF_CAP_MIN).cast("bigint"),
-                  F.expr(f"ndocs DIV {_DF_CAP_DIV}")))
-              .select("doc_id", "h"))
-    hits = (corpus.join(F.broadcast(pch), "h")
-                  .groupBy("doc_id", "cls")
-                  .agg(F.count("*").alias("shared"))
-                  .filter(F.col("shared") >= _DECON_K))
-    return (hits.join(F.broadcast(pmult), "cls")
-                .groupBy("doc_id")
-                .agg(F.sum("mult").cast("bigint").alias("n_probes_hit"),
-                     F.max("shared").cast("bigint").alias("max_shared"))
-                .transform(bounded_sort, "doc_id"))
+    # r9: the whole pipeline is the reusable operator
+    # operators/dedup.py::decontaminate — one materialized per-probe
+    # hash-array relation (probe-bounded checkpoint), class collapse
+    # with struct collision-tiebreak keys (ADVICE r8), and a
+    # SINGLE-PASS corpus (in-row-distinct fold → broadcast semi →
+    # one h-exchange → df-cap window in-plan).  See the operator
+    # docstrings for the measured plan-audit rationale.
+    probes = (docs.filter(F.col("doc_id") % 100 == 0)
+                  .select(F.col("doc_id").alias("probe_id"), "text"))
+    corpus = docs2.filter(F.col("doc_id") % 100 != 0)
+    return (D.decontaminate(corpus, probes, k=_DECON_K,
+                            df_cap_min=_DF_CAP_MIN,
+                            df_cap_div=_DF_CAP_DIV)
+             .transform(bounded_sort, "doc_id"))
 
 
 # --------------------------------------------------------------------------
@@ -2666,85 +2605,17 @@ def x85(spark, sf_dir):
                                          _SNIP_TOKS), " ")
                      .alias("text")))
 
-    # r9: ONE materialized per-snippet relation carrying the sorted
-    # distinct shingle-hash array (snippet-bounded by contract, so
-    # the checkpoint is legal) — class signature, nsh, class shingle
-    # rows, and the semi key set are all in-row projections of it,
-    # so the snippet fold runs exactly once (see the x55 r9 note:
-    # AQE exchange reuse measured never firing across consumers).
-    sdocs = (D._exploded_shingle_hashes(
-                 snip.withColumnRenamed("snip_id", "doc_id"),
-                 id_col="doc_id", text_col="text", shingle_n=3,
-                 distinct_in_row=True)
-             .groupBy("doc_id")
-             .agg(F.sort_array(F.collect_list("h")).alias("hs"))
-             .withColumnRenamed("doc_id", "snip_id")
-             .transform(materialize, eager=True))
-    # r8 SNIPPET-CLASS COLLAPSE (the x55 probe-class idea, with an
-    # expansion join because snip_id appears in the OUTPUT): snippets
-    # with identical shingle sets share every (doc, shared) pair and
-    # the same nsh, so the corpus pair join runs once per CLASS and
-    # the thresholded result fans back out to member snip_ids through
-    # a broadcast join over the (tiny) filtered hits.  Exact by
-    # construction; the pair fan-out shrinks by the duplication
-    # factor (copy-scaled fixtures duplicate snippets wholesale, and
-    # real containment suites repeat canonical snippets too).
-    # r9 (ADVICE): the class key is a STRUCT with count(h)/min(h)
-    # collision tiebreaks — see the x55 note.
-    _cls = F.struct(F.xxhash64("hs").alias("sig"),
-                    F.size("hs").cast("bigint").alias("n"),
-                    F.element_at("hs", 1).alias("mn")).alias("cls")
-    ssig = sdocs.select("snip_id", _cls)
-    sch = sdocs.select(_cls, F.explode("hs").alias("h")).distinct()
-    sncls = (sdocs.select(_cls, F.size("hs").cast("bigint").alias("nsh"))
-                  .distinct())
-    # r7: semi-filter the corpus stream to the snippet hash set BEFORE
-    # any corpus-side shuffle.  The query-set contract (x55 shape)
-    # bounds |ssh| ≤ |snippets| × (_SNIP_TOKS − 2) keys, so the
-    # broadcast-hash semi join is a pure map-side filter over the
-    # exploded corpus scan — the only full-corpus work left is the
-    # in-row shingle-hash fold, zero shuffles.  Per-hash document
-    # frequencies are unchanged by the restriction (all (doc_id, h)
-    # rows of a surviving h are kept), so the df-cap filter below
-    # computes the same hot set ∩ ssh and the join output is
-    # value-identical to the unfiltered formulation the oracle runs.
-    # r8: the checkpoint is gone — ONE ss broadcast serves the semi
-    # filter and the pair join (identical BroadcastExchange subtrees,
-    # AQE materializes once), and the corpus exchange partitions by h
-    # alone (the x66 subset trick) so the (doc_id, h) distinct, the
-    # df-cap agg, and the anti-join all share that single exchange
-    # with no further shuffle.  Skew: the exchange is probe-bounded
-    # (every h is in the snippet set), so the hottest h partition is
-    # ≤ df(h) rows of 16 B — the x98 corpus-unbounded objection does
-    # not apply, and the df cap still bounds the pair fan-out.
-    # r9 SINGLE-PASS CORPUS (VERDICT #2, the x55 shape): the df cap
-    # is a count(*) window over the SAME h-exchange instead of a
-    # second consumer (agg → broadcast(hot) → anti-join) — measured
-    # plans showed exchange reuse never fired, so the r8 shape ran
-    # the corpus fold twice.  One fold, one exchange, no checkpoint.
-    from pyspark.sql import Window
-    ex = D._exploded_shingle_hashes(docs, id_col="doc_id",
-                                    text_col="text", shingle_n=3,
-                                    distinct_in_row=True)
-    ds0 = (ex.join(F.broadcast(sch.select("h").distinct()), "h", "semi")
-             .repartition("h"))
-    nd = docs.agg(F.count("*").alias("ndocs"))
-    ds = (ds0.withColumn("df", F.count("*").over(Window.partitionBy("h")))
-             .crossJoin(F.broadcast(nd))   # 1-row scalar, q24 idiom
-             .filter(F.col("df") <= F.greatest(
-                 F.lit(_DF_CAP_MIN).cast("bigint"),
-                 F.expr(f"ndocs DIV {_DF_CAP_DIV}")))
-             .select("doc_id", "h"))
-    shared = (ds.join(F.broadcast(sch), "h")
-                .groupBy("cls", "doc_id")
-                .agg(F.count("*").cast("bigint").alias("shr")))
-    cont = F.col("shr") * F.lit(1000000.0) / F.col("nsh")
-    return (shared.join(F.broadcast(sncls), "cls")
-            .filter(cont >= _CONT_THRESH_MICRO)
-            .join(F.broadcast(ssig), "cls")   # expand to member snip_ids
-            .select("snip_id", "doc_id",
-                    F.floor(cont).cast("bigint").alias("cont_micro"))
-            .transform(bounded_sort, "snip_id", "doc_id"))
+    # r9: the whole pipeline is the reusable operator
+    # operators/dedup.py::containment — one materialized per-snippet
+    # hash-array relation, snippet-class collapse with struct
+    # collision-tiebreak keys (ADVICE r8; expansion join back to
+    # member snip_ids because snip_id appears in the output), and a
+    # SINGLE-PASS corpus (in-row-distinct fold → broadcast semi →
+    # one h-exchange → df-cap window in-plan).  See the operator
+    # docstrings for the measured plan-audit rationale.
+    return (D.containment(docs, snip, thresh_micro=_CONT_THRESH_MICRO,
+                          df_cap_min=_DF_CAP_MIN, df_cap_div=_DF_CAP_DIV)
+             .transform(bounded_sort, "snip_id", "doc_id"))
 
 
 # --------------------------------------------------------------------------
