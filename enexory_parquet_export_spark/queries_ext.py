@@ -3895,9 +3895,12 @@ def x101(spark, sf_dir):
                              lambda x: F.floor(x * 1000).cast("bigint"))
                   .alias("qv")))
     cb = pq_codebooks(q, n_codes=_PQ_CODES, n_sub=_PQ_SUB)
-    # bounded probe workload by the x44 decimation contract
-    probes = [(r["vec_id"], list(r["qv"]))
-              for r in q.filter(F.col("vec_id") % 50 == 0).collect()]
+    # r9 (VERDICT #3): the decimated probe workload is passed as a
+    # DataFrame — the operator bounds it with limit(PROBE_CAP + 1)
+    # and raises loudly past the contract instead of materializing
+    # corpus/50 rows on the driver unguarded
+    probes = (q.filter(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("probe_id"), "qv"))
     return (pq_adc_topk(q, probes, codebooks=cb, k=_PQ_TOPK)
             .transform(bounded_sort, "probe_id", "rnk"))
 
@@ -3990,8 +3993,12 @@ def x102(spark, sf_dir):
     coarse_rows = q.orderBy("vec_id").limit(_IVFPQ_COARSE).collect()
     coarse = np.array([r["qv"] for r in coarse_rows], dtype=np.float64)
     cb = pq_codebooks(q, n_codes=_PQ_CODES, n_sub=_PQ_SUB)
-    probes = [(r["vec_id"], list(r["qv"]))
-              for r in q.filter(F.col("vec_id") % 50 == 0).collect()]
+    # r9 (VERDICT #3): probes as a DataFrame — the DISTRIBUTED path
+    # (probe routing + LUTs shuffled as rows, cogrouped with the
+    # encoded lists); nothing probe-sized reaches the driver, so the
+    # corpus-decimated workload scales at 100×
+    probes = (q.filter(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("probe_id"), "qv"))
     return (ivf_pq_topk(q, probes, coarse=coarse, codebooks=cb,
                         nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK)
             .transform(bounded_sort, "probe_id", "rnk"))

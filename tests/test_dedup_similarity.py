@@ -407,6 +407,58 @@ def test_ivf_pq_full_probe_equals_flat_pq_scan(spark, sf_dir):
         assert d >= best.get(key, -1)       # recall trade, never better
 
 
+def test_pq_probe_dataframe_path_equals_list_path(spark, sf_dir):
+    """r9 (VERDICT #3): the DataFrame probe paths must be
+    value-identical to the bounded list paths — pq_adc_topk's guarded
+    limit(cap+1) collect, and ivf_pq_topk's DISTRIBUTED route/LUT/
+    cogroup pipeline (nothing probe-sized on the driver).  The cap
+    guard must raise loudly past the bounded-suite contract."""
+    import numpy as np
+    import pytest
+
+    from enexory_parquet_export_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    q = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id",
+                 F.transform(F.col("embedding").cast("array<double>"),
+                             lambda x: F.floor(x * 1000).cast("bigint"))
+                  .alias("qv")))
+    n_coarse = 4
+    coarse = np.array([r["qv"] for r in
+                       q.orderBy("vec_id").limit(n_coarse).collect()],
+                      dtype=np.float64)
+    cb = pq_codebooks(q, n_codes=4, n_sub=4)
+    probes_df = (q.filter(F.col("vec_id") % 11 == 0)
+                 .select(F.col("vec_id").alias("probe_id"), "qv"))
+    probes = [(r["probe_id"], list(r["qv"])) for r in probes_df.collect()]
+
+    adc_list = sorted(tuple(r) for r in
+                      pq_adc_topk(q, probes, codebooks=cb, k=3).collect())
+    adc_df = sorted(tuple(r) for r in
+                    pq_adc_topk(q, probes_df, codebooks=cb, k=3).collect())
+    assert adc_df == adc_list and len(adc_list) == 3 * len(probes)
+
+    ivf_list = sorted(tuple(r) for r in
+                      ivf_pq_topk(q, probes, coarse=coarse, codebooks=cb,
+                                  nprobe=2, k=3).collect())
+    ivf_df = sorted(tuple(r) for r in
+                    ivf_pq_topk(q, probes_df.repartition(8), coarse=coarse,
+                                codebooks=cb, nprobe=2, k=3).collect())
+    assert ivf_df == ivf_list and len(ivf_list) > 0
+
+    # the bounded-suite contract is loud, both input forms
+    with pytest.raises(ValueError, match="bounded-suite"):
+        pq_adc_topk(q, probes_df, codebooks=cb, k=3,
+                    probe_cap=len(probes) - 1).collect()
+    with pytest.raises(ValueError, match="bounded-suite"):
+        pq_adc_topk(q, probes, codebooks=cb, k=3,
+                    probe_cap=len(probes) - 1)
+
+
 def test_semdedup_batch_uncapped_equals_semantic_dedup(spark, sf_dir):
     """With cluster_cap ≥ corpus, the ingest twin's event set (every
     arrival × every EARLIER admitted member) is exactly the full
