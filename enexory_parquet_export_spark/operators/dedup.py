@@ -84,6 +84,23 @@ def _exploded_shingle_hashes(docs: DataFrame, *, id_col: str, text_col: str,
     DuckDB oracle hashes its own way, which is fine because only
     set-membership and counts cross the engine boundary).
     """
+    arr = _shingle_hash_array(docs, id_col=id_col, text_col=text_col,
+                              shingle_n=shingle_n,
+                              distinct_in_row=distinct_in_row)
+    return arr.select("doc_id", F.explode("hs").alias("h"))
+
+
+def _shingle_hash_array(docs: DataFrame, *, id_col: str, text_col: str,
+                        shingle_n: int,
+                        distinct_in_row: bool = False) -> DataFrame:
+    """(doc_id, hs) rows — the per-doc shingle-hash ARRAY, un-exploded.
+
+    The in-row form of :func:`_exploded_shingle_hashes` for consumers
+    whose per-doc statistic never needs the pair rows at all (x93:
+    ``size(array_distinct(hs))`` IS the per-doc distinct-shingle
+    count — zero explode, zero exchange, where the
+    ``count_distinct(h)`` aggregate paid a corpus-pair exchange).
+    """
     # one projection boundary so the token array is computed once per
     # row (CollapseProject keeps non-cheap aliases un-inlined); then
     # ONE arrays_zip of the n shifted slices + ONE transform hashing
@@ -105,7 +122,7 @@ def _exploded_shingle_hashes(docs: DataFrame, *, id_col: str, text_col: str,
         # that turns a shuffled HashAggregate over every surviving
         # row into co-located array ops (r9, VERDICT #2)
         zh = F.array_distinct(zh)
-    return base.select("doc_id", F.explode(zh).alias("h"))
+    return base.select("doc_id", zh.alias("hs"))
 
 
 def _query_side_relations(docs: DataFrame, *, id_col: str, text_col: str,

@@ -3056,25 +3056,33 @@ def x93(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # hash at the scan (the x76/x80 seam: shingle identity is its
     # xxhash64; two shingles merging has p < 1e-7), then novelty
-    # DECOMPOSES into two aggregates over the in-place shingle stream
+    # splits into one IN-ROW statistic and one map-combined aggregate
     # — no corpus-sized checkpoint (the x105/x80 block-loss class),
-    # no window sort, no join-back of the token stream:
-    #   · each distinct shingle credits exactly ONE novel count to
-    #     min(doc_id) over its occurrences → groupBy(h).min(doc_id)
-    #     (map-side-combines to vocabulary partials) then a doc-sized
-    #     count;
-    #   · per-doc distinct-shingle totals are a countDistinct(h)
-    #     hash agg (Spark's partial-distinct two-phase plan).
+    # no window sort, and (r9, VERDICT #5) no pair-row exchange at
+    # all:
+    #   · per-doc distinct-shingle totals are size(array_distinct(hs))
+    #     computed INSIDE the document row — the r8 count_distinct(h)
+    #     aggregate shuffled every distinct (doc, h) pair for a number
+    #     the row already knows;
+    #   · each distinct shingle credits ONE novel count to min(doc_id)
+    #     over its occurrences → groupBy(h).min(doc_id) (map-side
+    #     combine collapses a hot stop-shingle to ≤ #map-tasks partial
+    #     rows — the skew-safety a window-over-h or a shared raw-row
+    #     h-exchange cannot offer, which is why the two corpus scans
+    #     stay: every remaining exchange carries vocabulary partials
+    #     or doc-sized rows, never the shingle stream) then a
+    #     doc-sized count.
     # Docs that own no firsts left-join to 0.
-    sh = (D._exploded_shingles(docs, id_col="doc_id", text_col="text",
-                               shingle_n=3)
-          .select("doc_id", F.xxhash64("s").alias("h")))
-    novel = (sh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-               .groupBy("doc_id")
-               .agg(F.count("*").cast("bigint").alias("n_novel")))
-    totals = (sh.groupBy("doc_id")
-                .agg(F.count_distinct("h").cast("bigint")
-                      .alias("n_shingles")))
+    totals = (D._shingle_hash_array(docs, id_col="doc_id",
+                                    text_col="text", shingle_n=3)
+              .select("doc_id", F.size(F.array_distinct("hs"))
+                                 .cast("bigint").alias("n_shingles"))
+              .filter(F.col("n_shingles") > 0))
+    novel = (D._exploded_shingle_hashes(docs, id_col="doc_id",
+                                        text_col="text", shingle_n=3)
+             .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+             .groupBy("doc_id")
+             .agg(F.count("*").cast("bigint").alias("n_novel")))
     return (totals.join(novel, "doc_id", "left")
               .select("doc_id", "n_shingles",
                       F.coalesce("n_novel", F.lit(0)).cast("bigint")
@@ -3666,21 +3674,22 @@ ORDER BY doc_id, start_tok""")
 def x98(spark, sf_dir):
     from pyspark.sql import Window
 
-    toks = (_t(spark, sf_dir, "documents")
-            .select("doc_id",
-                    F.posexplode(D.tokens(F.col("text")))
-                     .alias("p0", "tok")))
-    w = Window.partitionBy("doc_id").orderBy("p0")
-    # positional shingles: ONE Window operator (lead ×2 over the same
-    # spec), flat codegen — the _exploded_shingles shape plus position
-    sh = (toks.select("doc_id", (F.col("p0") + 1).alias("p"),
-                      F.col("tok").alias("t0"),
-                      F.lead("tok", 1).over(w).alias("t1"),
-                      F.lead("tok", 2).over(w).alias("t2"))
-              .filter(F.col("t2").isNotNull())
-              .select("doc_id", "p",
-                      F.xxhash64(F.concat_ws(" ", "t0", "t1", "t2"))
-                       .alias("h")))
+    # r9 (VERDICT #4): the positional shingle stream builds IN-ROW —
+    # posexplode of the per-doc hash array, where the position IS the
+    # array index — so the r8 token-row Window build (posexplode every
+    # token → exchange on doc_id → sort → lead ×2) is gone from BOTH
+    # consumers.  The ~14 s double shingle-stream build the r8 bench
+    # measured at 1.5M docs was exactly those two token exchanges;
+    # recomputing the now-exchange-free fold per consumer pipelines
+    # into each side's first aggregation.
+    def sh_stream():
+        return (D._shingle_hash_array(
+                    _t(spark, sf_dir, "documents").select("doc_id", "text"),
+                    id_col="doc_id", text_col="text", shingle_n=3)
+                .select("doc_id", F.posexplode("hs").alias("p0", "h"))
+                .select("doc_id", (F.col("p0") + 1).alias("p"), "h"))
+
+    sh = sh_stream()
     # dup detection stays the hash-agg + semi-join shape and NOT a
     # window over partition-by-h: a boilerplate shingle present in
     # every document would make one window partition corpus-sized
@@ -3690,7 +3699,8 @@ def x98(spark, sf_dir):
     # The former corpus-sized shingle checkpoint is gone (the
     # x105/x80 block-loss class): the probe branch recomputes the
     # shingle stream, which pipelines into the join.
-    dup = (sh.groupBy("h")
+    dup = (sh_stream()
+             .groupBy("h")
              .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup"))
              .filter(F.col("is_dup"))
              .select("h"))

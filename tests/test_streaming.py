@@ -927,3 +927,148 @@ def test_semdedup_stream_recovery_from_checkpoint(spark, tmp_path):
     assert got == want
     # cross-restart evidence: some pair joins a twin to a part-1 vector
     assert any(a >= 1_000_000 and b < 1_000_000 for a, b, *_ in got), got
+
+
+@pytest.mark.slow
+def test_dedup_stream_recovery_from_checkpoint(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: part-2 re-sends part-1 keys, so
+    they stay dropped only if the dedup state survived the restart
+    (r9 — the one stream family whose recovery was untested)."""
+    from enexory_parquet_export_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, "ts_s string, ckey string")
+                .select(F.to_timestamp("ts_s").alias("ts"), "ckey"))
+
+    part1 = [("2024-01-01 01:00:00", "k1"),
+             ("2024-01-01 01:01:00", "k2"),
+             ("2024-01-01 01:02:00", "k3")]
+    part2 = [("2024-01-01 01:05:00", "k1"),   # dup of part-1 key
+             ("2024-01-01 01:06:00", "k2"),   # dup of part-1 key
+             ("2024-01-01 01:07:00", "k4")]   # new
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+
+    def run_once():
+        stream = (spark.readStream.schema(frame(part1).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (dedup_stream(stream, ["ckey"], lateness="365 days")
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    frame(part1).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    frame(part2).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted((r["ckey"], str(r["ts"])) for r in
+                 spark.read.parquet(out).collect())
+    # exactly one row per key, and k1/k2 carry their PART-1 timestamps
+    # (a state reset would re-emit the part-2 arrivals)
+    assert [k for k, _ in got] == ["k1", "k2", "k3", "k4"], got
+    assert ("k1", "2024-01-01 01:00:00") in got
+    assert ("k2", "2024-01-01 01:01:00") in got
+
+
+@pytest.mark.slow
+def test_interval_join_stream_recovery_from_checkpoint(spark, tmp_path):
+    """Stream-stream interval join: all views arrive before the kill,
+    all clicks after — every match is cross-restart, so the output is
+    correct only if the buffered left-side join state survived."""
+    from enexory_parquet_export_spark.streaming.join_stream import (
+        interval_join_stream,
+    )
+
+    def vframe(rows):
+        return (spark.createDataFrame(
+                    rows, "ts_s string, user_id bigint, view_id bigint")
+                .select("user_id", F.to_timestamp("ts_s").alias("l_ts"),
+                        "view_id"))
+
+    def cframe(rows):
+        return (spark.createDataFrame(
+                    rows, "ts_s string, user_id bigint, click_id bigint")
+                .select("user_id", F.to_timestamp("ts_s").alias("r_ts"),
+                        "click_id"))
+
+    views = [("2024-01-01 01:00:00", 1, 100),
+             ("2024-01-01 01:00:00", 2, 101),
+             ("2024-01-01 02:00:00", 1, 102)]
+    clicks = [("2024-01-01 01:05:00", 1, 200),   # matches view 100
+              ("2024-01-01 01:09:00", 2, 201),   # matches view 101
+              ("2024-01-01 02:30:00", 1, 202)]   # outside every window
+    vsrc, csrc, out, ckpt = (str(tmp_path / d)
+                             for d in ("v", "c", "sink", "ckpt"))
+
+    def run_once():
+        vs = (spark.readStream.schema(vframe(views).schema)
+              .option("maxFilesPerTrigger", 1).parquet(vsrc))
+        cs = (spark.readStream.schema(cframe(clicks).schema)
+              .option("maxFilesPerTrigger", 1).parquet(csrc))
+        q = (interval_join_stream(vs, cs, lateness="365 days")
+             .select("user_id", "view_id", "click_id")
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    vframe(views).coalesce(1).write.mode("append").parquet(vsrc)
+    cframe([]).coalesce(1).write.mode("append").parquet(csrc)
+    run_once()
+    assert spark.read.parquet(out).count() == 0   # no clicks yet
+    cframe(clicks).coalesce(1).write.mode("append").parquet(csrc)
+    run_once()
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == [(1, 100, 200), (2, 101, 201)], got
+
+
+@pytest.mark.slow
+def test_session_stream_recovery_from_checkpoint(spark, tmp_path):
+    """Session windows: u1's session SPANS the restart (part-2 events
+    continue it within the gap), so the emitted session carries the
+    full cross-restart count only if the open-session state survived;
+    a later event then advances the watermark to close it."""
+    from enexory_parquet_export_spark.streaming.windowed import (
+        session_counts,
+        session_counts_stream,
+    )
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, "ts_s string, user_id bigint")
+                .select(F.to_timestamp("ts_s").alias("ts"), "user_id"))
+
+    part1 = [("2024-01-01 01:00:00", 1),
+             ("2024-01-01 01:10:00", 1)]
+    part2 = [("2024-01-01 01:20:00", 1),      # continues u1's session
+             ("2024-01-01 12:00:00", 9),      # advances the watermark
+             ("2024-01-01 12:05:00", 9)]
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+
+    def run_once():
+        stream = (spark.readStream.schema(frame(part1).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (session_counts_stream(stream, lateness="1 minute")
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    frame(part1).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    frame(part2).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(map(tuple,
+                       session_counts(frame(part1 + part2)).collect()))
+    # u1's closed session = ONE row with the full 3-event count and
+    # the part-1 start time; it must equal the batch twin's session
+    u1 = [r for r in got if r[0] == 1]
+    assert u1 == [r for r in batch if r[0] == 1], (got, batch)
+    assert u1[0][2] == 3
+    # exactly-once across the restart
+    assert len(got) == len(set(got))
