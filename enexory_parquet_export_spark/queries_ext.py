@@ -3676,12 +3676,17 @@ def x98(spark, sf_dir):
 
     # r9 (VERDICT #4): the positional shingle stream builds IN-ROW —
     # posexplode of the per-doc hash array, where the position IS the
-    # array index — so the r8 token-row Window build (posexplode every
+    # array index — so the token-row Window build (posexplode every
     # token → exchange on doc_id → sort → lead ×2) is gone from BOTH
-    # consumers.  The ~14 s double shingle-stream build the r8 bench
-    # measured at 1.5M docs was exactly those two token exchanges;
-    # recomputing the now-exchange-free fold per consumer pipelines
-    # into each side's first aggregation.
+    # consumers: zero exchange per build at any scale.  The verdict's
+    # shared-exchange ask was MEASURED and rejected (BASELINE r9
+    # section): a shared repartition("h") diamond costs 28.1 s at
+    # 1.5M docs vs 24-27 s for two builds — Spark materializes an
+    # exchange per consumer, there is no runtime stage reuse — and
+    # the single-pass min/max-window form (18.0 s, fastest locally)
+    # keeps the unsplittable hot-partition failure at 100 TB.  Two
+    # zero-exchange folds is the skew-safe floor; each pipelines into
+    # its consumer's first aggregation.
     def sh_stream():
         return (D._shingle_hash_array(
                     _t(spark, sf_dir, "documents").select("doc_id", "text"),
