@@ -149,14 +149,23 @@ def _query_side_relations(docs: DataFrame, *, id_col: str, text_col: str,
     scans, zero ReusedExchange in the un-materialized shape), which is
     why the one eager checkpoint exists.
     """
-    qdocs = (_exploded_shingle_hashes(docs, id_col=id_col,
-                                      text_col=text_col,
-                                      shingle_n=shingle_n,
-                                      distinct_in_row=True)
-             .groupBy("doc_id")
-             .agg(F.sort_array(F.collect_list("h")).alias("hs"))
-             .withColumnRenamed("doc_id", id_col)
-             .transform(materialize, eager=True))
+    # the whole per-doc relation builds IN-ROW (sort_array over the
+    # already-distinct hash array — no explode, no groupBy, no
+    # exchange), so the checkpoint job is a single scan+project stage:
+    # the exploded groupBy form cost 0.68 s of serial stage dispatch
+    # at sf0.1 for a 50-probe relation (r9 floor-regression fix)
+    # lazy checkpoint (A/B'd at sf0.1 AND sf1×10: eager pays a serial
+    # job before anything else can start; lazy materializes inside
+    # the first consumer's job and later consumers read the blocks —
+    # a concurrent-first-use race merely recomputes this BOUNDED
+    # relation, which is the cheap side by contract)
+    qdocs = (_shingle_hash_array(docs, id_col=id_col, text_col=text_col,
+                                 shingle_n=shingle_n,
+                                 distinct_in_row=True)
+             .select(F.col("doc_id").alias(id_col),
+                     F.sort_array("hs").alias("hs"))
+             .filter(F.size("hs") > 0)
+             .transform(materialize, eager=False))
     cls = F.struct(F.xxhash64("hs").alias("sig"),
                    F.size("hs").cast("bigint").alias("n"),
                    F.element_at("hs", 1).alias("mn")).alias("cls")
@@ -220,7 +229,13 @@ def decontaminate(corpus: DataFrame, probes: DataFrame, *, k: int,
     matches = _capped_corpus_matches(
         corpus, keys, id_col="doc_id", text_col="text",
         shingle_n=shingle_n, df_cap_min=df_cap_min, df_cap_div=df_cap_div)
+    # ONE exchange serves both rollup levels (the x66 subset trick):
+    # HashPartitioning(doc_id) satisfies groupBy(doc_id, cls) AND the
+    # final groupBy(doc_id), so the (doc_id, cls) agg, the threshold
+    # filter, the multiplicity join and the per-doc rollup are one
+    # post-exchange pipeline
     hits = (matches.join(F.broadcast(ch), "h")
+                   .repartition("doc_id")
                    .groupBy("doc_id", "cls")
                    .agg(F.count("*").alias("shared"))
                    .filter(F.col("shared") >= k))
