@@ -549,3 +549,67 @@ def test_exploded_shingle_hashes_matches_string_shingles(spark):
     rows_inrow = [(r["doc_id"], r["h"]) for r in inrow.collect()]
     assert len(rows_inrow) == len(set(rows_inrow))   # no dups emitted
     assert set(rows_inrow) == {(d, h) for d, s in hs.items() for h in s}
+
+
+def test_decontaminate_containment_match_bruteforce(spark):
+    """The r9 operator APIs (decontaminate / containment) against a
+    pure-Python shingle-set reference on a corpus exercising every
+    branch: exact contamination, partial overlap below/above k and
+    the threshold, sub-shingle docs, duplicate probes (class
+    collapse + multiplicity), and a stop-shingle above the df cap."""
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    hot = " ".join(f"w{i % 2}" for i in range(6))    # shared boilerplate
+    corpus_rows = [
+        (1, base + " extra tail words here"),        # contaminated
+        (2, base),                                   # exact probe copy
+        (3, "totally different text with no overlap at all right"),
+        (4, "the quick brown cat sits under the lazy dog tonight"),
+        (5, "xx yy"),                                # sub-shingle
+        (6, hot + " unique6 suffix6 token6"),
+        (7, hot + " unique7 suffix7 token7"),
+    ]
+    probe_rows = [(100, base), (101, base),          # duplicate class
+                  (102, "another probe body entirely distinct from corpus")]
+    corpus = docs_df(spark, corpus_rows)
+    probes = (docs_df(spark, probe_rows)
+              .select(F.col("doc_id").alias("probe_id"), "text"))
+    k, cap_min, cap_div = 3, 2, 2   # df cap = max(2, 7//2) = 3
+
+    def sh(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    csh = {d: sh(t) for d, t in corpus_rows}
+    psh = {p: sh(t) for p, t in probe_rows}
+    dfreq = {}
+    for s in (s for ss in csh.values() for s in ss):
+        dfreq[s] = dfreq.get(s, 0) + 1
+    cap = max(cap_min, len(corpus_rows) // cap_div)
+    kept = {d: {s for s in ss if dfreq[s] <= cap} for d, ss in csh.items()}
+
+    want_dec = {}
+    for d, ss in kept.items():
+        hits = {p: len(ss & ps) for p, ps in psh.items()}
+        hits = {p: n for p, n in hits.items() if n >= k}
+        if hits:
+            want_dec[d] = (len(hits), max(hits.values()))
+    got_dec = {r["doc_id"]: (r["n_probes_hit"], r["max_shared"])
+               for r in D.decontaminate(corpus, probes, k=k,
+                                        df_cap_min=cap_min,
+                                        df_cap_div=cap_div).collect()}
+    assert got_dec == want_dec and 1 in want_dec and 2 in want_dec
+    assert want_dec[1][0] == 2        # duplicate probes both counted
+
+    thresh = 600_000
+    want_cont = {}
+    for p, ps in psh.items():
+        for d, ss in kept.items():
+            shr = len(ss & ps)
+            cont = shr * 1_000_000 / len(ps) if ps else 0
+            if ps and cont >= thresh:
+                want_cont[(p, d)] = int(cont)
+    got_cont = {(r["snip_id"], r["doc_id"]): r["cont_micro"]
+                for r in D.containment(corpus, probes.withColumnRenamed(
+                    "probe_id", "snip_id"), thresh_micro=thresh,
+                    df_cap_min=cap_min, df_cap_div=cap_div).collect()}
+    assert got_cont == want_cont and len(want_cont) >= 4
