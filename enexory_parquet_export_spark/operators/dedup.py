@@ -84,23 +84,24 @@ def _exploded_shingle_hashes(docs: DataFrame, *, id_col: str, text_col: str,
     DuckDB oracle hashes its own way, which is fine because only
     set-membership and counts cross the engine boundary).
     """
-    arr = _shingle_hash_array(docs, id_col=id_col, text_col=text_col,
-                              shingle_n=shingle_n,
-                              distinct_in_row=distinct_in_row)
-    return arr.select("doc_id", F.explode("hs").alias("h"))
+    base, zh = _shingle_hash_expr(docs, id_col=id_col, text_col=text_col,
+                                  shingle_n=shingle_n,
+                                  distinct_in_row=distinct_in_row)
+    # the explode consumes ``zh`` DIRECTLY over the single token-array
+    # projection — routing it through an extra ``hs`` projection layer
+    # measured 2.2× slower at 4.5M docs (17.8 vs 7.6 s: the collapsed
+    # projections re-evaluate the token split per reference)
+    return base.select("doc_id", F.explode(zh).alias("h"))
 
 
-def _shingle_hash_array(docs: DataFrame, *, id_col: str, text_col: str,
-                        shingle_n: int,
-                        distinct_in_row: bool = False) -> DataFrame:
-    """(doc_id, hs) rows — the per-doc shingle-hash ARRAY, un-exploded.
-
-    The in-row form of :func:`_exploded_shingle_hashes` for consumers
-    whose per-doc statistic never needs the pair rows at all (x93:
-    ``size(array_distinct(hs))`` IS the per-doc distinct-shingle
-    count — zero explode, zero exchange, where the
-    ``count_distinct(h)`` aggregate paid a corpus-pair exchange).
-    """
+def _shingle_hash_expr(docs: DataFrame, *, id_col: str, text_col: str,
+                       shingle_n: int, distinct_in_row: bool):
+    """(base, zh): the single-projection token-array frame and the
+    shingle-hash array EXPRESSION over it — consumers place ``zh``
+    directly in their own projection so exactly ONE boundary sits
+    between the token split and its uses (an intermediate array
+    projection measured 2.2× at 4.5M docs: CollapseProject
+    re-evaluates the split per reference once layers merge)."""
     # one projection boundary so the token array is computed once per
     # row (CollapseProject keeps non-cheap aliases un-inlined); then
     # ONE arrays_zip of the n shifted slices + ONE transform hashing
@@ -122,6 +123,23 @@ def _shingle_hash_array(docs: DataFrame, *, id_col: str, text_col: str,
         # that turns a shuffled HashAggregate over every surviving
         # row into co-located array ops (r9, VERDICT #2)
         zh = F.array_distinct(zh)
+    return base, zh
+
+
+def _shingle_hash_array(docs: DataFrame, *, id_col: str, text_col: str,
+                        shingle_n: int,
+                        distinct_in_row: bool = False) -> DataFrame:
+    """(doc_id, hs) rows — the per-doc shingle-hash ARRAY, un-exploded.
+
+    The in-row form of :func:`_exploded_shingle_hashes` for consumers
+    whose per-doc statistic never needs the pair rows at all (x93:
+    ``size(array_distinct(hs))`` IS the per-doc distinct-shingle
+    count — zero explode, zero exchange, where the
+    ``count_distinct(h)`` aggregate paid a corpus-pair exchange).
+    """
+    base, zh = _shingle_hash_expr(docs, id_col=id_col, text_col=text_col,
+                                  shingle_n=shingle_n,
+                                  distinct_in_row=distinct_in_row)
     return base.select("doc_id", zh.alias("hs"))
 
 
@@ -154,18 +172,24 @@ def _query_side_relations(docs: DataFrame, *, id_col: str, text_col: str,
     # exchange), so the checkpoint job is a single scan+project stage:
     # the exploded groupBy form cost 0.68 s of serial stage dispatch
     # at sf0.1 for a 50-probe relation (r9 floor-regression fix)
-    # lazy checkpoint (A/B'd at sf0.1 AND sf1×10: eager pays a serial
-    # job before anything else can start; lazy materializes inside
-    # the first consumer's job and later consumers read the blocks —
-    # a concurrent-first-use race merely recomputes this BOUNDED
-    # relation, which is the cheap side by contract)
-    qdocs = (_shingle_hash_array(docs, id_col=id_col, text_col=text_col,
-                                 shingle_n=shingle_n,
-                                 distinct_in_row=True)
-             .select(F.col("doc_id").alias(id_col),
-                     F.sort_array("hs").alias("hs"))
-             .filter(F.size("hs") > 0)
-             .transform(materialize, eager=False))
+    # EAGER checkpoint — measured both ways (r9): lazy saves the one
+    # serial job at sf0.1 (~0.2 s) but the concurrent broadcast
+    # consumers RACE the first materialization and each re-derives
+    # the relation, and while the probe ROWS are bounded by contract,
+    # the fixture derives them by FILTERING THE CORPUS — at the
+    # 4.5M-doc crossover the raced recompute re-scanned the corpus
+    # per consumer and doubled the whole operator (9.8 → 19.8 s,
+    # same-session A/B).  Eager scans once, always.
+    base, zh = _shingle_hash_expr(docs, id_col=id_col, text_col=text_col,
+                                  shingle_n=shingle_n, distinct_in_row=True)
+    # sub-shingle docs filter on the TOKEN array (size(hs) > 0 ⟺
+    # size(_t) ≥ n) so the predicate never references the non-cheap
+    # hash expression; sort_array(zh) sits in ONE projection over the
+    # token boundary (see _shingle_hash_expr)
+    qdocs = (base.filter(F.size("_t") >= shingle_n)
+                 .select(F.col("doc_id").alias(id_col),
+                         F.sort_array(zh).alias("hs"))
+                 .transform(materialize, eager=True))
     cls = F.struct(F.xxhash64("hs").alias("sig"),
                    F.size("hs").cast("bigint").alias("n"),
                    F.element_at("hs", 1).alias("mn")).alias("cls")

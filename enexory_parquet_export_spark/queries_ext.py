@@ -3073,11 +3073,12 @@ def x93(spark, sf_dir):
     #     or doc-sized rows, never the shingle stream) then a
     #     doc-sized count.
     # Docs that own no firsts left-join to 0.
-    totals = (D._shingle_hash_array(docs, id_col="doc_id",
-                                    text_col="text", shingle_n=3)
-              .select("doc_id", F.size(F.array_distinct("hs"))
-                                 .cast("bigint").alias("n_shingles"))
-              .filter(F.col("n_shingles") > 0))
+    _base, _zh = D._shingle_hash_expr(docs, id_col="doc_id",
+                                      text_col="text", shingle_n=3,
+                                      distinct_in_row=False)
+    totals = (_base.filter(F.size("_t") >= 3)
+                   .select("doc_id", F.size(F.array_distinct(_zh))
+                                      .cast("bigint").alias("n_shingles")))
     novel = (D._exploded_shingle_hashes(docs, id_col="doc_id",
                                         text_col="text", shingle_n=3)
              .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
@@ -3688,11 +3689,12 @@ def x98(spark, sf_dir):
     # zero-exchange folds is the skew-safe floor; each pipelines into
     # its consumer's first aggregation.
     def sh_stream():
-        return (D._shingle_hash_array(
-                    _t(spark, sf_dir, "documents").select("doc_id", "text"),
-                    id_col="doc_id", text_col="text", shingle_n=3)
-                .select("doc_id", F.posexplode("hs").alias("p0", "h"))
-                .select("doc_id", (F.col("p0") + 1).alias("p"), "h"))
+        base, zh = D._shingle_hash_expr(
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            id_col="doc_id", text_col="text", shingle_n=3,
+            distinct_in_row=False)
+        return (base.select("doc_id", F.posexplode(zh).alias("p0", "h"))
+                    .select("doc_id", (F.col("p0") + 1).alias("p"), "h"))
 
     sh = sh_stream()
     # dup detection stays the hash-agg + semi-join shape and NOT a
