@@ -519,6 +519,27 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
     jac_micro BIGINT`` (floor of Jaccard × 1e6) — identical to the
     naive all-shared-shingles formulation, at a fraction of the join
     size.
+
+    CLASS COLLAPSE (r9): documents with IDENTICAL shingle sets are
+    grouped into one class before the prefix join, the PPJoin pipeline
+    runs once per class, and qualifying class pairs expand back to
+    member pairs at the end (the x55/x85 trick, applied to the pair
+    emitter).  Jaccard is a pure set function, so every member pair of
+    a qualifying class pair scores identically — the expansion is
+    exact, and intra-class pairs are J = 1.0 by definition (no
+    verification at all).  This is the boilerplate defense at 100 TB:
+    a corpus with m-member identical-document groups (legal pages,
+    templated listings, the ×10 copy fixture's 20-member groups)
+    otherwise fans the prefix join and the O(|doc|) verification out
+    m²-fold for work that is one class comparison.  The per-class
+    member array is NOT a scale hazard: a class of size m emits
+    C(m,2) output rows, so the m×8-byte array is strictly smaller
+    than the output the caller already asked for.  The grouping key is
+    the full sorted (df, h) struct array — exact, no signature
+    collision can merge classes (r8 ADVICE precedent).  Costs one
+    extra exchange of the doc-signature relation on corpora with no
+    duplicates; removes the quadratic verification class entirely
+    where duplicates exist.
     """
     t = threshold
     # hash BEFORE distinct so the dedup shuffle moves 8-byte longs,
@@ -529,36 +550,60 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
           .distinct()
           .transform(materialize, eager=True))   # read twice below: freq + rank
     df_freq = ex.groupBy("h").agg(F.count("*").alias("_df"))
-    # one row per doc: shingle hashes ordered rarest-first.  Materialized
-    # EAGERLY (localCheckpoint) — the prefix branch and both broadcast
-    # verification sides read it, and broadcast exchanges execute
-    # concurrently, so a lazy cache would be raced and computed 3×.
+    # one row per doc: shingle hashes ordered rarest-first.  df counts
+    # stay PER-DOC (not per-class): the rarity order is a pruning
+    # heuristic — PPJoin's filters are lossless under ANY global
+    # shingle order — and per-doc df makes ``_ordered`` bit-identical
+    # for identical shingle sets, which is exactly what the class
+    # grouping below keys on.
     by_doc = (ex.join(df_freq, "h")
               .groupBy("doc_id")
               .agg(F.sort_array(F.collect_list(F.struct("_df", "h")))
-                    .alias("_ordered"))
-              .withColumn("nsh", F.size("_ordered"))
-              .withColumn("_plen",
-                          F.col("nsh")
-                          - F.ceil(F.lit(t) * F.col("nsh")).cast("int")
-                          + F.lit(1))
-              .transform(materialize, eager=True))
-    prefixes = by_doc.select(
-        "doc_id", "nsh",
+                    .alias("_ordered")))
+    # one row per CLASS of identical shingle sets.  Materialized
+    # EAGERLY (localCheckpoint) — the intra-pair branch, the prefix
+    # branch and both verification sides read it, and broadcast
+    # exchanges execute concurrently, so a lazy cache would be raced
+    # and computed 4×.
+    classes = (by_doc.groupBy("_ordered")
+               .agg(F.min("doc_id").alias("cid"),
+                    F.sort_array(F.collect_list("doc_id"))
+                     .alias("_members"))
+               .withColumn("nsh", F.size("_ordered"))
+               .withColumn("_plen",
+                           F.col("nsh")
+                           - F.ceil(F.lit(t) * F.col("nsh")).cast("int")
+                           + F.lit(1))
+               .transform(materialize, eager=True))
+    # intra-class pairs: identical sets ⇒ J = 1.0 ≥ any t.  Two-step
+    # explode so the pair set never materializes in one row — peak
+    # in-flight size tracks the OUTPUT (m rows × m-array), never m²
+    # structs in a single cell.
+    intra = (classes.filter(F.size("_members") >= 2)
+             .select("_members",
+                     F.posexplode("_members").alias("_i", "id_a"))
+             .select("id_a",
+                     F.explode(F.expr(
+                         "slice(_members, _i + 2, size(_members))"))
+                      .alias("id_b"))
+             .select("id_a", "id_b",
+                     F.lit(1000000).cast("bigint").alias("jac_micro")))
+    prefixes = classes.select(
+        "cid", "nsh",
         F.posexplode(F.slice(F.col("_ordered.h"),
                              F.lit(1), F.col("_plen"))).alias("p", "h"))
-    a = prefixes.select(F.col("doc_id").alias("id_a"),
+    a = prefixes.select(F.col("cid").alias("cid_a"),
                         F.col("nsh").alias("na"), F.col("p").alias("pa"), "h")
-    b = prefixes.select(F.col("doc_id").alias("id_b"),
+    b = prefixes.select(F.col("cid").alias("cid_b"),
                         F.col("nsh").alias("nb"), F.col("p").alias("pb"), "h")
     alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
     cand = (a.join(b, ["h"])
-             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.col("cid_a") < F.col("cid_b"))
              .filter(F.least("na", "nb")
                      >= F.lit(t) * F.greatest("na", "nb"))
              .filter(F.lit(1) + F.least(F.col("na") - F.col("pa"),
                                         F.col("nb") - F.col("pb")) >= alpha)
-             .select("id_a", "id_b", "na", "nb").distinct())
+             .select("cid_a", "cid_b", "na", "nb").distinct())
     # spread the candidates at an EXPLICIT count before verification:
     # a candidate row is 32 bytes when AQE sizes the distinct's
     # shuffle, but verification inflates it with two broadcast-joined
@@ -575,7 +620,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
     # at full parallelism (A/B at sf0.1: keyless spread 3.6-4.2 s,
     # keyed 3.2-3.6 s, no spread 3.0-3.4 s but serializes the
     # verification at scale)
-    cand = cand.repartition(n_parts, "id_a")
+    cand = cand.repartition(n_parts, "cid_a")
     # verification lookup carries the full hash arrays.  Three-way A/B
     # on the real derived corpus at sf0.1 (10.5k docs, ~8.4 MB array
     # table — right at the 10 MB auto-broadcast threshold), paired
@@ -590,23 +635,39 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
     #       hash-join co-partitioning, no sort of the array side, no
     #       driver-sized build.  Default; ``verify_join='broadcast'``
     #       remains available for corpora known to be small.
-    full = by_doc.select("doc_id", F.col("_ordered.h").alias("_hs"))
-    sa = full.select(F.col("doc_id").alias("id_a"), F.col("_hs").alias("_sa"))
-    sb = full.select(F.col("doc_id").alias("id_b"), F.col("_hs").alias("_sb"))
+    full = classes.select("cid", F.col("_ordered.h").alias("_hs"),
+                          "_members")
+    sa = full.select(F.col("cid").alias("cid_a"), F.col("_hs").alias("_sa"),
+                     F.col("_members").alias("_ma"))
+    sb = full.select(F.col("cid").alias("cid_b"), F.col("_hs").alias("_sb"),
+                     F.col("_members").alias("_mb"))
     if verify_join == "broadcast":
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     elif verify_join == "shuffle_hash":
         sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     elif verify_join != "auto":
         raise ValueError(f"verify_join: unknown mode {verify_join!r}")
-    shared = (cand.join(sa, "id_a")
-                  .join(sb, "id_b")
+    shared = (cand.join(sa, "cid_a")
+                  .join(sb, "cid_b")
                   .withColumn("shared",
                               F.size(F.array_intersect("_sa", "_sb"))))
     jac = (F.col("shared") * 1.0
            / (F.col("na") + F.col("nb") - F.col("shared")))
-    return (shared.withColumn("_jac", jac)
-                  .filter(F.col("_jac") >= threshold)
-                  .select("id_a", "id_b",
-                          F.floor(F.col("_jac") * F.lit(1000000.0))
-                           .cast("bigint").alias("jac_micro")))
+    # qualifying class pairs expand to member cross products (every
+    # member pair scores the class pair's Jaccard); two sequential
+    # explodes, then canonical (smaller, larger) id order — classes
+    # are disjoint doc sets, so no pair is emitted twice and no cross
+    # pair collides with an intra pair.
+    cross = (shared.withColumn("_jac", jac)
+                   .filter(F.col("_jac") >= threshold)
+                   .withColumn("jac_micro",
+                               F.floor(F.col("_jac") * F.lit(1000000.0))
+                                .cast("bigint"))
+                   .select("jac_micro", "_mb",
+                           F.explode("_ma").alias("_ia"))
+                   .select("jac_micro", "_ia",
+                           F.explode("_mb").alias("_ib"))
+                   .select(F.least("_ia", "_ib").alias("id_a"),
+                           F.greatest("_ia", "_ib").alias("id_b"),
+                           "jac_micro"))
+    return intra.unionByName(cross)
