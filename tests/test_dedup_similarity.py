@@ -52,6 +52,45 @@ def test_ngram_jaccard_near_dup(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_ngram_jaccard_class_collapse_paths(spark):
+    """Pin the r9 class-collapse pair emitter on its three paths:
+    intra-class (identical shingle sets ⇒ J = 1.0, no verification),
+    cross-class expansion (every member pair of a qualifying class
+    pair scores the class Jaccard), and their disjointness (no pair
+    emitted twice)."""
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    b = a + " extra"
+    # docs 1/2/5 identical (one class of 3), 3/4 identical near-dups
+    # of that class, 6 unrelated
+    df = docs_df(spark, [(1, a), (2, a), (5, a), (3, b), (4, b),
+                         (6, "x0 x1 x2 x3 x4")])
+    rows = D.ngram_jaccard_pairs(df, threshold=0.6).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jac_micro"] for r in rows}
+    assert len(rows) == len(pairs), "pair emitted twice"
+    # intra-class: C(3,2) + C(2,2) pairs at exactly 1e6
+    for p in [(1, 2), (1, 5), (2, 5), (3, 4)]:
+        assert pairs[p] == 1_000_000
+    # cross-class: all 3x2 member pairs, identical score
+    cross = {p: v for p, v in pairs.items()
+             if p in [(1, 3), (1, 4), (2, 3), (2, 4), (3, 5), (4, 5)]}
+    assert len(cross) == 6
+    assert len(set(cross.values())) == 1
+    assert 600_000 <= next(iter(cross.values())) < 1_000_000
+    assert all(6 not in p for p in pairs)
+
+
+def test_ngram_jaccard_all_identical_corpus(spark):
+    """Degenerate corpus: every doc identical — one class, zero
+    cross-class candidates, output = all C(m,2) pairs at J = 1.0."""
+    text = "t0 t1 t2 t3 t4 t5"
+    df = docs_df(spark, [(i, text) for i in range(1, 6)])
+    rows = D.ngram_jaccard_pairs(df, threshold=0.6).collect()
+    got = {(r["id_a"], r["id_b"]): r["jac_micro"] for r in rows}
+    want = {(i, j): 1_000_000 for i in range(1, 6)
+            for j in range(i + 1, 6)}
+    assert got == want
+
+
 def test_simhash_stability_and_locality(spark):
     df = docs_df(spark, [(1, "alpha beta gamma delta"),
                          (2, "alpha beta gamma delta"),
