@@ -50,6 +50,7 @@ headline metric remains the first-run total.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -151,6 +152,17 @@ def main() -> int:
             build[name] = 0.0
         df2.write.format("noop").mode("overwrite").save()
         steady[name] = round(time.perf_counter() - t0, 3)
+        # drop the query's DataFrame/py4j refs and run the CYCLE
+        # collector NOW: DataFrame graphs sit in reference cycles, so
+        # without this the py4j handles (and through them the JVM-side
+        # localCheckpoint blocks of every query so far) survive until
+        # Python's allocation-threshold GC happens to fire — measured
+        # as the "host bimodality" spikes (x32 steady 3.5→26 s by
+        # rep 8; with per-query collect(): 8/8 reps flat at 3.4–4.1 s,
+        # same session style).  The collect itself is sub-ms; the JVM
+        # ContextCleaner then frees blocks asynchronously.
+        del df, df2
+        gc.collect()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_steady = round(sum(t for t in steady.values() if t >= 0), 3)
     total_build = round(sum(t for t in build.values() if t >= 0), 3)

@@ -49,6 +49,7 @@ Usage::
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -187,6 +188,12 @@ def main() -> int:
                 spark_build[name] = 0.0
             df2.write.format("noop").mode("overwrite").save()
             spark_steady[name] = round(time.perf_counter() - t0, 3)
+            # drop refs + collect cycles so earlier queries'
+            # localCheckpoint blocks free promptly (the bench.py
+            # per-query collect — without it block-store pressure
+            # reads as "host bimodality" spikes late in the race)
+            del df, df2
+            gc.collect()
         except Exception as exc:
             print(f"SPARK ERROR {name}: {str(exc)[:200]}", file=sys.stderr)
             spark_t[name] = -1.0
