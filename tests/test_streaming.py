@@ -1072,3 +1072,91 @@ def test_session_stream_recovery_from_checkpoint(spark, tmp_path):
     assert u1[0][2] == 3
     # exactly-once across the restart
     assert len(got) == len(set(got))
+
+
+def test_decon_stream_equals_batch_and_x55_core(spark, tmp_path):
+    """Streaming decontamination over a chunked append stream must
+    equal (a) its batch twin and (b) the independent batch
+    formulation ``operators/dedup.py:decontaminate`` with the df-cap
+    disabled — shared counts, probe multiplicities and all."""
+    from enexory_parquet_export_spark.operators.dedup import decontaminate
+    from enexory_parquet_export_spark.streaming.decon_stream import (
+        decon_batch,
+        decon_stream,
+    )
+
+    from conftest import SF_DIR
+    base = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    # probe suite = every 20th doc; corpus = the rest plus near-copies
+    # of probe docs (trailing filler keeps most probe shingles) so
+    # real hits exist; two probes duplicated to exercise multiplicity
+    probes = (base.filter(F.col("doc_id") % 20 == 0)
+              .select(F.col("doc_id").alias("probe_id"), "text"))
+    probes = probes.unionByName(
+        probes.limit(2).select((F.col("probe_id") + 777_000)
+                               .alias("probe_id"), "text"))
+    contaminated = (base.filter(F.col("doc_id") % 20 == 0)
+                    .select((F.col("doc_id") + 500_000).alias("doc_id"),
+                            F.concat("text", F.lit(" tail filler words"))
+                             .alias("text")))
+    corpus = (base.filter(F.col("doc_id") % 20 != 0)
+              .unionByName(contaminated))
+
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "docs")
+    step = max(1, len(rows) // 3)
+    for lo in range(0, len(rows), step):
+        (spark.createDataFrame(rows[lo:lo + step], schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "out")
+    q = (decon_stream(stream, probes, k=5).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert len(got) > 0, "fixture produced no contamination hits"
+    batch_df = spark.createDataFrame(rows, schema)
+    twin = {tuple(r) for r in decon_batch(batch_df, probes, k=5).collect()}
+    assert got == twin
+    # independent formulation: equi-join + hash-agg, df-cap disabled
+    # (cap far above the corpus size so no stop shingle exists)
+    indep = {tuple(r) for r in
+             decontaminate(batch_df, probes, k=5,
+                           df_cap_min=10_000_000,
+                           df_cap_div=1).collect()}
+    assert got == indep
+    # duplicated probes must double their class multiplicity: every
+    # contaminated twin of the two duplicated probe docs counts 2
+    dup_ids = {r["probe_id"] + 500_000 - 777_000
+               for r in probes.orderBy("probe_id").limit(2).collect()
+               if r["probe_id"] >= 777_000}
+    for doc_id, n_hit, _ in got:
+        if doc_id in dup_ids:
+            assert n_hit >= 2
+
+
+def test_decon_stream_short_and_clean_docs_emit_nothing(spark):
+    """Sub-shingle docs and clean docs produce no output rows; a doc
+    equal to a probe scores every probe shingle."""
+    from enexory_parquet_export_spark.streaming.decon_stream import (
+        decon_batch,
+    )
+
+    probe_text = "p0 p1 p2 p3 p4 p5 p6 p7"
+    probes = spark.createDataFrame([(1, probe_text)],
+                                   "probe_id bigint, text string")
+    docs = spark.createDataFrame(
+        [(10, probe_text),                  # exact copy: 6 shingles
+         (11, "a0 a1"),                     # sub-shingle: no rows
+         (12, "c0 c1 c2 c3 c4 c5 c6 c7")],  # clean: no rows
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_probes_hit"], r["max_shared"])
+           for r in decon_batch(docs, probes, k=5).collect()}
+    assert got == {10: (1, 6)}
