@@ -497,9 +497,21 @@ def _pct_sql() -> str:
             f"THEN value END) AS lo_{tag},\n    "
             f"max(CASE WHEN rn = CAST(ceil((n-1) * {qd}) AS BIGINT) "
             f"THEN value END) AS hi_{tag}")
+        # interpolation mirrors Spark Percentile.getPercentile EXACTLY
+        # (r9: the Spark side moved from the window-sort form to the
+        # percentile AGGREGATE): integral position returns the lower
+        # value outright, otherwise the WEIGHTED two-product form
+        # lo*(ceil(pos)-pos) + hi*(pos-floor(pos)) — NOT the
+        # algebraically-equal lo+frac*(hi-lo), which differs in the
+        # last ulp on 964 of 12k random quantiles (measured; the
+        # weighted form measured 0/12k against F.percentile).
+        pos = f"({qd} * (n-1))"
         outs.append(
-            f"CAST(floor((lo_{tag} + ((n-1) * {qd} - floor((n-1) * {qd}))"
-            f" * (hi_{tag} - lo_{tag})) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            f"CAST(floor((CASE WHEN floor({pos}) = ceil({pos}) "
+            f"THEN lo_{tag} "
+            f"ELSE lo_{tag} * (ceil({pos}) - {pos})"
+            f" + hi_{tag} * ({pos} - floor({pos})) END)"
+            f" * CAST(1000000 AS DOUBLE)) AS BIGINT)"
             f" AS {tag}_micro")
     return f"""
 WITH ranked AS (
@@ -519,35 +531,26 @@ FROM picked ORDER BY event_type"""
 
 @declared("x46_percentiles", _pct_sql())
 def x46(spark, sf_dir):
-    from pyspark.sql import Window
-
+    # exact per-group percentiles via the Percentile AGGREGATE: the
+    # previous window-row_number form pushed each event_type's FULL
+    # row set through one sort task (8.26 s at 10M rows in the sf1×10
+    # race; a single-task hot spot at any scale), where the aggregate
+    # builds map-side partial value→count maps that merge per group —
+    # distributed scan, no sort, one exchange.  The oracle SQL mirrors
+    # Spark Percentile's interpolation branch bit-for-bit (see
+    # _pct_sql).  Exact percentiles stay group-local in the merge by
+    # nature; the mergeable-sketch companion for 100 TB is x74.
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = (ev.select("event_type", "value", "event_id")
-                .withColumn("rn", F.row_number().over(w) - 1)
-                .withColumn("n", F.count("*").over(
-                    Window.partitionBy("event_type"))))
-    n1 = F.col("n") - 1
-    aggs, outs = [], []
-    for tag, q in _QUANTILES:
-        pos = n1 * F.lit(q)
-        aggs += [
-            F.max(F.when(F.col("rn") == F.floor(pos).cast("bigint"),
-                         F.col("value"))).alias(f"lo_{tag}"),
-            F.max(F.when(F.col("rn") == F.ceil(pos).cast("bigint"),
-                         F.col("value"))).alias(f"hi_{tag}"),
-        ]
-    picked = ranked.groupBy("event_type", "n").agg(*aggs)
-    for tag, q in _QUANTILES:
-        pos = (F.col("n") - 1) * F.lit(q)
-        frac = pos - F.floor(pos)
-        val = F.col(f"lo_{tag}") + frac * (F.col(f"hi_{tag}")
-                                           - F.col(f"lo_{tag}"))
-        outs.append(F.floor(val * F.lit(1000000.0))
-                     .cast("bigint").alias(f"{tag}_micro"))
-    return (picked.select("event_type",
-                          F.col("n").cast("bigint").alias("n_rows"), *outs)
-                  .transform(tiny_sort, "event_type"))
+    pct = F.percentile("value",
+                       F.array(*[F.lit(q) for _, q in _QUANTILES]))
+    agg = (ev.groupBy("event_type")
+             .agg(F.count("*").cast("bigint").alias("n_rows"),
+                  pct.alias("_p")))
+    outs = [F.floor(F.col("_p")[i] * F.lit(1000000.0)).cast("bigint")
+             .alias(f"{tag}_micro")
+            for i, (tag, _) in enumerate(_QUANTILES)]
+    return (agg.select("event_type", "n_rows", *outs)
+               .transform(tiny_sort, "event_type"))
 
 
 # --------------------------------------------------------------------------
