@@ -113,3 +113,70 @@ def decon_batch(docs: DataFrame, probes: DataFrame, *, k: int,
     disabled — pinned by ``tests/test_streaming.py``."""
     return decon_stream(docs, probes, k=k, shingle_n=shingle_n,
                         probe_id_col=probe_id_col)
+
+
+def _pack_snippet_classes(snippets: DataFrame, *, snip_id_col: str,
+                          shingle_n: int) -> DataFrame:
+    """Like :func:`pack_probe_classes` but keeping the MEMBER ID LIST
+    per class (containment reports per-snippet rows, not a count)."""
+    base, zh = _shingle_hash_expr(
+        snippets.select(F.col(snip_id_col).alias("snip_id"), "text"),
+        id_col="snip_id", text_col="text", shingle_n=shingle_n,
+        distinct_in_row=True)
+    per = (base.filter(F.size("_t") >= shingle_n)
+               .select("doc_id", F.sort_array(zh).alias("hs")))
+    classes = per.groupBy("hs").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members"))
+    return classes.agg(
+        F.collect_list(F.struct("members", "hs")).alias("_cls"),
+        F.array_distinct(F.flatten(F.collect_list("hs"))).alias("_keys"))
+
+
+def containment_stream(docs: DataFrame, snippets: DataFrame, *,
+                       thresh_micro: int, shingle_n: int = 3,
+                       snip_id_col: str = "snip_id") -> DataFrame:
+    """``docs(doc_id, text)`` stream → ``(snip_id, doc_id,
+    cont_micro)`` for every (snippet, arriving doc) pair where the
+    fraction of the snippet's distinct shingles found in the doc
+    reaches ``thresh_micro`` micro-units — the x85 verdict per
+    arrival.  Same stateless posture as :func:`decon_stream`; the
+    containment fraction is computed per CLASS (identical snippet
+    shingle sets score identically) and expanded to members in-row.
+    The micro-unit rendering matches the batch operator expression
+    for expression (``shared * 1000000.0 / n`` in double, floored)."""
+    packed = _pack_snippet_classes(snippets, snip_id_col=snip_id_col,
+                                   shingle_n=shingle_n)
+    base, zh = _shingle_hash_expr(docs, id_col="doc_id", text_col="text",
+                                  shingle_n=shingle_n,
+                                  distinct_in_row=True)
+    withhs = (base.filter(F.size("_t") >= shingle_n)
+                  .select("doc_id", zh.alias("hs")))
+    joined = (withhs.join(F.broadcast(packed), F.lit(True), "inner")
+                    .filter(F.arrays_overlap("hs", "_keys")))
+    cont_of = lambda c: (  # noqa: E731
+        F.size(F.array_intersect(F.col("hs"), c["hs"]))
+         .cast("double") * F.lit(1000000.0)
+        / F.size(c["hs"]).cast("double"))
+    matched = F.filter(
+        F.transform(
+            F.col("_cls"),
+            lambda c: F.struct(c["members"].alias("members"),
+                               cont_of(c).alias("cont"))),
+        lambda s: s["cont"] >= F.lit(float(thresh_micro)))
+    return (joined.select("doc_id", F.explode(matched).alias("_m"))
+                  .select("doc_id", F.col("_m.cont").alias("_cont"),
+                          F.explode("_m.members").alias(snip_id_col))
+                  .select(snip_id_col, "doc_id",
+                          F.floor("_cont").cast("bigint")
+                           .alias("cont_micro")))
+
+
+def containment_batch(docs: DataFrame, snippets: DataFrame, *,
+                      thresh_micro: int, shingle_n: int = 3,
+                      snip_id_col: str = "snip_id") -> DataFrame:
+    """Batch twin of :func:`containment_stream` (identity — see
+    :func:`decon_batch`); pinned against
+    ``operators/dedup.py:containment`` with the df-cap disabled."""
+    return containment_stream(docs, snippets, thresh_micro=thresh_micro,
+                              shingle_n=shingle_n,
+                              snip_id_col=snip_id_col)

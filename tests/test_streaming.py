@@ -1160,3 +1160,52 @@ def test_decon_stream_short_and_clean_docs_emit_nothing(spark):
     got = {r["doc_id"]: (r["n_probes_hit"], r["max_shared"])
            for r in decon_batch(docs, probes, k=5).collect()}
     assert got == {10: (1, 6)}
+
+
+def test_containment_stream_equals_batch_and_x85_core(spark, tmp_path):
+    """Streaming snippet containment over a chunked append stream must
+    equal its batch twin and the independent ``containment``
+    formulation (df-cap disabled), per-pair micro values included."""
+    from enexory_parquet_export_spark.operators.dedup import containment
+    from enexory_parquet_export_spark.streaming.decon_stream import (
+        containment_batch,
+        containment_stream,
+    )
+
+    from conftest import SF_DIR
+    base = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    # snippets = leading words of every 25th doc (high containment in
+    # the source doc); corpus = all docs
+    snips = (base.filter(F.col("doc_id") % 25 == 0)
+             .select(F.col("doc_id").alias("snip_id"),
+                     F.array_join(F.slice(F.split(F.trim("text"), r"\s+"),
+                                          1, 8), " ").alias("text")))
+    rows = [(r["doc_id"], r["text"]) for r in base.collect()]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "docs")
+    step = max(1, len(rows) // 3)
+    for lo in range(0, len(rows), step):
+        (spark.createDataFrame(rows[lo:lo + step], schema)
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "out")
+    q = (containment_stream(stream, snips, thresh_micro=800_000)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert len(got) > 0, "fixture produced no containment hits"
+    batch_df = spark.createDataFrame(rows, schema)
+    twin = {tuple(r) for r in
+            containment_batch(batch_df, snips,
+                              thresh_micro=800_000).collect()}
+    assert got == twin
+    indep = {tuple(r) for r in
+             containment(batch_df, snips, thresh_micro=800_000,
+                         df_cap_min=10_000_000, df_cap_div=1).collect()}
+    assert got == indep
