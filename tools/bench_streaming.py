@@ -333,6 +333,31 @@ def main() -> int:
         report(f"semdedup_stream_x{mult}", rows, nb, durs, state,
                time.time() - t0)
 
+    # ---- 5. stateless decontamination scrub (r9) ----
+    # no state: the number that matters is sustained docs/s against a
+    # bounded probe suite (corpus/100 here).  x3 stream length shows
+    # throughput flat vs length — the stateless contract, empirically.
+    from enexory_parquet_export_spark.streaming.decon_stream import (
+        decon_stream,
+    )
+    probes = (docs.filter(F.col("doc_id") % 100 == 0)
+              .select(F.col("doc_id").alias("probe_id"), "text"))
+    for mult in (1, 3):
+        src = doc_source(mult)
+        t0 = time.time()
+        q = (decon_stream(
+                spark.readStream.schema(schema)
+                     .option("maxFilesPerTrigger", "2").parquet(src)
+                     .select("doc_id", "text"),
+                probes, k=5)
+             .writeStream.format("noop")
+             .option("checkpointLocation",
+                     os.path.join(work, f"ckpt_decon{mult}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        rows, nb, durs, state = _drain(q, true_rows=n_docs * mult)
+        report(f"decon_stream_x{mult}", rows, nb, durs, state,
+               time.time() - t0)
+
     shutil.rmtree(work, ignore_errors=True)
 
     print("\n| operator | input rows | wall s | rows/s | batches "
