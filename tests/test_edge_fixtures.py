@@ -542,3 +542,41 @@ def test_load_table_nanos_and_int96_timestamps_agree(spark, tmp_path):
     b = {r["event_id"]: r["ts"]
          for r in load_table(spark, str(sp_dir), "events").collect()}
     assert a == b and a[1] == instants[0] and a[2] == instants[1]
+
+
+def test_x46_integral_position_and_single_row_groups(spark, tmp_path):
+    """r9: x46 moved to the percentile AGGREGATE with an oracle that
+    mirrors Spark Percentile's interpolation branch.  Pin the branch
+    edges the sf fixtures may never hit: an INTEGRAL position (n=3,
+    p50 → pos exactly 1.0 → the lower value outright, no weighted
+    form), a single-row group (every quantile = the row), and a tied
+    group — against a pure-Python IEEE reference of the same
+    branch."""
+    import math
+
+    def pct_micro(vals, q):
+        v = sorted(vals)
+        pos = q * (len(v) - 1)
+        lo_i, hi_i = math.floor(pos), math.ceil(pos)
+        if lo_i == hi_i:
+            val = v[int(pos)]
+        else:
+            val = v[lo_i] * (hi_i - pos) + v[hi_i] * (pos - lo_i)
+        return math.floor(val * 1000000.0)
+
+    groups = {"a": [1.0, 2.0, 3.0],        # p50 pos = 1.0, integral
+              "b": [41.25],                # single row
+              "c": [5.0, 5.0, 7.0, 5.0]}   # ties at the selected ranks
+    rows = [(g, v, i) for g, vs in groups.items()
+            for i, v in enumerate(vs)]
+    d = _write(spark, tmp_path, "events", rows,
+               "event_type string, value double, event_id bigint")
+    out = {r["event_type"]: r for r in
+           qx.SPARK_QUERIES["x46_percentiles"](spark, d).collect()}
+    for g, vs in groups.items():
+        assert out[g]["n_rows"] == len(vs)
+        for tag, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            assert out[g][f"{tag}_micro"] == pct_micro(vs, q), (g, tag)
+    # the integral-position branch really is integral here
+    assert out["a"]["p50_micro"] == 2_000_000
+    assert out["b"]["p99_micro"] == 41_250_000

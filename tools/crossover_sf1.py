@@ -18,6 +18,7 @@ ignored).  Usage::
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -868,7 +869,12 @@ def main() -> int:
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # free cyclic DataFrame/py4j refs so earlier reps' localCheckpoint
+    # blocks don't accumulate across the suite (the bench.py per-query
+    # collect — see BASELINE "host bimodality is partly self-inflicted")
+    gc.collect()
+    return dt
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ import os
 import shutil
 import sys
 import threading
+import gc
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -242,6 +243,7 @@ def main() -> int:
         t0 = time.time()
         rows = build(spark, doc_path).collect()
         sp_steady = time.time() - t0
+        gc.collect()   # free checkpoint refs before the next operator
         spark_rows = [tuple(r) for r in rows]
         assert [tuple(r) for r in rows_first] == spark_rows
 
