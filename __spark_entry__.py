@@ -73,6 +73,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #        x104–x108 = 50) — that fills the window, so x45–x49 take
 #        the FIRST five slots and five r8-band queries with the
 #        freshest double-green history (x88–x92) carry to r11.
+#        Mechanically, the r10 window is EXACTLY:
+#          _R10_XBAND = (45, 46, 47, 48, 49,
+#                        57, 58, 60, *range(62, 66), *range(67, 72),
+#                        73, *range(75, 88),          # x88–x92 → r11
+#                        *range(104, 109))
+#          _PRIORITY = q16–q29 then _R10_XBAND  (14 + 36 = 50)
+#        r11 then owes x88–x92 slots plus whatever r10 rotates out.
 #   INVARIANT: x53/x74 are rows-only sketches — they can never
 #        hash-match and must NEVER occupy a window slot; their error
 #        bounds are pytest'd (tests/test_functions.py) and their
