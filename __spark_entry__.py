@@ -61,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #        x104–x108 (5, born r7 after the window filled; first driver
 #        rows, the x97/x98 precedent).  ALL green (CORRECTNESS_r08
 #        50/50).  The r7 band sat out after its green round.
-#   r9 (this round): the verdict's stated band (q01–q15 + x30–x56
+#   r9: the verdict's stated band (q01–q15 + x30–x56
 #        remainder + x93–x103) is 55 names for 50 slots, so five
 #        carry over: q11–q15 are MANDATORY (last green r6 — already
 #        two rounds out), and x45–x49 (stable since r5, green r5+r7)
@@ -69,31 +69,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #        q01–q15 (15) + x30–x44 (15) + x50–x52/x54–x56 (6) +
 #        x59/x66/x72 (3) + x93–x103 (11) = exactly 50.  Nothing was
 #        born in r8.
-#   r10+: rotate the r8 band back in (q16–q29 + x57–x92 remainder +
-#        x104–x108 = 50) — that fills the window, so x45–x49 take
-#        the FIRST five slots and five r8-band queries with the
+#   r10 (this round): the r8 band returns (q16–q29 + x57–x92
+#        remainder + x104–x108 = 50 if taken whole) — that fills the
+#        window, so x45–x49 take the FIRST five x-slots (they sat out
+#        r9 per the r9 carry) and the five r8-band queries with the
 #        freshest double-green history (x88–x92) carry to r11.
-#        Mechanically, the r10 window is EXACTLY:
+#        Window = q16–q29 (14) + _R10_XBAND (36) = exactly 50:
 #          _R10_XBAND = (45, 46, 47, 48, 49,
 #                        57, 58, 60, *range(62, 66), *range(67, 72),
 #                        73, *range(75, 88),          # x88–x92 → r11
 #                        *range(104, 109))
-#          _PRIORITY = q16–q29 then _R10_XBAND  (14 + 36 = 50)
-#        r11 then owes x88–x92 slots plus whatever r10 rotates out.
+#        r11 then owes x88–x92 slots plus whatever r10 rotates out
+#        (the r9 band: q01–q15 + x30–x44 + x50–x52/x54–x56 +
+#        x59/x66/x72 + x93–x103).
 #   INVARIANT: x53/x74 are rows-only sketches — they can never
 #        hash-match and must NEVER occupy a window slot; their error
 #        bounds are pytest'd (tests/test_functions.py) and their
 #        rows-only declaration pinned by tests/test_entry_contract.py
 #        (see README "Rotation rule").
-_R9_XBAND: tuple[int, ...] = (
-    *range(30, 45),                                # x30..x44
-    50, 51, 52, 54, 55, 56,                        # x45–x49 carry to r10
-    59, 66, 72,
-    *range(93, 104),                               # x93..x103
+_R10_XBAND: tuple[int, ...] = (
+    45, 46, 47, 48, 49,                            # sat out r9 per carry
+    57, 58, 60, *range(62, 66), *range(67, 72),
+    73, *range(75, 88),                            # x88–x92 → r11
+    *range(104, 109),                              # x104..x108
 )
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(1, 16)),          # q01..q15
-    *(f"x{i}" for i in _R9_XBAND),
+    *(f"q{i:02d}" for i in range(16, 30)),         # q16..q29
+    *(f"x{i}" for i in _R10_XBAND),
 )
 
 

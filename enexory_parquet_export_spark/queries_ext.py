@@ -475,11 +475,17 @@ def x45(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# X46 exact interpolated percentiles — implemented MANUALLY with the
-# identical rank/interpolation arithmetic on both engines (pos=(n−1)·q,
-# v[lo] + frac·(v[hi]−v[lo])), because each engine's built-in
-# percentile/quantile_cont may associate the interpolation differently
-# and diverge in the last ulp.  One window pass + one conditional agg.
+# X46 exact interpolated percentiles — the Spark side uses the exact
+# built-in Percentile AGGREGATE (map-side value→count maps, no
+# per-group sort task), and the DuckDB oracle SQL manually reproduces
+# that aggregate's interpolation branch bit-for-bit (integral position
+# returns the lower value outright; otherwise the weighted two-product
+# form lo*(ceil(pos)-pos) + hi*(pos-floor(pos))), because DuckDB's own
+# quantile_cont associates the interpolation differently and diverges
+# in the last ulp.  Contract: NULL values are excluded on BOTH engines
+# (explicit IS NOT NULL filter — F.percentile ignores NULLs while
+# count(*)/row_number would not, and the engines order NULLs
+# differently).
 # --------------------------------------------------------------------------
 _QUANTILES = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 
@@ -519,7 +525,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) - 1 AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 picked AS (
   SELECT event_type, n,
     {', '.join(picks)}
@@ -540,7 +546,8 @@ def x46(spark, sf_dir):
     # Spark Percentile's interpolation branch bit-for-bit (see
     # _pct_sql).  Exact percentiles stay group-local in the merge by
     # nature; the mergeable-sketch companion for 100 TB is x74.
-    ev = _t(spark, sf_dir, "events")
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
     pct = F.percentile("value",
                        F.array(*[F.lit(q) for _, q in _QUANTILES]))
     agg = (ev.groupBy("event_type")

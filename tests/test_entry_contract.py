@@ -110,12 +110,12 @@ def test_driver_window_covers_contract_core():
     names = list(entrymod.queries())
     first50 = names[:50]
     window = set(first50)
-    # r9 window: q01–q15 (q11–q15 mandatory — last green r6) + the
-    # r7 x-band minus the x45–x49 carry (x30–x44, x50–x52, x54–x56,
-    # x59/x66/x72, x93–x103) — exactly 50; the r8 band sits out
-    # after its green round — see the rotation ledger in the module
-    must = {f"q{i:02d}" for i in range(1, 16)}
-    must |= {f"x{i}" for i in entrymod._R9_XBAND}
+    # r10 window: q16–q29 + x45–x49 (sat out r9 per the carry) +
+    # the r8 x-band minus x88–x92 (carried to r11) + x104–x108 —
+    # exactly 50; the r9 band sits out after its green round — see
+    # the rotation ledger in the module
+    must = {f"q{i:02d}" for i in range(16, 30)}
+    must |= {f"x{i}" for i in entrymod._R10_XBAND}
     prefixes = {n.split("_")[0] for n in window}
     missing = must - prefixes
     assert not missing, f"driver window misses rotation set: {sorted(missing)}"

@@ -1094,8 +1094,9 @@ def test_decon_stream_equals_batch_and_x55_core(spark, tmp_path):
     probes = (base.filter(F.col("doc_id") % 20 == 0)
               .select(F.col("doc_id").alias("probe_id"), "text"))
     probes = probes.unionByName(
-        probes.limit(2).select((F.col("probe_id") + 777_000)
-                               .alias("probe_id"), "text"))
+        probes.orderBy("probe_id").limit(2)
+              .select((F.col("probe_id") + 777_000)
+                      .alias("probe_id"), "text"))
     contaminated = (base.filter(F.col("doc_id") % 20 == 0)
                     .select((F.col("doc_id") + 500_000).alias("doc_id"),
                             F.concat("text", F.lit(" tail filler words"))
@@ -1133,13 +1134,18 @@ def test_decon_stream_equals_batch_and_x55_core(spark, tmp_path):
                            df_cap_div=1).collect()}
     assert got == indep
     # duplicated probes must double their class multiplicity: every
-    # contaminated twin of the two duplicated probe docs counts 2
+    # contaminated twin of the two duplicated probe docs counts 2.
+    # The +777_000 rows ARE the duplicates; the twin doc_id is the
+    # original probe_id + 500_000.
     dup_ids = {r["probe_id"] + 500_000 - 777_000
-               for r in probes.orderBy("probe_id").limit(2).collect()
-               if r["probe_id"] >= 777_000}
-    for doc_id, n_hit, _ in got:
-        if doc_id in dup_ids:
-            assert n_hit >= 2
+               for r in probes.filter(F.col("probe_id") >= 777_000)
+                              .collect()}
+    assert len(dup_ids) == 2
+    hit_dups = {doc_id for doc_id, n_hit, _ in got
+                if doc_id in dup_ids and n_hit >= 2}
+    assert hit_dups == dup_ids, (
+        f"duplicated probes {dup_ids - hit_dups} did not register "
+        f"multiplicity >= 2")
 
 
 def test_decon_stream_short_and_clean_docs_emit_nothing(spark):
