@@ -105,6 +105,47 @@ def test_bpe_vocab_matches_reference(spark, word_counts):
     assert got == _bpe_reference_vocab(dict(word_counts), _BPE_ITERS)
 
 
+def test_bpe_artifact_cache_value_identity(spark):
+    """The session-scoped artifact cache (cache_key=...) must be
+    value-invisible: cached merge table and symbol relation equal the
+    uncached build in BOTH modes, and repeat calls are served from the
+    cache (same persisted object / no new artifact entries)."""
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "a": 9}
+    wc = spark.createDataFrame(list(words.items()),
+                               "word string, cnt bigint")
+    qx._BPE_ARTIFACTS.clear()
+    try:
+        for mode in ("spark", "local"):
+            key = f"test-bpe-cache-{mode}"
+            plain = [tuple(r) for r in
+                     bpe_merges(wc, mode=mode).sort("step").collect()]
+            cached = [tuple(r) for r in
+                      bpe_merges(wc, mode=mode, cache_key=key)
+                      .sort("step").collect()]
+            assert cached == plain
+            n_art = len(qx._BPE_ARTIFACTS)
+            again = [tuple(r) for r in
+                     bpe_merges(wc, mode=mode, cache_key=key)
+                     .sort("step").collect()]
+            assert again == plain
+            assert len(qx._BPE_ARTIFACTS) == n_art  # pure hit, no rebuild
+            sym_plain = {(r["word"], r["cnt"], r["p"], r["s"]) for r in
+                         bpe_merges(wc, mode=mode,
+                                    return_symbols=True).collect()}
+            s1 = bpe_merges(wc, mode=mode, return_symbols=True,
+                            cache_key=key)
+            s2 = bpe_merges(wc, mode=mode, return_symbols=True,
+                            cache_key=key)
+            assert s2 is s1           # persisted artifact object reused
+            assert {(r["word"], r["cnt"], r["p"], r["s"])
+                    for r in s1.collect()} == sym_plain
+    finally:
+        for v in qx._BPE_ARTIFACTS.values():
+            if hasattr(v, "unpersist"):
+                v.unpersist()
+        qx._BPE_ARTIFACTS.clear()
+
+
 def _kmeans_reference(vecs: dict, k: int, iters: int):
     """Integer-exact Lloyd's replica: same quantization, distance,
     tie-break, and floor-division update as the declared query."""
