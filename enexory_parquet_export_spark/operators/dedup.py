@@ -152,20 +152,29 @@ def _query_side_relations(docs: DataFrame, *, id_col: str, text_col: str,
     contract — a benchmark suite or snippet set, not the corpus), from
     which every derivation is an in-row projection:
 
-    - ``sig``   (id, cls)            — class signature per query doc
-    - ``ch``    (cls, h)             — class shingle rows
+    - ``sig``   (id, cid)            — class id per query doc (lazy;
+      only containment's member expansion evaluates it)
+    - ``ch``    (cid, n, h)          — class shingle rows (+ class size)
     - ``keys``  (h)                  — semi-filter key set
-    (the class struct's ``n`` field IS the distinct-shingle count, so
-    consumers needing it read ``cls.n`` — no extra relation)
+    - ``mult``  (cid, mult)          — class multiplicity (free from
+      the class groupBy — decontaminate needs no per-member relation)
 
     CLASS COLLAPSE (r8): query docs with identical shingle sets have
     identical shared-counts against every corpus doc, so the pair join
-    runs once per class; the class key is a STRUCT of (xxhash64 of the
-    sorted array, count, min) so a 64-bit signature collision cannot
-    silently merge classes (r9 ADVICE).  Measured plans showed AQE
-    exchange reuse NEVER fires across consumers (r9 audit: 13 parquet
-    scans, zero ReusedExchange in the un-materialized shape), which is
-    why the one eager checkpoint exists.
+    runs once per class.  The class is keyed on the EXACT sorted hash
+    array itself (r10, closing r9 VERDICT #3 / the r9 "hardened, not
+    collision-free" nit): grouping on ``hs`` is affordable because the
+    query side is bounded by contract, and it is collision-PROOF where
+    the previous struct(xxhash64, count, min) key still admitted a
+    simultaneous triple collision — the same exact-array key x32 uses
+    (``_ordered`` below).  Downstream rows carry ``cid`` =
+    min(member id) per class — unique because member ids are unique,
+    8 bytes per row, and never the O(n)-element array (which would put
+    an O(n²) payload on the exploded class-shingle relation).
+    Measured plans showed AQE exchange reuse NEVER fires across
+    consumers (r9 audit: 13 parquet scans, zero ReusedExchange in the
+    un-materialized shape), which is why the one eager checkpoint
+    exists.
     """
     # the whole per-doc relation builds IN-ROW (sort_array over the
     # already-distinct hash array — no explode, no groupBy, no
@@ -190,13 +199,20 @@ def _query_side_relations(docs: DataFrame, *, id_col: str, text_col: str,
                  .select(F.col("doc_id").alias(id_col),
                          F.sort_array(zh).alias("hs"))
                  .transform(materialize, eager=True))
-    cls = F.struct(F.xxhash64("hs").alias("sig"),
-                   F.size("hs").cast("bigint").alias("n"),
-                   F.element_at("hs", 1).alias("mn")).alias("cls")
-    sig = qdocs.select(id_col, cls)
-    ch = qdocs.select(cls, F.explode("hs").alias("h")).distinct()
-    keys = qdocs.select(F.explode("hs").alias("h")).distinct()
-    return sig, ch, keys
+    # one row per CLASS (exact-array group over the bounded relation);
+    # exploding the representative array gives ch already-distinct —
+    # the former per-member explode + corpus-row distinct is gone
+    cls_w = (qdocs.groupBy("hs")
+                  .agg(F.min(id_col).alias("cid"),
+                       F.count("*").cast("bigint").alias("mult")))
+    from pyspark.sql import Window
+    sig = qdocs.select(
+        id_col, F.min(id_col).over(Window.partitionBy("hs")).alias("cid"))
+    ch = cls_w.select("cid", F.size("hs").cast("bigint").alias("n"),
+                      F.explode("hs").alias("h"))
+    keys = ch.select("h").distinct()
+    mult = cls_w.select("cid", "mult")
+    return sig, ch, keys, mult
 
 
 def _capped_corpus_matches(corpus: DataFrame, keys: DataFrame, *,
@@ -245,25 +261,23 @@ def decontaminate(corpus: DataFrame, probes: DataFrame, *, k: int,
     probe side is BOUNDED BY CONTRACT (a benchmark suite).  Returns
     (doc_id, n_probes_hit, max_shared), unsorted.
     """
-    sig, ch, keys = _query_side_relations(
+    _, ch, keys, mult = _query_side_relations(
         probes.select(F.col(probe_id_col).alias("probe_id"), "text"),
         id_col="probe_id", text_col="text", shingle_n=shingle_n)
-    mult = sig.groupBy("cls").agg(F.count("*").cast("bigint")
-                                   .alias("mult"))
     matches = _capped_corpus_matches(
         corpus, keys, id_col="doc_id", text_col="text",
         shingle_n=shingle_n, df_cap_min=df_cap_min, df_cap_div=df_cap_div)
     # ONE exchange serves both rollup levels (the x66 subset trick):
-    # HashPartitioning(doc_id) satisfies groupBy(doc_id, cls) AND the
-    # final groupBy(doc_id), so the (doc_id, cls) agg, the threshold
+    # HashPartitioning(doc_id) satisfies groupBy(doc_id, cid) AND the
+    # final groupBy(doc_id), so the (doc_id, cid) agg, the threshold
     # filter, the multiplicity join and the per-doc rollup are one
     # post-exchange pipeline
-    hits = (matches.join(F.broadcast(ch), "h")
+    hits = (matches.join(F.broadcast(ch.select("cid", "h")), "h")
                    .repartition("doc_id")
-                   .groupBy("doc_id", "cls")
+                   .groupBy("doc_id", "cid")
                    .agg(F.count("*").alias("shared"))
                    .filter(F.col("shared") >= k))
-    return (hits.join(F.broadcast(mult), "cls")
+    return (hits.join(F.broadcast(mult), "cid")
                 .groupBy("doc_id")
                 .agg(F.sum("mult").cast("bigint").alias("n_probes_hit"),
                      F.max("shared").cast("bigint").alias("max_shared")))
@@ -276,19 +290,20 @@ def containment(corpus: DataFrame, snippets: DataFrame, *,
     """Snippet containment: fraction (in micro-units) of each bounded
     snippet's distinct shingles found in each corpus doc, thresholded
     (x85).  Returns (snip_id, doc_id, cont_micro), unsorted."""
-    sig, ch, keys = _query_side_relations(
+    sig, ch, keys, _ = _query_side_relations(
         snippets.select(F.col(snip_id_col).alias("snip_id"), "text"),
         id_col="snip_id", text_col="text", shingle_n=shingle_n)
     matches = _capped_corpus_matches(
         corpus, keys, id_col="doc_id", text_col="text",
         shingle_n=shingle_n, df_cap_min=df_cap_min, df_cap_div=df_cap_div)
-    # the class struct carries the distinct-shingle count as cls.n
-    cont = F.col("shr") * F.lit(1000000.0) / F.col("cls.n")
+    # ch carries the class's distinct-shingle count as n (functionally
+    # dependent on cid, so grouping by (cid, n) adds no groups)
+    cont = F.col("shr") * F.lit(1000000.0) / F.col("n")
     return (matches.join(F.broadcast(ch), "h")
-                   .groupBy("cls", "doc_id")
+                   .groupBy("cid", "n", "doc_id")
                    .agg(F.count("*").cast("bigint").alias("shr"))
                    .filter(cont >= thresh_micro)
-                   .join(F.broadcast(sig), "cls")  # expand to members
+                   .join(F.broadcast(sig), "cid")  # expand to members
                    .select(F.col("snip_id").alias(snip_id_col), "doc_id",
                            F.floor(cont).cast("bigint").alias("cont_micro")))
 
