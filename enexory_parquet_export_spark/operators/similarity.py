@@ -94,6 +94,23 @@ def _topk_kernel(k: int):
     would not be).  The flat-expression JVM formulation (:func:`_dot`
     per joined pair) measured ~6× slower: 128 ``element_at`` calls
     per pair defeat JIT vectorization.
+
+    CLASS COLLAPSE (r10, the x32 trick applied to vectors): rows with
+    bit-identical vectors share every pair score — cos(q, x) is the
+    same fold for every class member, and an intra-class pair's score
+    is the class's self-dot over its squared norm, exactly what either
+    engine computes for that pair.  The O(n²·dim) pair matrix
+    therefore runs over class REPRESENTATIVES only (exact-duplicate
+    corpora: 10 copies ⇒ 100× less pair work), and members expand
+    back at the (tiny) top-k candidate set: per query class, classes
+    are taken in score order until k member slots fill (plus every
+    class tied with the boundary score — exact float ties across
+    classes interleave members by id, so the boundary tie set must
+    expand too), then each member's final (cos DESC, nbr_id) order is
+    resolved over that candidate set with itself dropped.  A
+    duplicate-free block degrades to singleton classes and the same
+    per-row cost as before.  NaN components defeat the np.unique
+    grouping (NaN ≠ NaN) and simply collapse nothing — still correct.
     """
     import numpy as np
     import pandas as pd
@@ -102,19 +119,58 @@ def _topk_kernel(k: int):
         ids = pdf["vec_id"].to_numpy()
         A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         n, dim = A.shape
-        dots = _ordered_pair_dots(A, A, np)  # cache-tiled, fold-exact
-        nrm = np.zeros(n)
+        U, inv = np.unique(A, axis=0, return_inverse=True)
+        inv = np.asarray(inv).reshape(-1)
+        u = U.shape[0]
+        # members per class, ids ascending (the tie-break order)
+        order = np.lexsort((ids, inv))
+        cls_sorted, ids_sorted = inv[order], ids[order]
+        starts = np.searchsorted(cls_sorted, np.arange(u + 1))
+        members = [ids_sorted[starts[c]:starts[c + 1]] for c in range(u)]
+        counts = starts[1:] - starts[:-1]
+        dots = _ordered_pair_dots(U, U, np)  # cache-tiled, fold-exact
+        nrm = np.zeros(u)
         for i in range(dim):
-            nrm += A[:, i] * A[:, i]
+            nrm += U[:, i] * U[:, i]
         nrm = np.sqrt(nrm)
         cos = dots / np.multiply.outer(nrm, nrm)
-        np.fill_diagonal(cos, -np.inf)   # exclude self-pairs
+        # intra-class pair score BEFORE masking the diagonal
+        self_cos = np.diag(cos).copy()
+        np.fill_diagonal(cos, -np.inf)
         out = []
-        for r in range(n):
-            order = np.lexsort((ids, -cos[r]))[:k]
-            out.extend((ids[r], ids[c_idx], cos[r, c_idx], rnk)
-                       for rnk, c_idx in enumerate(order, 1)
-                       if c_idx != r)    # n_b <= k: drop the self slot
+        for c in range(u):
+            mem = members[c]
+            m = len(mem)
+            # candidate classes by score desc; own class competes with
+            # its intra-class score and m−1 effective slots (self is
+            # dropped per member below)
+            vals = cos[c].copy()
+            vals[c] = self_cos[c] if m >= 2 else -np.inf
+            eff = counts.copy()
+            eff[c] = m - 1
+            cand = np.argsort(-vals, kind="stable")
+            cum, taken, boundary = 0, [], None
+            for d in cand:
+                if cum >= k:
+                    if not (vals[d] == boundary):   # NaN ⇒ stop too
+                        break
+                    taken.append(d)
+                    continue
+                if eff[d] > 0:
+                    taken.append(d)
+                    cum += eff[d]
+                    boundary = vals[d]
+            if not taken:
+                continue
+            exp_ids = np.concatenate([members[d] for d in taken])
+            exp_vals = np.concatenate(
+                [np.full(counts[d], vals[d]) for d in taken])
+            for q in mem:
+                mask = exp_ids != q
+                eids, evals = exp_ids[mask], exp_vals[mask]
+                sel = np.lexsort((eids, -evals))[:k]
+                out.extend((q, eids[s], evals[s], rnk)
+                           for rnk, s in enumerate(sel, 1))
         return pd.DataFrame(out, columns=["vec_id", "nbr_id", "cos", "rnk"])
 
     return topk_block

@@ -128,6 +128,59 @@ def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_cosine_topk_class_collapse_on_duplicated_corpus(spark, sf_dir):
+    """The r10 class collapse (pair matrix over bit-identical-vector
+    class representatives) must be value-invisible: a corpus where
+    every vector has exact copies (the paired_sf1 10×-copy shape) must
+    produce exactly the naive full-pair-matrix answer, intra-class
+    pairs, cross-class exact ties and rank order included."""
+    import numpy as np
+
+    base = load_table(spark, sf_dir, "embeddings").limit(40)
+    copies = 3
+    scaled = base
+    for i in range(1, copies):
+        scaled = scaled.unionByName(base.select(
+            (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+            "label", "embedding"))
+    k = 3
+    got = {(r["vec_id"], r["rnk"]): (r["nbr_id"], r["cos_micro"]) for r in
+           cosine_topk_blocked(scaled, k=k).collect()}
+
+    # independent naive reference: full pair matrix per label block,
+    # same ordered fold and (cos DESC, nbr_id) tie-break
+    rows = scaled.select("vec_id", "label",
+                         F.col("embedding").cast("array<double>")
+                          .alias("v")).collect()
+    blocks: dict = {}
+    for r in rows:
+        blocks.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["v"], dtype=np.float64)))
+    want = {}
+    for mem in blocks.values():
+        ids = np.array([i for i, _ in mem])
+        A = np.stack([v for _, v in mem])
+        n, dim = A.shape
+        dots = np.zeros((n, n))
+        for i in range(dim):
+            dots += np.multiply.outer(A[:, i], A[:, i])
+        nrm = np.zeros(n)
+        for i in range(dim):
+            nrm += A[:, i] * A[:, i]
+        cos = dots / np.multiply.outer(np.sqrt(nrm), np.sqrt(nrm))
+        np.fill_diagonal(cos, -np.inf)
+        for r_i in range(n):
+            order = np.lexsort((ids, -cos[r_i]))[:k]
+            for rnk, c_idx in enumerate(order, 1):
+                if c_idx != r_i:
+                    want[(ids[r_i], rnk)] = (
+                        ids[c_idx], int(np.floor(cos[r_i, c_idx] * 1e6)))
+    assert got == want
+    # the duplicated corpus must actually exercise intra-class pairs
+    assert any(abs(v - q) == 1_000_000 or abs(v - q) == 2_000_000
+               for (q, _), (v, _) in got.items())
+
+
 def test_ann_lsh_is_subset_of_bucket_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(80)
     out = ann_lsh_topk(emb, k=3, n_planes=4).collect()
