@@ -419,7 +419,7 @@ def x44(spark, sf_dir):
     return bounded_sort(
         ivf_flat_topk(_t(spark, sf_dir, "embeddings"), k=_IVF_K,
                       centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE,
-                      require_stride=_IVF_STRIDE),
+                      require_stride=_IVF_STRIDE, cache_key=sf_dir),
         "vec_id", "rnk")
 
 

@@ -207,6 +207,34 @@ def test_ivf_flat_invariants_and_recall_floor(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)  # rank order = cos order
 
 
+def test_ivf_flat_codebook_cache_value_identity(spark, sf_dir):
+    """The session-scoped coarse-quantizer cache (cache_key=...) must
+    be value-invisible and actually reused on repeat calls."""
+    from enexory_parquet_export_spark.operators import similarity as S
+    emb = load_table(spark, sf_dir, "embeddings")
+    S._IVF_CODEBOOKS.clear()
+    try:
+        plain = sorted(map(tuple, S.ivf_flat_topk(
+            emb, k=3, centroid_stride=7, nprobe=2).collect()))
+        cached = sorted(map(tuple, S.ivf_flat_topk(
+            emb, k=3, centroid_stride=7, nprobe=2,
+            cache_key="test-ivf").collect()))
+        assert cached == plain
+        assert len(S._IVF_CODEBOOKS) == 1
+        hit = next(iter(S._IVF_CODEBOOKS.values()))
+        again = sorted(map(tuple, S.ivf_flat_topk(
+            emb, k=3, centroid_stride=7, nprobe=2,
+            cache_key="test-ivf").collect()))
+        assert again == plain
+        assert next(iter(S._IVF_CODEBOOKS.values())) is hit  # pure hit
+        # distinct parameters must not share a codebook entry
+        S.ivf_flat_topk(emb, k=3, centroid_stride=9, nprobe=2,
+                        cache_key="test-ivf").collect()
+        assert len(S._IVF_CODEBOOKS) == 2
+    finally:
+        S._IVF_CODEBOOKS.clear()
+
+
 def test_ivf_flat_chunked_path_identical(spark, sf_dir):
     """Hot-list chunking (max_block < corpus) must be result-invariant:
     the (cid, qchunk, mchunk) spread visits every (qid, nbr) pair
