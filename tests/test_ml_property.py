@@ -197,6 +197,32 @@ def test_kmeans_matches_integer_reference(spark, vecs):
     assert got == want
 
 
+def test_kmeans_centroid_cache_value_identity(spark):
+    """The session-scoped trained-centroid cache (cache_key=...) must
+    be value-invisible: assignments from the cached model equal the
+    uncached Lloyd run, and a repeat call reuses the stored rows."""
+    import random
+    rng = random.Random(94)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)], 0)
+         for i in range(60)],
+        "vec_id bigint, embedding array<double>, label int")
+    qx._KMEANS_CENTROIDS.clear()
+    try:
+        plain = sorted(map(tuple, kmeans_assign(emb).collect()))
+        cached = sorted(map(tuple, kmeans_assign(
+            emb, cache_key="test-kmeans").collect()))
+        assert cached == plain
+        assert len(qx._KMEANS_CENTROIDS) == 1
+        rows0 = next(iter(qx._KMEANS_CENTROIDS.values()))
+        again = sorted(map(tuple, kmeans_assign(
+            emb, cache_key="test-kmeans").collect()))
+        assert again == plain
+        assert next(iter(qx._KMEANS_CENTROIDS.values())) is rows0
+    finally:
+        qx._KMEANS_CENTROIDS.clear()
+
+
 # ---------------------------------------------------------------------------
 # r7-continuation operators: DSIR importance votes (x105) and
 # temperature source mixing (x106) vs pure-Python references — the
