@@ -134,10 +134,17 @@ def rolling_fingerprint_table(docs, *, id_col: str = "doc_id",
         F.raise_error(F.lit(
             "rolling_fingerprint_table: doc exceeds "
             f"{MAX_FINGERPRINT_TOKENS} tokens"))).otherwise(j)
-    lo = F.element_at(F.array(*[F.lit(v) for v in _POW_LO]),
-                      (guarded_j % 256 + 1).cast("int"))
-    hi = F.element_at(F.array(*[F.lit(v) for v in _POW_HI]),
-                      (guarded_j / 256 + 1).cast("int"))
+    # ONE py4j call per lookup table (F.expr over a SQL array literal
+    # with L-suffixed bigints), not 256 F.lit roundtrips each — the
+    # starred form (and F.lit(list), which per-element-lits
+    # internally) cost ~0.5 s of client-side plan construction PER
+    # BUILD of any fingerprint plan (profiled at sf0.1)
+    lo = F.element_at(
+        F.expr("array(" + ",".join(f"{v}L" for v in _POW_LO) + ")"),
+        (guarded_j % 256 + 1).cast("int"))
+    hi = F.element_at(
+        F.expr("array(" + ",".join(f"{v}L" for v in _POW_HI) + ")"),
+        (guarded_j / 256 + 1).cast("int"))
     w = (lo * hi) % F.lit(MERSENNE_P)          # < 2^62 intermediate
     term = (h * w) % F.lit(MERSENNE_P)
     return (ex.withColumn("_term", term)

@@ -77,7 +77,13 @@ def quota_select(docs: DataFrame, quota: DataFrame, *,
     # sketch evaluates a fixed grid of grid+1 quantiles per source and
     # each source picks its own cell by quota/n.  The grid array is
     # alphabet-sized × grid — the mixture config, not corpus data.
-    pcts = F.array(*[F.lit(i / grid) for i in range(grid + 1)])
+    # one py4j call (SQL array literal, D-suffixed doubles — bare
+    # decimals would parse as DECIMAL), not grid+1 F.lit roundtrips:
+    # the x37 lesson — starred literal arrays bill ~1 ms per element
+    # of client-side plan construction on every fresh build.  repr()
+    # round-trips each IEEE double exactly.
+    pcts = F.expr("array(" + ",".join(f"{i / grid!r}D"
+                                      for i in range(grid + 1)) + ")")
     thr = (joined.groupBy(source_col)
                  .agg(F.percentile_approx("_h", pcts, F.lit(accuracy))
                        .alias("_qs"),
