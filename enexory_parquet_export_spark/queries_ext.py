@@ -3491,8 +3491,11 @@ def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS,
             built = bpe_merges(wc, iters=iters,
                                return_symbols=return_symbols, mode=mode)
             if return_symbols:
-                built = built.persist()
-                built.count()          # materialize once, session-wide
+                # route through the audited materialization gate
+                # (session.materialize — the persist-guard invariant):
+                # eager+pinned blocks live for the session under the
+                # module-level reference, i.e. the artifact cache
+                built = materialize(built, eager=True, pinned=True)
                 _BPE_ARTIFACTS[key] = built
                 return built
             hit = (built.collect(), built.schema)   # ≤ iters rows
