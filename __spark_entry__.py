@@ -82,6 +82,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #        r11 then owes x88–x92 slots plus whatever r10 rotates out
 #        (the r9 band: q01–q15 + x30–x44 + x50–x52/x54–x56 +
 #        x59/x66/x72 + x93–x103).
+#   r11 plan: x88–x92 are MANDATORY (last driver-green r8 — two
+#        rounds out by r11) + the r9 band (55 candidates for 45
+#        remaining slots, all last-green r9) → five carry to r12.
+#        Carry the five with the deepest driver-green history:
+#        x40–x44 (green r1–r3, r5, r7, r9 — five rows each).
+#        Mechanically, the r11 window is EXACTLY:
+#          _R11_XBAND = (*range(30, 40),            # x40–x44 → r12
+#                        50, 51, 52, 54, 55, 56,
+#                        59, 66, 72,
+#                        *range(88, 93),            # mandatory
+#                        *range(93, 104))
+#          _PRIORITY = q01–q15 then _R11_XBAND  (15 + 35 = 50)
+#        r12 then owes x40–x44 plus whatever r11 rotates out (the
+#        r10 band: q16–q29 + x45–x49 + x57–x87 remainder +
+#        x104–x108).
 #   INVARIANT: x53/x74 are rows-only sketches — they can never
 #        hash-match and must NEVER occupy a window slot; their error
 #        bounds are pytest'd (tests/test_functions.py) and their
