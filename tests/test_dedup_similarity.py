@@ -181,6 +181,110 @@ def test_cosine_topk_class_collapse_on_duplicated_corpus(spark, sf_dir):
                for (q, _), (v, _) in got.items())
 
 
+def test_cosine_topk_collapse_boundary_ties(spark):
+    """Adversarial tie fixture for the class-collapse expansion: axis
+    vectors make EXACT cross-class cosine ties (cos = 0.0 between
+    orthogonal classes, 1.0 within), so the k-th slot lands inside a
+    tie set spanning several classes and the boundary-tie inclusion +
+    per-member (cos DESC, nbr_id) resolution must reproduce the naive
+    full-matrix answer exactly."""
+    import numpy as np
+
+    dim, k = 8, 3
+    rows = []
+    # 4 orthogonal axis classes × 3 duplicates each + one lone axis:
+    # for a query in class a, the m−1 twins score 1.0 and EVERY other
+    # class scores exactly 0.0 — the rank-2..k slots are one big tie
+    # across classes, resolved only by nbr_id.  id = copy·10 + axis
+    # INTERLEAVES the tie set across classes so the id order mixes
+    # classes, not blocks of one class.
+    for axis in range(4):
+        v = [0.0] * dim
+        v[axis] = 2.0
+        for copy in range(3):
+            rows.append((copy * 10 + axis, 0, list(v)))
+    v = [0.0] * dim
+    v[5] = 7.0
+    rows.append((999, 0, v))
+    emb = spark.createDataFrame(
+        [(i, lbl, vec) for i, lbl, vec in rows],
+        "vec_id bigint, label int, embedding array<double>")
+    got = {(r["vec_id"], r["rnk"]): (r["nbr_id"], r["cos_micro"]) for r in
+           cosine_topk_blocked(emb, k=k).collect()}
+
+    ids = np.array([i for i, _, _ in rows])
+    A = np.stack([np.array(v, dtype=np.float64) for _, _, v in rows])
+    n, d = A.shape
+    dots = np.zeros((n, n))
+    for i in range(d):
+        dots += np.multiply.outer(A[:, i], A[:, i])
+    nrm = np.sqrt(np.sum(A * A, axis=1))
+    cos = dots / np.multiply.outer(nrm, nrm)
+    np.fill_diagonal(cos, -np.inf)
+    want = {}
+    for r_i in range(n):
+        order = np.lexsort((ids, -cos[r_i]))[:k]
+        for rnk, c in enumerate(order, 1):
+            if c != r_i:
+                want[(ids[r_i], rnk)] = (ids[c],
+                                         int(np.floor(cos[r_i, c] * 1e6)))
+    assert got == want
+    # sanity: the fixture really has cross-class zero ties at rank 2+
+    assert any(v_cos == 0 for (_, rnk), (_, v_cos) in want.items()
+               if rnk >= 2)
+
+
+def test_cosine_topk_collapse_property(spark):
+    """Property sweep for the class collapse: random small-integer
+    vector sets (dim 3) with forced duplication — integer components
+    make exact ties common, INCLUDING cos = 1.0 between different
+    classes (v and its scalar multiple collapse to different classes
+    but tie exactly against every query).  Kernel must equal the
+    naive full-matrix fold on every draw."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(1029)
+    for _trial in range(6):
+        base = [[rng.randint(-2, 2) for _ in range(3)] for _ in range(8)]
+        base = [v if any(v) else [1, 0, 0] for v in base]   # no zero norm
+        vecs = []
+        for v in base:
+            vecs.append(v)
+            if rng.random() < 0.5:
+                vecs.append(list(v))                        # exact dup
+            if rng.random() < 0.3:
+                vecs.append([2 * x for x in v])             # scaled twin
+        perm = list(range(len(vecs)))
+        rng.shuffle(perm)                 # ids scrambled vs class order
+        rows = [(perm[i] * 7, 0, [float(x) for x in v])
+                for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, label int, embedding array<double>")
+        k = 3
+        got = {(r["vec_id"], r["rnk"]): (r["nbr_id"], r["cos_micro"])
+               for r in cosine_topk_blocked(emb, k=k).collect()}
+        ids = np.array([i for i, _, _ in rows])
+        A = np.stack([np.array(v, dtype=np.float64) for _, _, v in rows])
+        n, d = A.shape
+        dots = np.zeros((n, n))
+        nrm2 = np.zeros(n)
+        for i in range(d):                                  # ordered fold
+            dots += np.multiply.outer(A[:, i], A[:, i])
+            nrm2 += A[:, i] * A[:, i]
+        cos = dots / np.multiply.outer(np.sqrt(nrm2), np.sqrt(nrm2))
+        np.fill_diagonal(cos, -np.inf)
+        want = {}
+        for r_i in range(n):
+            order = np.lexsort((ids, -cos[r_i]))[:k]
+            for rnk, c in enumerate(order, 1):
+                if c != r_i:
+                    want[(ids[r_i], rnk)] = (
+                        ids[c], int(np.floor(cos[r_i, c] * 1e6)))
+        assert got == want, f"trial {_trial} diverged"
+
+
 def test_ann_lsh_is_subset_of_bucket_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(80)
     out = ann_lsh_topk(emb, k=3, n_planes=4).collect()
