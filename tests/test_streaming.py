@@ -875,6 +875,48 @@ def test_change_detect_stream_recovery_from_checkpoint(spark, tmp_path):
     assert got == want
 
 
+def test_semdedup_stream_cap_boundary_mid_batch(spark, tmp_path):
+    """All three regimes of the r10 batched kernel in one run, one
+    cluster, cap 4, micro-batches of 3/3/1: (a) empty state + batch
+    admission, (b) PARTIAL state (count0=3) + one same-batch admit —
+    later arrivals score against state AND the batch-admitted member,
+    (c) full state (n_adm=0, state-only scoring).  Must equal the
+    independent batch twin's event set exactly."""
+    from enexory_parquet_export_spark.streaming.semdedup_stream import (
+        semdedup_batch,
+        semdedup_stream,
+    )
+
+    # near-parallel vectors (high cos) so every comparison emits
+    rows = [(i, [1.0 + 0.001 * i, 1.0, 0.5]) for i in range(7)]
+    cb = [[1000, 1000, 500]]          # single cluster: all rows collide
+    schema = "vec_id bigint, embedding array<double>"
+    src = str(tmp_path / "vecs")
+    for lo, hi in ((0, 3), (3, 6), (6, 7)):
+        (spark.createDataFrame(rows[lo:hi], schema)
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "out")
+    q = (semdedup_stream(stream, cb, thresh_micro=900_000, cluster_cap=4)
+         .writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in
+            semdedup_batch(spark.createDataFrame(rows, schema), cb,
+                           thresh_micro=900_000, cluster_cap=4).collect()}
+    assert got == want
+    # admitted members are exactly vec_id 0..3; arrivals 4..6 score
+    # against those four and are never scored against each other
+    hit_pairs = {(a, b) for a, b, _ in got}
+    assert all(b <= 3 for _, b in hit_pairs)
+    assert {(a, b) for a, b in hit_pairs if a >= 4} == {
+        (a, b) for a in (4, 5, 6) for b in (0, 1, 2, 3)}
+
+
 def test_semdedup_stream_recovery_from_checkpoint(spark, tmp_path):
     """Streaming SemDeDup: part-2 twins dedup against part-1 cluster
     state — pairs appear only if the admitted-member state survived
