@@ -449,6 +449,10 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # ~2 s of every steady x44 run at sf1×10).  Only the chunking path
     # materializes (and therefore caches); the unchunked path is one
     # lazy pipelined pass with nothing to reuse.
+    # Caching the materialized index for the UNCHUNKED path was
+    # measured and rejected (r10): sf0.1 steady read 1.64 s either
+    # way — the rerank stage dominates there, not the assignment —
+    # so the one-shot plan keeps its zero-extra-jobs pipelined shape.
     pre_key = (None if ck is None or not chunking else
                ck + (nprobe, max_block, "pre"))
     pre0 = _IVF_CODEBOOKS.get(pre_key) if pre_key is not None else None
