@@ -82,35 +82,48 @@ def entry(spark: SparkSession) -> DataFrame:
 #        r11 then owes x88–x92 slots plus whatever r10 rotates out
 #        (the r9 band: q01–q15 + x30–x44 + x50–x52/x54–x56 +
 #        x59/x66/x72 + x93–x103).
-#   r11 plan: x88–x92 are MANDATORY (last driver-green r8 — two
-#        rounds out by r11) + the r9 band (55 candidates for 45
-#        remaining slots, all last-green r9) → five carry to r12.
-#        Carry the five with the deepest driver-green history:
-#        x40–x44 (green r1–r3, r5, r7, r9 — five rows each).
-#        Mechanically, the r11 window is EXACTLY:
+#   r11 (this round): executed exactly as the r10 ledger spelled —
+#        x88–x92 are MANDATORY (last driver-green r8 — two rounds
+#        out by r11) + the r9 band (55 candidates for 45 remaining
+#        slots, all last-green r9) → five carry to r12, the five
+#        with the deepest driver-green history: x40–x44 (green
+#        r1–r3, r5, r7, r9 — five rows each).  Window is EXACTLY:
 #          _R11_XBAND = (*range(30, 40),            # x40–x44 → r12
 #                        50, 51, 52, 54, 55, 56,
 #                        59, 66, 72,
 #                        *range(88, 93),            # mandatory
 #                        *range(93, 104))
 #          _PRIORITY = q01–q15 then _R11_XBAND  (15 + 35 = 50)
-#        r12 then owes x40–x44 plus whatever r11 rotates out (the
-#        r10 band: q16–q29 + x45–x49 + x57–x87 remainder +
-#        x104–x108).
+#   r12 plan: x40–x44 are MANDATORY (carried from r11; last green
+#        r9 — two rounds out by r12) + the r10 band (q16–q29 +
+#        x45–x49 + x57/x58/x60/x62–x65/x67–x71/x73/x75–x87 +
+#        x104–x108 = 50) — that is 55 candidates for 50 slots, so
+#        five carry to r13.  Carry five from the deepest-history
+#        group (x57-family, four green rows each r4/r6/r8/r10):
+#        x57/x58/x60/x62/x63 → r13.  Mechanically:
+#          _R12_XBAND = (*range(40, 45),            # mandatory
+#                        45, 46, 47, 48, 49,
+#                        64, 65, *range(67, 72), 73,
+#                        *range(75, 88),
+#                        *range(104, 109))
+#          _PRIORITY = q16–q29 then _R12_XBAND  (14 + 36 = 50)
+#        r13 then owes x57/x58/x60/x62/x63 plus whatever r12
+#        rotates out (the r11 band).
 #   INVARIANT: x53/x74 are rows-only sketches — they can never
 #        hash-match and must NEVER occupy a window slot; their error
 #        bounds are pytest'd (tests/test_functions.py) and their
 #        rows-only declaration pinned by tests/test_entry_contract.py
 #        (see README "Rotation rule").
-_R10_XBAND: tuple[int, ...] = (
-    45, 46, 47, 48, 49,                            # sat out r9 per carry
-    57, 58, 60, *range(62, 66), *range(67, 72),
-    73, *range(75, 88),                            # x88–x92 → r11
-    *range(104, 109),                              # x104..x108
+_R11_XBAND: tuple[int, ...] = (
+    *range(30, 40),                                # x40–x44 → r12
+    50, 51, 52, 54, 55, 56,
+    59, 66, 72,
+    *range(88, 93),                                # mandatory (last green r8)
+    *range(93, 104),
 )
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(16, 30)),         # q16..q29
-    *(f"x{i}" for i in _R10_XBAND),
+    *(f"q{i:02d}" for i in range(1, 16)),          # q01..q15
+    *(f"x{i}" for i in _R11_XBAND),
 )
 
 
