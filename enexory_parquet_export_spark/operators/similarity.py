@@ -602,8 +602,28 @@ def lsh_bucket_udf(planes: list[list[float]]):
     return _bucket.asNondeterministic()   # pin a single evaluation
 
 
+# Session-scoped SemDeDup trained-state cache (r10 VERDICT #5): the
+# K×dim codebook collect + the corpus count ran as driver jobs on
+# EVERY fresh x97/x103 plan, and at chunking scale the eager
+# assignment materialization + the K-row size probe re-built the same
+# cluster index per query — but SemDeDup's clustering IS offline
+# trained state (the paper clusters once, then dedups within
+# clusters).  Keyed per (applicationId, cache_key, k_clusters,
+# max_block); cached values are (n_rows, C, cn2) — O(K·dim) driver
+# memory — plus, under ``+ ("asg",)`` on the chunking path only, the
+# eagerly-materialized assignment relation and its max cluster size
+# (the x44 inverted-list-index precedent; the unchunked assignment is
+# one lazy pipelined pass with nothing to reuse — the measured x44
+# rejection).  ``thresh_micro`` is deliberately OUTSIDE the key: it
+# parameterizes the pair kernel, not the trained index.
+# cache_key=None (the crossover harness) bypasses.  Value identity is
+# pinned in tests/test_dedup_similarity.py.
+_SEM_ARTIFACTS: dict[tuple, tuple] = {}
+
+
 def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
-                   max_block: int = 8192) -> DataFrame:
+                   max_block: int = 8192,
+                   cache_key: str | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) pair search: cluster-then-compare,
     with the within-cluster comparison run as a GROUPED NUMPY BLOCK
     KERNEL per cluster — never as a pair-row self-join.
@@ -665,18 +685,33 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
     if k_clusters <= 0:
         raise ValueError("k_clusters must be positive")
 
-    # One count job up front: materializes the (lazy) checkpoint below
-    # in full before the partial-partition codebook collect, and
-    # decides whether the hot-cluster chunk machinery is needed at all
-    # (for a corpus that fits one block per cluster the plan compiles
-    # to a bare groupBy — the x44 small-scale-floor precedent).
-    q = q.select("vec_id", "qv", "nv").transform(materialize, eager=False)
-    n_rows = q.count()
+    ck = (None if cache_key is None else
+          (q.sparkSession.sparkContext.applicationId, cache_key,
+           k_clusters, max_block))
+    hit = _SEM_ARTIFACTS.get(ck) if ck is not None else None
+    if hit is None:
+        # One count job up front: materializes the (lazy) checkpoint
+        # below in full before the partial-partition codebook collect,
+        # and decides whether the hot-cluster chunk machinery is
+        # needed at all (for a corpus that fits one block per cluster
+        # the plan compiles to a bare groupBy — the x44
+        # small-scale-floor precedent).
+        q = q.select("vec_id", "qv", "nv").transform(materialize,
+                                                     eager=False)
+        n_rows = q.count()
+        cent_rows = q.orderBy("vec_id").limit(k_clusters).collect()
+        C = np.array([r["qv"] for r in cent_rows], dtype=np.float64)
+        cn2 = np.array([r["nv"] for r in cent_rows], dtype=np.float64)
+        hit = (n_rows, C, cn2)
+        if ck is not None:
+            _SEM_ARTIFACTS[ck] = hit
+    else:
+        # codebook + count served from session state: the assignment
+        # below is then the plan's ONLY consumer of q — a mid-plan
+        # checkpoint would be pure overhead, so skip it
+        q = q.select("vec_id", "qv", "nv")
+    n_rows, C, cn2 = hit
     chunking = n_rows > max_block
-
-    cent_rows = q.orderBy("vec_id").limit(k_clusters).collect()
-    C = np.array([r["qv"] for r in cent_rows], dtype=np.float64)
-    cn2 = np.array([r["nv"] for r in cent_rows], dtype=np.float64)
 
     @pandas_udf("bigint")
     def _assign(qvs, nvs):
@@ -691,8 +726,11 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
         dd = nv[:, None] - 2.0 * (A @ C.T) + cn2[None, :]
         return pd.Series(np.argmin(dd, axis=1).astype(np.int64))
 
-    assigned = q.withColumn("cluster",
-                            _assign.asNondeterministic()("qv", "nv"))
+    akey = None if ck is None else ck + ("asg",)
+    ahit = _SEM_ARTIFACTS.get(akey) if akey is not None else None
+    assigned = (ahit[0] if ahit is not None else
+                q.withColumn("cluster",
+                             _assign.asNondeterministic()("qv", "nv")))
 
     def _pair_block(pdf):
         cols = {"cluster": "int64", "id_a": "int64",
@@ -753,11 +791,20 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
     # fits a block — the normal case under the K ~ √N contract — the
     # plan stays the bare groupBy kernel: the explode/broadcast-join/
     # repartition machinery measured +2-3 s of pure overhead at 40k
-    # vectors when no cluster needed splitting.
-    assigned = assigned.transform(materialize, eager=True, pinned=True)
-    max_sz = (assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("_n")).agg(
-        F.max("_n").alias("m")).collect()[0]["m"]) or 0
+    # vectors when no cluster needed splitting.  The materialized
+    # relation IS the cluster index (SemDeDup trains offline), so
+    # under a cache_key it is session state shared by every caller of
+    # the same corpus — x97's pair search and x103's resolution reuse
+    # one build.
+    if ahit is not None:
+        max_sz = ahit[1]
+    else:
+        assigned = assigned.transform(materialize, eager=True, pinned=True)
+        max_sz = (assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_n")).agg(
+            F.max("_n").alias("m")).collect()[0]["m"]) or 0
+        if akey is not None:
+            _SEM_ARTIFACTS[akey] = (assigned, max_sz)
     if max_sz <= max_block:
         return assigned.groupBy("cluster").applyInPandas(_pair_block,
                                                          out_schema)
@@ -789,25 +836,84 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
         _pair_block, out_schema)
 
 
-def pq_codebooks(q: DataFrame, *, n_codes: int, n_sub: int) -> list:
+# Session-scoped PQ trained-state cache (r10 VERDICT #3): the ONE
+# trained-state family the r10 artifact cache didn't reach — x101/x102
+# re-collected the PQ codebooks + coarse centroids and RE-ENCODED the
+# whole corpus per fresh plan, though PQ training AND encoding are the
+# offline index build in any real deployment (faiss trains once,
+# add()s once, then serves queries against the byte codes).  Keyed per
+# (applicationId, tag, cache_key, params); the encoded-relation keys
+# additionally carry a sha1 of the codebook bytes, so a DIFFERENT
+# codebook under the same cache_key can never serve stale codes.
+# Driver memory: codebooks O(n_codes·dim); the encoded relations are
+# executor-side materialized DataFrames (4 small codes per vector).
+# First build is billed (collect + eager materialize run as jobs);
+# cache_key=None (the crossover harness) bypasses.  Value identity is
+# pinned in tests/test_dedup_similarity.py.
+_PQ_ARTIFACTS: dict[tuple, object] = {}
+
+
+def _np_sig(arr) -> str:
+    """Value fingerprint of a numpy array for artifact-cache keys."""
+    import hashlib
+    import numpy as np
+
+    a = np.ascontiguousarray(arr)
+    return hashlib.sha1(a.tobytes() + str(a.shape).encode()).hexdigest()
+
+
+def pq_codebooks(q: DataFrame, *, n_codes: int, n_sub: int,
+                 cache_key: str | None = None) -> list:
     """Per-subspace product-quantization codebooks from the first
     ``n_codes`` vectors by ``vec_id`` (the deterministic x44/x94
     coarse-quantizer idiom — PQ training is offline in any real
     deployment; the fixture pins the codebook the same way the IVF
     and SemDeDup codebooks are pinned).  Driver state is
     O(n_codes × dim) — the codebook-collect boundedness argument.
+    ``cache_key`` memoizes the trained codebook for the session
+    (see :data:`_PQ_ARTIFACTS`).
 
     Returns a numpy array of shape (n_sub, n_codes, dim // n_sub).
     """
     import numpy as np
 
+    ck = (None if cache_key is None else
+          (q.sparkSession.sparkContext.applicationId, "pq_cb",
+           cache_key, n_codes, n_sub))
+    hit = _PQ_ARTIFACTS.get(ck) if ck is not None else None
+    if hit is not None:
+        return hit
     rows = q.orderBy("vec_id").limit(n_codes).collect()
     C = np.array([r["qv"] for r in rows], dtype=np.float64)
     dim = C.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     d_sub = dim // n_sub
-    return C.reshape(n_codes, n_sub, d_sub).transpose(1, 0, 2).copy()
+    out = C.reshape(n_codes, n_sub, d_sub).transpose(1, 0, 2).copy()
+    if ck is not None:
+        _PQ_ARTIFACTS[ck] = out
+    return out
+
+
+def coarse_codebook(q: DataFrame, *, n: int,
+                    cache_key: str | None = None):
+    """First-``n``-by-``vec_id`` coarse quantizer as a (n × dim) numpy
+    array (the x44/x94 deterministic idiom), session-cached under
+    ``cache_key`` like :func:`pq_codebooks` — the IVF-PQ coarse
+    centroids are trained offline exactly like the PQ codebooks."""
+    import numpy as np
+
+    ck = (None if cache_key is None else
+          (q.sparkSession.sparkContext.applicationId, "pq_coarse",
+           cache_key, n))
+    hit = _PQ_ARTIFACTS.get(ck) if ck is not None else None
+    if hit is not None:
+        return hit
+    rows = q.orderBy("vec_id").limit(n).collect()
+    out = np.array([r["qv"] for r in rows], dtype=np.float64)
+    if ck is not None:
+        _PQ_ARTIFACTS[ck] = out
+    return out
 
 
 #: hard cap on a driver-materialized probe workload (r9, VERDICT #3):
@@ -844,7 +950,8 @@ def _bounded_probe_rows(probes, *, cap: int = PROBE_CAP) -> list:
 
 
 def pq_adc_topk(q: DataFrame, probes, *, codebooks,
-                k: int = 5, probe_cap: int = PROBE_CAP) -> DataFrame:
+                k: int = 5, probe_cap: int = PROBE_CAP,
+                cache_key: str | None = None) -> DataFrame:
     """Product-quantization ADC top-k scan (Jégou et al. 2011,
     "Product quantization for nearest neighbor search") — the
     memory-bound ANN representation: each corpus vector is ENCODED as
@@ -911,8 +1018,23 @@ def pq_adc_topk(q: DataFrame, probes, *, codebooks,
                 "codes": pd.Series([[int(c) for c in row]
                                     for row in codes], dtype="object")})
 
-    encoded = q.select("vec_id", "qv").mapInPandas(
-        encode, "vec_id bigint, codes array<bigint>")
+    # the encoded relation IS the PQ index — faiss's add() phase,
+    # built once and scanned for the index's lifetime — so under a
+    # cache_key it is session state (r10 VERDICT #3): one eager
+    # materialization of (vec_id, n_sub codes) replaces the per-plan
+    # full-vector encode pass; the key carries the codebook's value
+    # fingerprint so a different codebook can never serve stale codes
+    ek = (None if cache_key is None else
+          (q.sparkSession.sparkContext.applicationId, "pq_enc",
+           cache_key, n_sub, n_codes, _np_sig(C)))
+    encoded = _PQ_ARTIFACTS.get(ek) if ek is not None else None
+    if encoded is None:
+        encoded = q.select("vec_id", "qv").mapInPandas(
+            encode, "vec_id bigint, codes array<bigint>")
+        if ek is not None:
+            encoded = encoded.transform(materialize, eager=True,
+                                        pinned=True)
+            _PQ_ARTIFACTS[ek] = encoded
 
     def scan(pdfs):
         # per chunk: vectorized per-probe candidate selection — keep
@@ -967,7 +1089,8 @@ def pq_adc_topk(q: DataFrame, probes, *, codebooks,
 
 
 def ivf_pq_topk(q: DataFrame, probes, *, coarse, codebooks,
-                nprobe: int = 2, k: int = 5) -> DataFrame:
+                nprobe: int = 2, k: int = 5,
+                cache_key: str | None = None) -> DataFrame:
     """IVF-PQ top-k (Jégou et al. 2011 §V; the faiss ``IVFPQ``
     layout): the inverted-file coarse quantizer bounds WHICH vectors a
     probe touches (``nprobe`` lists, the x44 contract) and product
@@ -1042,8 +1165,20 @@ def ivf_pq_topk(q: DataFrame, probes, *, coarse, codebooks,
                 "codes": pd.Series([[int(c) for c in row]
                                     for row in codes], dtype="object")})
 
-    encoded = q.select("vec_id", "qv").mapInPandas(
-        encode, "cid bigint, vec_id bigint, codes array<bigint>")
+    # same index-build caching as pq_adc_topk: coarse assignment + PQ
+    # codes are faiss's add() phase; the key fingerprints BOTH trained
+    # inputs (coarse centroids and codebooks)
+    ek = (None if cache_key is None else
+          (q.sparkSession.sparkContext.applicationId, "ivfpq_enc",
+           cache_key, n_sub, n_codes, _np_sig(Cc), _np_sig(C)))
+    encoded = _PQ_ARTIFACTS.get(ek) if ek is not None else None
+    if encoded is None:
+        encoded = q.select("vec_id", "qv").mapInPandas(
+            encode, "cid bigint, vec_id bigint, codes array<bigint>")
+        if ek is not None:
+            encoded = encoded.transform(materialize, eager=True,
+                                        pinned=True)
+            _PQ_ARTIFACTS[ek] = encoded
 
     _EMPTY = {"probe_id": "int64", "vec_id": "int64", "adc_dist": "int64"}
 

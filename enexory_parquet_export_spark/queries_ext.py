@@ -3736,9 +3736,13 @@ def x97(spark, sf_dir):
     # K=8 is the declared fixture semantics (the oracle pins the same
     # 8-vector codebook); the operator's scale contract — K ~ √N plus
     # hot-cluster chunking — is documented and crossover-measured on
-    # semantic_dedup itself (BASELINE.md r7).
+    # semantic_dedup itself (BASELINE.md r7).  cache_key names the
+    # exact corpus derivation (x103 builds the identical twin corpus,
+    # so both queries share ONE trained cluster index — the r10
+    # session-artifact pattern extended per r10 VERDICT #5).
     return (semantic_dedup(q, k_clusters=_SEMDEDUP_K,
-                           thresh_micro=_SEMDEDUP_THRESH)
+                           thresh_micro=_SEMDEDUP_THRESH,
+                           cache_key=f"{sf_dir}:twins1.1")
             .transform(bounded_sort, "id_a", "id_b"))
 
 
@@ -4021,14 +4025,19 @@ def x101(spark, sf_dir):
                  F.transform(F.col("embedding").cast("array<double>"),
                              lambda x: F.floor(x * 1000).cast("bigint"))
                   .alias("qv")))
-    cb = pq_codebooks(q, n_codes=_PQ_CODES, n_sub=_PQ_SUB)
+    # r10 VERDICT #3: codebook training AND corpus encoding are the
+    # offline PQ index build — both session-cached under the corpus
+    # derivation key (first build billed, value identity pytest'd)
+    cb = pq_codebooks(q, n_codes=_PQ_CODES, n_sub=_PQ_SUB,
+                      cache_key=f"{sf_dir}:qv1000")
     # r9 (VERDICT #3): the decimated probe workload is passed as a
     # DataFrame — the operator bounds it with limit(PROBE_CAP + 1)
     # and raises loudly past the contract instead of materializing
     # corpus/50 rows on the driver unguarded
     probes = (q.filter(F.col("vec_id") % 50 == 0)
                .select(F.col("vec_id").alias("probe_id"), "qv"))
-    return (pq_adc_topk(q, probes, codebooks=cb, k=_PQ_TOPK)
+    return (pq_adc_topk(q, probes, codebooks=cb, k=_PQ_TOPK,
+                        cache_key=f"{sf_dir}:qv1000")
             .transform(bounded_sort, "probe_id", "rnk"))
 
 
@@ -4108,18 +4117,22 @@ top AS (SELECT probe_id, vec_id, adc_dist,
 SELECT probe_id, vec_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
 FROM top WHERE rnk <= {_PQ_TOPK} ORDER BY probe_id, rnk""")
 def x102(spark, sf_dir):
-    import numpy as np
-
-    from .operators.similarity import ivf_pq_topk, pq_codebooks
+    from .operators.similarity import (coarse_codebook, ivf_pq_topk,
+                                       pq_codebooks)
 
     q = (_t(spark, sf_dir, "embeddings")
          .select("vec_id",
                  F.transform(F.col("embedding").cast("array<double>"),
                              lambda x: F.floor(x * 1000).cast("bigint"))
                   .alias("qv")))
-    coarse_rows = q.orderBy("vec_id").limit(_IVFPQ_COARSE).collect()
-    coarse = np.array([r["qv"] for r in coarse_rows], dtype=np.float64)
-    cb = pq_codebooks(q, n_codes=_PQ_CODES, n_sub=_PQ_SUB)
+    # r10 VERDICT #3: coarse centroids, PQ codebooks and the encoded
+    # corpus are the offline IVF-PQ index build — all session-cached
+    # under the corpus derivation key (first build billed; the PQ
+    # codebook cache is SHARED with x101, same key + params)
+    coarse = coarse_codebook(q, n=_IVFPQ_COARSE,
+                             cache_key=f"{sf_dir}:qv1000")
+    cb = pq_codebooks(q, n_codes=_PQ_CODES, n_sub=_PQ_SUB,
+                      cache_key=f"{sf_dir}:qv1000")
     # r9 (VERDICT #3): probes as a DataFrame — the DISTRIBUTED path
     # (probe routing + LUTs shuffled as rows, cogrouped with the
     # encoded lists); nothing probe-sized reaches the driver, so the
@@ -4127,7 +4140,8 @@ def x102(spark, sf_dir):
     probes = (q.filter(F.col("vec_id") % 50 == 0)
                .select(F.col("vec_id").alias("probe_id"), "qv"))
     return (ivf_pq_topk(q, probes, coarse=coarse, codebooks=cb,
-                        nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK)
+                        nprobe=_IVFPQ_NPROBE, k=_PQ_TOPK,
+                        cache_key=f"{sf_dir}:qv1000")
             .transform(bounded_sort, "probe_id", "rnk"))
 
 
@@ -4205,7 +4219,8 @@ def x103(spark, sf_dir):
                .withColumn("nv", F.aggregate(
                    "qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x)))
     pairs = (semantic_dedup(q, k_clusters=_SEMDEDUP_K,
-                            thresh_micro=_SEMDEDUP_THRESH)
+                            thresh_micro=_SEMDEDUP_THRESH,
+                            cache_key=f"{sf_dir}:twins1.1")
              .select("id_a", "id_b"))
     comp = (connected_components(pairs)
             .withColumnRenamed("node", "vec_id"))

@@ -539,6 +539,128 @@ def test_semantic_dedup_chunked_value_identical(spark):
     assert len(base) > 0
 
 
+def test_semantic_dedup_cache_value_identity(spark):
+    """The session-scoped SemDeDup trained-state cache (r10 VERDICT
+    #5) must be value-invisible on BOTH shapes — the codebook-only
+    unchunked path and the chunked path whose cached value is the
+    materialized assignment index — and actually reused on repeat
+    calls.  thresh_micro is kernel state, not index state: a second
+    threshold must reuse the same entries."""
+    from enexory_parquet_export_spark.operators import similarity as S
+
+    df = _sem_input(spark, n=80)
+    S._SEM_ARTIFACTS.clear()
+    try:
+        # unchunked: cache holds (n_rows, C, cn2) only
+        plain = sorted(tuple(r) for r in S.semantic_dedup(
+            df, k_clusters=3, thresh_micro=900_000).collect())
+        cached = sorted(tuple(r) for r in S.semantic_dedup(
+            df, k_clusters=3, thresh_micro=900_000,
+            cache_key="t-sem").collect())
+        assert cached == plain
+        assert len(S._SEM_ARTIFACTS) == 1
+        hit = next(iter(S._SEM_ARTIFACTS.values()))
+        again = sorted(tuple(r) for r in S.semantic_dedup(
+            df, k_clusters=3, thresh_micro=900_000,
+            cache_key="t-sem").collect())
+        assert again == plain
+        assert next(iter(S._SEM_ARTIFACTS.values())) is hit  # pure hit
+        # a different threshold reuses the SAME trained index
+        S.semantic_dedup(df, k_clusters=3, thresh_micro=999_999,
+                         cache_key="t-sem").collect()
+        assert len(S._SEM_ARTIFACTS) == 1
+
+        # chunked (max_block < corpus): the assignment index caches too
+        S._SEM_ARTIFACTS.clear()
+        pchunk = sorted(tuple(r) for r in S.semantic_dedup(
+            df, k_clusters=3, thresh_micro=900_000,
+            max_block=7).collect())
+        cchunk = sorted(tuple(r) for r in S.semantic_dedup(
+            df, k_clusters=3, thresh_micro=900_000, max_block=7,
+            cache_key="t-sem").collect())
+        assert cchunk == pchunk == plain
+        asg_keys = [k for k in S._SEM_ARTIFACTS if k[-1] == "asg"]
+        assert len(asg_keys) == 1, "chunking must cache the assignment"
+        a_hit = S._SEM_ARTIFACTS[asg_keys[0]]
+        again2 = sorted(tuple(r) for r in S.semantic_dedup(
+            df, k_clusters=3, thresh_micro=900_000, max_block=7,
+            cache_key="t-sem").collect())
+        assert again2 == plain
+        assert S._SEM_ARTIFACTS[asg_keys[0]] is a_hit      # pure hit
+        # distinct k_clusters must never share trained state
+        S.semantic_dedup(df, k_clusters=4, thresh_micro=900_000,
+                         cache_key="t-sem").collect()
+        assert len([k for k in S._SEM_ARTIFACTS
+                    if k[-1] != "asg"]) == 2
+    finally:
+        S._SEM_ARTIFACTS.clear()
+
+
+def test_pq_artifact_cache_value_identity(spark, sf_dir):
+    """The session-scoped PQ trained-state cache (r10 VERDICT #3) must
+    be value-invisible for all four artifacts — codebooks, coarse
+    centroids, and both encoded index relations — and the encoded keys
+    must fingerprint the codebook VALUES: a different codebook under
+    the same cache_key must never serve stale codes."""
+    import numpy as np
+
+    from enexory_parquet_export_spark.operators import similarity as S
+
+    q = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id",
+                 F.transform(F.col("embedding").cast("array<double>"),
+                             lambda x: F.floor(x * 1000).cast("bigint"))
+                  .alias("qv")))
+    probes = [(r["vec_id"], list(r["qv"]))
+              for r in q.filter(F.col("vec_id") % 11 == 0).collect()]
+    S._PQ_ARTIFACTS.clear()
+    try:
+        cb_plain = S.pq_codebooks(q, n_codes=4, n_sub=4)
+        cb = S.pq_codebooks(q, n_codes=4, n_sub=4, cache_key="t-pq")
+        assert np.array_equal(cb, cb_plain)
+        assert S.pq_codebooks(q, n_codes=4, n_sub=4,
+                              cache_key="t-pq") is cb      # pure hit
+        co_plain = np.array(
+            [r["qv"] for r in q.orderBy("vec_id").limit(4).collect()],
+            dtype=np.float64)
+        co = S.coarse_codebook(q, n=4, cache_key="t-pq")
+        assert np.array_equal(co, co_plain)
+        assert S.coarse_codebook(q, n=4, cache_key="t-pq") is co
+
+        adc_plain = sorted(tuple(r) for r in S.pq_adc_topk(
+            q, probes, codebooks=cb, k=3).collect())
+        adc_cached = sorted(tuple(r) for r in S.pq_adc_topk(
+            q, probes, codebooks=cb, k=3, cache_key="t-pq").collect())
+        assert adc_cached == adc_plain
+        enc_keys = [k for k in S._PQ_ARTIFACTS if k[1] == "pq_enc"]
+        assert len(enc_keys) == 1
+        assert sorted(tuple(r) for r in S.pq_adc_topk(
+            q, probes, codebooks=cb, k=3,
+            cache_key="t-pq").collect()) == adc_plain
+        assert len([k for k in S._PQ_ARTIFACTS
+                    if k[1] == "pq_enc"]) == 1              # pure hit
+
+        ivf_plain = sorted(tuple(r) for r in S.ivf_pq_topk(
+            q, probes, coarse=co, codebooks=cb, nprobe=2, k=3).collect())
+        ivf_cached = sorted(tuple(r) for r in S.ivf_pq_topk(
+            q, probes, coarse=co, codebooks=cb, nprobe=2, k=3,
+            cache_key="t-pq").collect())
+        assert ivf_cached == ivf_plain
+
+        # stale-state guard: a DIFFERENT codebook under the SAME key
+        # must key a fresh encoded relation and return ITS values
+        cb2 = S.pq_codebooks(q, n_codes=8, n_sub=4)
+        adc2_plain = sorted(tuple(r) for r in S.pq_adc_topk(
+            q, probes, codebooks=cb2, k=3).collect())
+        adc2_cached = sorted(tuple(r) for r in S.pq_adc_topk(
+            q, probes, codebooks=cb2, k=3, cache_key="t-pq").collect())
+        assert adc2_cached == adc2_plain != adc_plain
+        assert len([k for k in S._PQ_ARTIFACTS
+                    if k[1] == "pq_enc"]) == 2
+    finally:
+        S._PQ_ARTIFACTS.clear()
+
+
 def test_pq_adc_topk_matches_numpy_reference(spark, sf_dir):
     """pq_adc_topk's two-pass (encode → local-top-k scan → global
     window) plan must equal a single-process numpy ADC over the same
