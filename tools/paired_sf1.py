@@ -112,6 +112,21 @@ def build_sf1(spark, copies: int) -> str:
     return out_dir
 
 
+#: --no-settle: A/B switch so the settle protocol itself can be
+#: measured against the bare r9 per-query gc (it must never be the
+#: thing that inflates a reading)
+SETTLE = True
+
+#: only force a JVM GC when the block store actually holds this much
+#: (the r11 A/B: an unconditional per-query System.gc costs ~0.1-0.3 s
+#: of JIT/codegen re-warm on dispatch-floor queries — 6-query sf0.1
+#: boundary race read 6.38× vs 5.89× duck settle-on vs off — while the
+#: outlier class it exists to kill only ever formed at sf1×10, where
+#: stable_sort checkpoints hold GBs.  Below the threshold the settle
+#: is the bare r9 per-query gc.)
+SETTLE_BYTES = 1 << 31
+
+
 def _settle(spark) -> None:
     """Free transient checkpoint blocks DETERMINISTICALLY between
     queries (r10 VERDICT #2 — the in-race block-store outlier class:
@@ -130,13 +145,22 @@ def _settle(spark) -> None:
     Python-side cache dicts still hold their proxies.  Polls the
     persisted-RDD set to a fixed point (≤4 GCs, usually 1)."""
     gc.collect()
+    if not SETTLE:
+        return
     sc = spark.sparkContext
     jsc = sc._jsc.sc()
+
+    def _held() -> int:
+        return sum(i.memSize() + i.diskSize()
+                   for i in jsc.getRDDStorageInfo())
+
+    if _held() < SETTLE_BYTES:
+        return
     for _ in range(4):
-        before = jsc.getRDDStorageInfo()
+        before = _held()
         sc._jvm.System.gc()
         time.sleep(0.1)
-        if len(jsc.getRDDStorageInfo()) >= len(before):
+        if _held() >= before:
             break
 
 
@@ -156,6 +180,9 @@ def main() -> int:
     sf_dir_override = None
     if "--sf-dir" in sys.argv:
         sf_dir_override = sys.argv[sys.argv.index("--sf-dir") + 1]
+    if "--no-settle" in sys.argv:
+        global SETTLE
+        SETTLE = False
 
     import __spark_entry__ as entrymod
     from enexory_parquet_export_spark import session as _session
@@ -164,6 +191,18 @@ def main() -> int:
     spark = get_spark("paired-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
+
+    def jvm_control() -> float:
+        # pure-CPU JVM-mode probe (decon_crossover's idiom — the host
+        # has slow/fast modes from hypervisor steal): sum over a fixed
+        # range, no IO, no shuffle.  Recorded so cross-round ratio
+        # comparisons can be normalized for host state.
+        t0 = time.perf_counter()
+        spark.range(400_000_000).selectExpr("sum(id)").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    controls = [jvm_control() for _ in range(2)]
+    print(f"jvm control: {controls} (fast host ≈ 0.3–0.5 s)", flush=True)
     tracker = sc.statusTracker()
     _cm = spark._jsparkSession.sharedState().cacheManager()
     sf1 = sf_dir_override or build_sf1(spark, copies)
@@ -252,10 +291,12 @@ def main() -> int:
     # recheck REPLACES the steady reading (the direct number is the
     # honest one; both are kept in the JSON).
     spark_recheck: dict[str, float] = {}
-    suspects = [n for n in names
-                if spark_steady.get(n, -1) > 1.5
-                and duck_t.get(n, -1) > 0
-                and spark_steady[n] > 2.0 * duck_t[n]][:8]
+    suspects = sorted(
+        (n for n in names
+         if spark_steady.get(n, -1) > 1.5
+         and duck_t.get(n, -1) > 0
+         and spark_steady[n] > 2.0 * duck_t[n]),
+        key=lambda n: -spark_steady[n] / duck_t[n])[:16]
     for name in suspects:
         _settle(spark)
         t0 = time.perf_counter()
@@ -292,7 +333,10 @@ def main() -> int:
         print(f"duck DNF: {dnf}")
     if err:
         print(f"spark ERR: {err}")
+    controls.append(jvm_control())
+    print(f"jvm control (end): {controls[-1]}", flush=True)
     print(json.dumps({"metric": "paired_sf1", "copies": copies,
+                      "jvm_control": controls,
                       "spark_total_first": tf, "spark_total": ts,
                       "duck_total": td,
                       "n_paired": len(paired), "duck_dnf": dnf,
