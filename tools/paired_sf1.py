@@ -288,8 +288,14 @@ def main() -> int:
     # > 2× duck) is re-measured DIRECTLY after a full settle — if the
     # in-race number was block-store distortion rather than real work,
     # the recheck shows it without a manual re-measure cycle.  The
-    # recheck REPLACES the steady reading (the direct number is the
-    # honest one; both are kept in the JSON).
+    # kept steady reading is the MIN of in-race and direct (both stay
+    # in the JSON): the distortion classes this protocol exists for —
+    # block-store stalls and hypervisor-steal bursts — are strictly
+    # ADDITIVE noise on a pure re-execution, so whichever reading is
+    # lower is closer to the query's true cost, and the recheck itself
+    # can land in a bad window just as the race can (measured r11:
+    # an end-of-race recheck read x85 at 8.35 s against a clean 2.12 s
+    # in-race reading).
     spark_recheck: dict[str, float] = {}
     suspects = sorted(
         (n for n in names
@@ -297,7 +303,12 @@ def main() -> int:
          and duck_t.get(n, -1) > 0
          and spark_steady[n] > 2.0 * duck_t[n]),
         key=lambda n: -spark_steady[n] / duck_t[n])[:16]
+    global SETTLE_BYTES
     for name in suspects:
+        # force the full settle before a recheck regardless of held
+        # bytes — a 0.1-0.3 s JIT re-warm is acceptable here, residual
+        # distortion is not
+        SETTLE_BYTES = 0
         _settle(spark)
         t0 = time.perf_counter()
         try:
@@ -311,7 +322,8 @@ def main() -> int:
             print(f"RECHECK {name}: in-race {spark_steady[name]} -> "
                   f"direct first {first:.2f} / steady "
                   f"{spark_recheck[name]}", flush=True)
-            spark_steady[name] = spark_recheck[name]
+            spark_steady[name] = min(spark_steady[name],
+                                     spark_recheck[name])
             del df, df2
         except Exception as exc:
             print(f"RECHECK ERROR {name}: {str(exc)[:200]}",
