@@ -3950,7 +3950,8 @@ def x100(spark, sf_dir):
                         F.transform("embedding", lambda x: x * 1.1)
                          .alias("embedding"))
     corpus = base.unionByName(twins)
-    cb = quantize_codebook(corpus, k_clusters=_SEMDEDUP_K)
+    cb = quantize_codebook(corpus, k_clusters=_SEMDEDUP_K,
+                           cache_key=f"{sf_dir}:twins1.1")
     return (semdedup_batch(corpus, cb, thresh_micro=_SEMDEDUP_THRESH,
                            cluster_cap=_SEMDEDUP_CAP)
             .transform(bounded_sort, "vec_id", "nbr_id"))

@@ -76,18 +76,37 @@ _STATE_SCHEMA = StructType([
 GROUP_BUFFER_SANITY_ROWS = 250_000
 
 
+#: Session-scoped codebook cache (the r10/r11 artifact pattern —
+#: quantize_codebook was the last uncached trained-state collect).
+#: Keyed per (applicationId, cache_key, k_clusters, scale);
+#: cache_key=None bypasses.  Value identity pinned in
+#: tests/test_streaming.py.
+_CODEBOOKS: dict[tuple, list] = {}
+
+
 def quantize_codebook(vecs: DataFrame, *, k_clusters: int,
-                      scale: int = 1000) -> list[list[int]]:
+                      scale: int = 1000,
+                      cache_key: str | None = None) -> list[list[int]]:
     """Offline codebook: quantized first ``k_clusters`` vectors by
     ``vec_id`` (the deterministic x44/x94 coarse-quantizer idiom the
     batch ``semantic_dedup`` uses).  Driver state is O(K·dim) — the
-    codebook-collect boundedness argument."""
+    codebook-collect boundedness argument.  ``cache_key`` memoizes the
+    trained codebook for the session (see :data:`_CODEBOOKS`)."""
+    ck = (None if cache_key is None else
+          (vecs.sparkSession.sparkContext.applicationId, cache_key,
+           k_clusters, scale))
+    hit = _CODEBOOKS.get(ck) if ck is not None else None
+    if hit is not None:
+        return hit
     rows = (vecs.select("vec_id",
                         F.transform(F.col("embedding").cast("array<double>"),
                                     lambda x: F.floor(x * scale)
                                     .cast("bigint")).alias("qv"))
                 .orderBy("vec_id").limit(k_clusters).collect())
-    return [list(r["qv"]) for r in rows]
+    out = [list(r["qv"]) for r in rows]
+    if ck is not None:
+        _CODEBOOKS[ck] = out
+    return out
 
 
 def _quantize_assign(codebook: Sequence[Sequence[int]], scale: int):

@@ -666,6 +666,34 @@ def test_bench_sweep_accounting_pinned(tmp_path):
     assert summarize_progress([]) == (0, 0, [], None)
 
 
+def test_quantize_codebook_cache_value_identity(spark):
+    """The session-scoped codebook cache (cache_key=...) must be
+    value-invisible and actually reused — the r10/r11 artifact-cache
+    conventions applied to the stream family's trained state."""
+    from enexory_parquet_export_spark.streaming import semdedup_stream as M
+
+    from conftest import SF_DIR
+    vecs = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>")
+                     .alias("embedding")))
+    M._CODEBOOKS.clear()
+    try:
+        plain = M.quantize_codebook(vecs, k_clusters=4)
+        cached = M.quantize_codebook(vecs, k_clusters=4,
+                                     cache_key="t-cb")
+        assert cached == plain
+        assert M.quantize_codebook(vecs, k_clusters=4,
+                                   cache_key="t-cb") is cached  # pure hit
+        # distinct params never share an entry
+        assert M.quantize_codebook(vecs, k_clusters=5,
+                                   cache_key="t-cb") == \
+            M.quantize_codebook(vecs, k_clusters=5)
+        assert len(M._CODEBOOKS) == 2
+    finally:
+        M._CODEBOOKS.clear()
+
+
 @pytest.mark.slow
 def test_semdedup_stream_equals_batch(spark, tmp_path):
     """Streaming SemDeDup events over an in-order append stream must
