@@ -94,12 +94,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #                        *range(88, 93),            # mandatory
 #                        *range(93, 104))
 #          _PRIORITY = q01–q15 then _R11_XBAND  (15 + 35 = 50)
-#   r12 plan: x40–x44 are MANDATORY (carried from r11; last green
-#        r9 — two rounds out by r12) + the r10 band (q16–q29 +
-#        x45–x49 + x57/x58/x60/x62–x65/x67–x71/x73/x75–x87 +
-#        x104–x108 = 50) — that is 55 candidates for 50 slots, so
-#        five carry to r13.  Carry five from the deepest-history
-#        group (x57-family, four green rows each r4/r6/r8/r10):
+#   r12 (this round): executed exactly as the r11 ledger spelled —
+#        x40–x44 are MANDATORY (carried from r11; last green r9 —
+#        two rounds out by r12) + the r10 band (q16–q29 + x45–x49 +
+#        x57/x58/x60/x62–x65/x67–x71/x73/x75–x87 + x104–x108 = 50)
+#        — that is 55 candidates for 50 slots, so five carry to
+#        r13.  Carry five from the deepest-history group
+#        (x57-family, four green rows each r4/r6/r8/r10):
 #        x57/x58/x60/x62/x63 → r13.  Mechanically:
 #          _R12_XBAND = (*range(40, 45),            # mandatory
 #                        45, 46, 47, 48, 49,
@@ -107,23 +108,36 @@ def entry(spark: SparkSession) -> DataFrame:
 #                        *range(75, 88),
 #                        *range(104, 109))
 #          _PRIORITY = q16–q29 then _R12_XBAND  (14 + 36 = 50)
-#        r13 then owes x57/x58/x60/x62/x63 plus whatever r12
-#        rotates out (the r11 band).
+#   r13 plan: x57/x58/x60/x62/x63 are MANDATORY (carried from r12;
+#        last green r10 — two rounds out by r13) + the r11 band
+#        (q01–q15 + x30–x39 + x50–x52/x54–x56 + x59/x66/x72 +
+#        x88–x103 = 50 if taken whole) — 55 candidates for 50
+#        slots, so five carry to r14.  Carry the five with the
+#        deepest driver-green history: x30–x34 (green r1–r3, r5,
+#        r7, r9, r11 — six rows each) → r14.  Mechanically:
+#          _R13_XBAND = (57, 58, 60, 62, 63,        # mandatory
+#                        *range(35, 40),
+#                        50, 51, 52, 54, 55, 56,
+#                        59, 66, 72,
+#                        *range(88, 104))
+#          _PRIORITY = q01–q15 then _R13_XBAND  (15 + 35 = 50)
+#        r14 then owes x30–x34 plus whatever r13 rotates out (the
+#        r12 band).
 #   INVARIANT: x53/x74 are rows-only sketches — they can never
 #        hash-match and must NEVER occupy a window slot; their error
 #        bounds are pytest'd (tests/test_functions.py) and their
 #        rows-only declaration pinned by tests/test_entry_contract.py
 #        (see README "Rotation rule").
-_R11_XBAND: tuple[int, ...] = (
-    *range(30, 40),                                # x40–x44 → r12
-    50, 51, 52, 54, 55, 56,
-    59, 66, 72,
-    *range(88, 93),                                # mandatory (last green r8)
-    *range(93, 104),
+_R12_XBAND: tuple[int, ...] = (
+    *range(40, 45),                                # mandatory (last green r9)
+    45, 46, 47, 48, 49,
+    64, 65, *range(67, 72), 73,                    # x57/x58/x60/x62/x63 → r13
+    *range(75, 88),
+    *range(104, 109),
 )
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(1, 16)),          # q01..q15
-    *(f"x{i}" for i in _R11_XBAND),
+    *(f"q{i:02d}" for i in range(16, 30)),         # q16..q29
+    *(f"x{i}" for i in _R12_XBAND),
 )
 
 
