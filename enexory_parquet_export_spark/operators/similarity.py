@@ -22,6 +22,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .. import artifacts as _artifacts
+from ..artifacts import plan_fingerprint
 from ..session import materialize
 
 #: fixture embedding dimension (embeddings.embedding: array<float>[64])
@@ -318,11 +320,16 @@ def effective_stride(n_rows: int, stride: int, cap: int) -> int:
 # coarse quantizer IS session-resident state in real IVF practice
 # (faiss keeps it in memory for the index's lifetime), so
 # ``ivf_flat_topk(cache_key=...)`` memoizes (n_rows, cids, C, cn) per
-# (applicationId, key, stride, cap) — O(codebook_cap) driver memory by
-# the same hard bound the uncached path enforces.  cache_key=None (the
-# crossover harness) bypasses.  Value identity is pinned in
-# tests/test_dedup_similarity.py.
-_IVF_CODEBOOKS: dict[tuple, tuple] = {}
+# (applicationId, key, stride, cap, ..., corpus plan hash) —
+# O(codebook_cap) driver memory by the same hard bound the uncached
+# path enforces.  cache_key=None (the crossover harness) bypasses.
+# Value identity is pinned in tests/test_dedup_similarity.py.  Since
+# r12 the dict is enrolled in the bounded artifact registry
+# (artifacts.py): keys carry the corpus plan fingerprint LAST, a
+# changed corpus under the same cache_key supersedes (evicts) the
+# stale entry, and the global ARTIFACT_KEY_CAP LRU-bounds the session.
+_IVF_CODEBOOKS: dict[tuple, tuple] = _artifacts.register(
+    "ivf_codebooks", {})
 
 
 def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
@@ -369,10 +376,14 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # do in practice (faiss keeps the coarse quantizer in memory) —
     # HARD-bounded at codebook_cap rows: the stride widens with the
     # corpus (one count job) so the collect is O(cap), never O(N/stride)
+    # corpus plan fingerprint LAST (r11 ADVICE): a different corpus
+    # reusing a cache_key keys fresh state and SUPERSEDES (evicts) the
+    # stale entry instead of silently serving it
     ck = (None if cache_key is None else
           (emb.sparkSession.sparkContext.applicationId, cache_key,
-           centroid_stride, codebook_cap, vec_col))
-    hit = _IVF_CODEBOOKS.get(ck) if ck is not None else None
+           centroid_stride, codebook_cap, vec_col,
+           plan_fingerprint(base)))
+    hit = _artifacts.get(_IVF_CODEBOOKS, ck)
     if hit is None:
         n_rows = base.count()
         stride = effective_stride(n_rows, centroid_stride, codebook_cap)
@@ -387,7 +398,8 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
         cn = np.sqrt(cn)
         hit = (n_rows, stride, cids, C, cn)
         if ck is not None:
-            _IVF_CODEBOOKS[ck] = hit
+            _artifacts.put(_IVF_CODEBOOKS, ck, hit,
+                           supersede_prefix=len(ck) - 1)
     n_rows, stride, cids, C, cn = hit
     if require_stride is not None and stride != require_stride:
         # A fixed-stride oracle (x44 hardcodes vec_id % 17) silently
@@ -454,14 +466,15 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # way — the rerank stage dominates there, not the assignment —
     # so the one-shot plan keeps its zero-extra-jobs pipelined shape.
     pre_key = (None if ck is None or not chunking else
-               ck + (nprobe, max_block, "pre"))
-    pre0 = _IVF_CODEBOOKS.get(pre_key) if pre_key is not None else None
+               ck[:-1] + (nprobe, max_block, "pre", ck[-1]))
+    pre0 = _artifacts.get(_IVF_CODEBOOKS, pre_key)
     if pre0 is None:
         pre0 = base.mapInPandas(_assign_batches, assign_schema)
         if chunking:
             pre0 = pre0.transform(materialize, eager=True, pinned=True)
             if pre_key is not None:
-                _IVF_CODEBOOKS[pre_key] = pre0
+                _artifacts.put(_IVF_CODEBOOKS, pre_key, pre0,
+                               supersede_prefix=len(pre_key) - 1)
     # single-arg lambda only (the F.transform second-slot trap)
     fan = F.concat(
         F.array(F.struct(F.lit(0).alias("_role"),
@@ -617,12 +630,16 @@ def lsh_bucket_udf(planes: list[list[float]]):
 # rejection).  ``thresh_micro`` is deliberately OUTSIDE the key: it
 # parameterizes the pair kernel, not the trained index.
 # cache_key=None (the crossover harness) bypasses.  Value identity is
-# pinned in tests/test_dedup_similarity.py.
-_SEM_ARTIFACTS: dict[tuple, tuple] = {}
+# pinned in tests/test_dedup_similarity.py.  Enrolled in the bounded
+# artifact registry since r12 (artifacts.py): corpus plan fingerprint
+# last in the key, supersede-on-change, global LRU cap.
+_SEM_ARTIFACTS: dict[tuple, tuple] = _artifacts.register(
+    "sem_artifacts", {})
 
 
 def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
                    max_block: int = 8192,
+                   chunk_rows: int | None = None,
                    cache_key: str | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) pair search: cluster-then-compare,
     with the within-cluster comparison run as a GROUPED NUMPY BLOCK
@@ -662,10 +679,15 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
     tiny-K semantics for the oracle pair; the kernel still removes
     the pair-row traffic and interpreted dot, and HOT-CLUSTER
     CHUNKING bounds per-task memory for any quantizer skew: clusters
-    larger than ``max_block`` split into hash chunks, the group key
-    becomes (cluster, block_a, block_b), and each row replicates to
-    the ``nch`` blocks it participates in — every pair still meets
-    exactly once, per-task score blocks are ≤ max_block².
+    larger than ``max_block`` split into hash chunks of ``chunk_rows``
+    rows (default ``max_block // 2`` — r11 VERDICT #5: full
+    max_block-sized gram tasks are ~0.5 GB matmuls whose scheduling
+    drove a 2.8× warm-run band on x103 at sf1×10; halving the chunk
+    edge quarters the per-task block and tightens the band at
+    unchanged values), the group key becomes (cluster, block_a,
+    block_b), and each row replicates to the ``nch`` blocks it
+    participates in — every pair still meets exactly once, per-task
+    score blocks are ≤ chunk_rows².
 
     Driver-side state: the K×dim codebook (first ``k_clusters``
     vectors by vec_id — the deterministic x94/x44 coarse-quantizer
@@ -687,8 +709,8 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
 
     ck = (None if cache_key is None else
           (q.sparkSession.sparkContext.applicationId, cache_key,
-           k_clusters, max_block))
-    hit = _SEM_ARTIFACTS.get(ck) if ck is not None else None
+           k_clusters, max_block, plan_fingerprint(q)))
+    hit = _artifacts.get(_SEM_ARTIFACTS, ck)
     if hit is None:
         # One count job up front: materializes the (lazy) checkpoint
         # below in full before the partial-partition codebook collect,
@@ -704,7 +726,8 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
         cn2 = np.array([r["nv"] for r in cent_rows], dtype=np.float64)
         hit = (n_rows, C, cn2)
         if ck is not None:
-            _SEM_ARTIFACTS[ck] = hit
+            _artifacts.put(_SEM_ARTIFACTS, ck, hit,
+                           supersede_prefix=len(ck) - 1)
     else:
         # codebook + count served from session state: the assignment
         # below is then the plan's ONLY consumer of q — a mid-plan
@@ -726,8 +749,10 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
         dd = nv[:, None] - 2.0 * (A @ C.T) + cn2[None, :]
         return pd.Series(np.argmin(dd, axis=1).astype(np.int64))
 
-    akey = None if ck is None else ck + ("asg",)
-    ahit = _SEM_ARTIFACTS.get(akey) if akey is not None else None
+    # assignment-index key: "asg" tag INSIDE, fingerprint stays LAST
+    # so the supersede prefix covers identity, not the corpus hash
+    akey = None if ck is None else ck[:-1] + ("asg", ck[-1])
+    ahit = _artifacts.get(_SEM_ARTIFACTS, akey)
     assigned = (ahit[0] if ahit is not None else
                 q.withColumn("cluster",
                              _assign.asNondeterministic()("qv", "nv")))
@@ -804,18 +829,25 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
             F.count(F.lit(1)).alias("_n")).agg(
             F.max("_n").alias("m")).collect()[0]["m"]) or 0
         if akey is not None:
-            _SEM_ARTIFACTS[akey] = (assigned, max_sz)
+            _artifacts.put(_SEM_ARTIFACTS, akey, (assigned, max_sz),
+                           supersede_prefix=len(akey) - 1)
     if max_sz <= max_block:
         return assigned.groupBy("cluster").applyInPandas(_pair_block,
                                                          out_schema)
     # Hot-cluster chunking (x44 idiom): clusters above max_block split
-    # into nch = ⌈|c|/max_block⌉ hash chunks; a row in chunk c joins
+    # into nch = ⌈|c|/chunk_rows⌉ hash chunks; a row in chunk c joins
     # block (min(c, x), max(c, x)) for every x — each unordered chunk
     # pair forms ONCE (the symmetric (bb, ba) key never exists), each
-    # row replicates nch times, per-task score blocks ≤ max_block².
+    # row replicates nch times, per-task score blocks ≤ chunk_rows².
+    # chunk_rows defaults to max_block // 2 (r11 VERDICT #5): the
+    # chunk edge is a pure granularity knob — values are identical at
+    # any setting — and half-edge blocks quarter the per-task matmul,
+    # which tightened x103's sf1×10 warm band (see BASELINE.md r12).
+    if chunk_rows is None:
+        chunk_rows = max(1, max_block // 2)
     sizes = (assigned.groupBy("cluster")
              .agg(F.greatest(F.lit(1),
-                             F.ceil(F.count(F.lit(1)) / max_block))
+                             F.ceil(F.count(F.lit(1)) / chunk_rows))
                   .cast("int").alias("_nch")))
     own = F.pmod(F.xxhash64("vec_id"), F.col("_nch"))
     chunked = (assigned.join(F.broadcast(sizes), "cluster")
@@ -849,8 +881,14 @@ def semantic_dedup(q: DataFrame, *, k_clusters: int, thresh_micro: int,
 # executor-side materialized DataFrames (4 small codes per vector).
 # First build is billed (collect + eager materialize run as jobs);
 # cache_key=None (the crossover harness) bypasses.  Value identity is
-# pinned in tests/test_dedup_similarity.py.
-_PQ_ARTIFACTS: dict[tuple, object] = {}
+# pinned in tests/test_dedup_similarity.py.  Enrolled in the bounded
+# artifact registry since r12 (artifacts.py): corpus plan fingerprint
+# last in every key, a retrained codebook or changed corpus under the
+# same cache_key SUPERSEDES (evicts + releases) the stale pinned
+# relation instead of leaving it held for the session (r11 ADVICE),
+# and the global LRU cap bounds a corpus-cycling session.
+_PQ_ARTIFACTS: dict[tuple, object] = _artifacts.register(
+    "pq_artifacts", {})
 
 
 def _np_sig(arr) -> str:
@@ -879,8 +917,8 @@ def pq_codebooks(q: DataFrame, *, n_codes: int, n_sub: int,
 
     ck = (None if cache_key is None else
           (q.sparkSession.sparkContext.applicationId, "pq_cb",
-           cache_key, n_codes, n_sub))
-    hit = _PQ_ARTIFACTS.get(ck) if ck is not None else None
+           cache_key, n_codes, n_sub, plan_fingerprint(q)))
+    hit = _artifacts.get(_PQ_ARTIFACTS, ck)
     if hit is not None:
         return hit
     rows = q.orderBy("vec_id").limit(n_codes).collect()
@@ -891,7 +929,8 @@ def pq_codebooks(q: DataFrame, *, n_codes: int, n_sub: int,
     d_sub = dim // n_sub
     out = C.reshape(n_codes, n_sub, d_sub).transpose(1, 0, 2).copy()
     if ck is not None:
-        _PQ_ARTIFACTS[ck] = out
+        _artifacts.put(_PQ_ARTIFACTS, ck, out,
+                       supersede_prefix=len(ck) - 1)
     return out
 
 
@@ -905,14 +944,15 @@ def coarse_codebook(q: DataFrame, *, n: int,
 
     ck = (None if cache_key is None else
           (q.sparkSession.sparkContext.applicationId, "pq_coarse",
-           cache_key, n))
-    hit = _PQ_ARTIFACTS.get(ck) if ck is not None else None
+           cache_key, n, plan_fingerprint(q)))
+    hit = _artifacts.get(_PQ_ARTIFACTS, ck)
     if hit is not None:
         return hit
     rows = q.orderBy("vec_id").limit(n).collect()
     out = np.array([r["qv"] for r in rows], dtype=np.float64)
     if ck is not None:
-        _PQ_ARTIFACTS[ck] = out
+        _artifacts.put(_PQ_ARTIFACTS, ck, out,
+                       supersede_prefix=len(ck) - 1)
     return out
 
 
@@ -1024,17 +1064,23 @@ def pq_adc_topk(q: DataFrame, probes, *, codebooks,
     # materialization of (vec_id, n_sub codes) replaces the per-plan
     # full-vector encode pass; the key carries the codebook's value
     # fingerprint so a different codebook can never serve stale codes
+    # identity = (appId, tag, cache_key, n_sub, n_codes); the codebook
+    # value fingerprint AND the corpus plan fingerprint are the
+    # trailing value components — a retrain or corpus change under the
+    # same cache_key supersedes (evicts + releases) the old pinned
+    # relation (r11 ADVICE)
     ek = (None if cache_key is None else
           (q.sparkSession.sparkContext.applicationId, "pq_enc",
-           cache_key, n_sub, n_codes, _np_sig(C)))
-    encoded = _PQ_ARTIFACTS.get(ek) if ek is not None else None
+           cache_key, n_sub, n_codes, _np_sig(C), plan_fingerprint(q)))
+    encoded = _artifacts.get(_PQ_ARTIFACTS, ek)
     if encoded is None:
         encoded = q.select("vec_id", "qv").mapInPandas(
             encode, "vec_id bigint, codes array<bigint>")
         if ek is not None:
             encoded = encoded.transform(materialize, eager=True,
                                         pinned=True)
-            _PQ_ARTIFACTS[ek] = encoded
+            _artifacts.put(_PQ_ARTIFACTS, ek, encoded,
+                           supersede_prefix=5)
 
     def scan(pdfs):
         # per chunk: vectorized per-probe candidate selection — keep
@@ -1170,15 +1216,17 @@ def ivf_pq_topk(q: DataFrame, probes, *, coarse, codebooks,
     # inputs (coarse centroids and codebooks)
     ek = (None if cache_key is None else
           (q.sparkSession.sparkContext.applicationId, "ivfpq_enc",
-           cache_key, n_sub, n_codes, _np_sig(Cc), _np_sig(C)))
-    encoded = _PQ_ARTIFACTS.get(ek) if ek is not None else None
+           cache_key, n_sub, n_codes, _np_sig(Cc), _np_sig(C),
+           plan_fingerprint(q)))
+    encoded = _artifacts.get(_PQ_ARTIFACTS, ek)
     if encoded is None:
         encoded = q.select("vec_id", "qv").mapInPandas(
             encode, "cid bigint, vec_id bigint, codes array<bigint>")
         if ek is not None:
             encoded = encoded.transform(materialize, eager=True,
                                         pinned=True)
-            _PQ_ARTIFACTS[ek] = encoded
+            _artifacts.put(_PQ_ARTIFACTS, ek, encoded,
+                           supersede_prefix=5)
 
     _EMPTY = {"probe_id": "int64", "vec_id": "int64", "adc_dist": "int64"}
 

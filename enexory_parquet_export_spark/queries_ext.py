@@ -22,6 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import artifacts as _artifacts
+from .artifacts import plan_fingerprint
 from .functions import text as T
 from .functions.hashing import MERSENNE_P, hash_family_sql, portable_hash60_sql
 from .operators import cdc
@@ -3185,7 +3187,8 @@ asg{i} AS (SELECT vec_id, cid, dd FROM (
 # returned plan is ONE lazy scan + broadcast-argmin projection —
 # no materialize, no training job.  cache_key=None (the crossover
 # harness) bypasses.  Value identity pinned in tests/test_ml_property.
-_KMEANS_CENTROIDS: dict[tuple, list] = {}
+_KMEANS_CENTROIDS: dict[tuple, list] = _artifacts.register(
+    "kmeans_centroids", {})
 
 
 def kmeans_assign(emb: DataFrame, *, k: int = _KMEANS_K,
@@ -3197,8 +3200,9 @@ def kmeans_assign(emb: DataFrame, *, k: int = _KMEANS_K,
 
     spark = emb.sparkSession
     ck = (None if cache_key is None else
-          (spark.sparkContext.applicationId, cache_key, k, iters))
-    hit = _KMEANS_CENTROIDS.get(ck) if ck is not None else None
+          (spark.sparkContext.applicationId, cache_key, k, iters,
+           plan_fingerprint(emb)))
+    hit = _artifacts.get(_KMEANS_CENTROIDS, ck)
 
     qv = emb.select("vec_id",
                     F.transform(F.col("embedding").cast("array<double>"),
@@ -3277,7 +3281,8 @@ def kmeans_assign(emb: DataFrame, *, k: int = _KMEANS_K,
         # then assigns against the COLLECTED centroids instead of
         # lazily re-running the whole Lloyd DAG at action time
         rows = [(r["cid"], r["c"]) for r in cent.collect()]
-        _KMEANS_CENTROIDS[ck] = rows
+        _artifacts.put(_KMEANS_CENTROIDS, ck, rows,
+                       supersede_prefix=len(ck) - 1)
         sc = scored(_cents_1row(rows))
     # plain orderBy, not stable_sort: the upstream is a checkpointed
     # scan + projection, so the range-sampling pass is cheap to re-run
@@ -3459,7 +3464,8 @@ def _bpe_local_merges(word_counts: dict[str, int], iters: int):
 # the steady-state a resident engine provides.  cache_key=None (the
 # crossover harness path) bypasses the cache entirely.  Value
 # identity cached-vs-uncached is pinned in tests/test_ml_property.py.
-_BPE_ARTIFACTS: dict[tuple, object] = {}
+_BPE_ARTIFACTS: dict[tuple, object] = _artifacts.register(
+    "bpe_artifacts", {})
 
 
 def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS,
@@ -3495,8 +3501,8 @@ def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS,
     if cache_key is not None:
         spark = wc.sparkSession
         key = (spark.sparkContext.applicationId, cache_key, iters,
-               mode, bool(return_symbols))
-        hit = _BPE_ARTIFACTS.get(key)
+               mode, bool(return_symbols), plan_fingerprint(wc))
+        hit = _artifacts.get(_BPE_ARTIFACTS, key)
         if hit is None:
             built = bpe_merges(wc, iters=iters,
                                return_symbols=return_symbols, mode=mode)
@@ -3506,10 +3512,12 @@ def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS,
                 # eager+pinned blocks live for the session under the
                 # module-level reference, i.e. the artifact cache
                 built = materialize(built, eager=True, pinned=True)
-                _BPE_ARTIFACTS[key] = built
+                _artifacts.put(_BPE_ARTIFACTS, key, built,
+                               supersede_prefix=len(key) - 1)
                 return built
             hit = (built.collect(), built.schema)   # ≤ iters rows
-            _BPE_ARTIFACTS[key] = hit
+            _artifacts.put(_BPE_ARTIFACTS, key, hit,
+                           supersede_prefix=len(key) - 1)
         if return_symbols:
             return hit
         rows, schema = hit

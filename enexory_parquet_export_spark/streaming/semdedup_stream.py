@@ -48,6 +48,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .. import artifacts as _artifacts
+from ..artifacts import plan_fingerprint
 from pyspark.sql.types import (
     ArrayType,
     LongType,
@@ -81,7 +84,8 @@ GROUP_BUFFER_SANITY_ROWS = 250_000
 #: Keyed per (applicationId, cache_key, k_clusters, scale);
 #: cache_key=None bypasses.  Value identity pinned in
 #: tests/test_streaming.py.
-_CODEBOOKS: dict[tuple, list] = {}
+_CODEBOOKS: dict[tuple, list] = _artifacts.register(
+    "stream_quantize_codebooks", {})
 
 
 def quantize_codebook(vecs: DataFrame, *, k_clusters: int,
@@ -94,8 +98,8 @@ def quantize_codebook(vecs: DataFrame, *, k_clusters: int,
     trained codebook for the session (see :data:`_CODEBOOKS`)."""
     ck = (None if cache_key is None else
           (vecs.sparkSession.sparkContext.applicationId, cache_key,
-           k_clusters, scale))
-    hit = _CODEBOOKS.get(ck) if ck is not None else None
+           k_clusters, scale, plan_fingerprint(vecs)))
+    hit = _artifacts.get(_CODEBOOKS, ck)
     if hit is not None:
         return hit
     rows = (vecs.select("vec_id",
@@ -105,7 +109,8 @@ def quantize_codebook(vecs: DataFrame, *, k_clusters: int,
                 .orderBy("vec_id").limit(k_clusters).collect())
     out = [list(r["qv"]) for r in rows]
     if ck is not None:
-        _CODEBOOKS[ck] = out
+        _artifacts.put(_CODEBOOKS, ck, out,
+                       supersede_prefix=len(ck) - 1)
     return out
 
 

@@ -127,7 +127,7 @@ SETTLE = True
 SETTLE_BYTES = 1 << 31
 
 
-def _settle(spark) -> None:
+def _settle(spark, force: bool = False) -> None:
     """Free transient checkpoint blocks DETERMINISTICALLY between
     queries (r10 VERDICT #2 — the in-race block-store outlier class:
     x85 read 9.45 s in-race vs 2.07 s direct at sf1×10).
@@ -137,13 +137,18 @@ def _settle(spark) -> None:
     ``stable_sort``/``materialize`` localCheckpoints then become
     unreachable, but their cached blocks are freed by ContextCleaner
     only after a JVM GC cycles the weak references — and an idle
-    128 GiB heap may not GC for many queries, so blocks pile up until
-    an allocation stall distorts whatever heavy query happens to be
+    48 GiB heap (the session default, BASELINE.md "Session-default
+    heap") may not GC for many queries, so blocks pile up until an
+    allocation stall distorts whatever heavy query happens to be
     running (the "host bimodality" spikes).  One explicit
     ``System.gc()`` per query cycles the cleaner NOW; session-artifact
     relations (BPE/IVF/PQ/SemDeDup indexes) survive because the
     Python-side cache dicts still hold their proxies.  Polls the
-    persisted-RDD set to a fixed point (≤4 GCs, usually 1)."""
+    persisted-RDD set to a fixed point (≤4 GCs, usually 1).
+
+    ``force=True`` skips the SETTLE_BYTES gate (recheck protocol: a
+    0.1–0.3 s JIT re-warm is acceptable there, residual distortion is
+    not) without mutating the module global (r11 ADVICE)."""
     gc.collect()
     if not SETTLE:
         return
@@ -154,7 +159,7 @@ def _settle(spark) -> None:
         return sum(i.memSize() + i.diskSize()
                    for i in jsc.getRDDStorageInfo())
 
-    if _held() < SETTLE_BYTES:
+    if not force and _held() < SETTLE_BYTES:
         return
     for _ in range(4):
         before = _held()
@@ -202,7 +207,10 @@ def main() -> int:
         return round(time.perf_counter() - t0, 3)
 
     controls = [jvm_control() for _ in range(2)]
-    print(f"jvm control: {controls} (fast host ≈ 0.3–0.5 s)", flush=True)
+    # reference band (BASELINE.md r11): fast host ≈ 0.3–0.5 s on the
+    # first (JIT-cold) probe, 0.09–0.35 s post-warm; slow host ≥ 1 s
+    print(f"jvm control: {controls} "
+          f"(fast host ≈ 0.3–0.5 s cold / 0.09–0.35 s warm)", flush=True)
     tracker = sc.statusTracker()
     _cm = spark._jsparkSession.sharedState().cacheManager()
     sf1 = sf_dir_override or build_sf1(spark, copies)
@@ -283,19 +291,26 @@ def main() -> int:
               f"| {spark_t[name] if spark_t[name] > 0 else 'ERR'} "
               f"| {s if s > 0 else 'ERR'} | {ratio} |", flush=True)
 
-    # Automatic outlier recheck (r10 VERDICT #2 protocol): any paired
-    # reading with the floor-violation shape (steady > 1.5 s AND
-    # > 2× duck) is re-measured DIRECTLY after a full settle — if the
-    # in-race number was block-store distortion rather than real work,
+    # Automatic outlier recheck (r10 VERDICT #2 protocol, SYMMETRIC
+    # since r12 — r11 VERDICT #1/ADVICE): any paired reading with the
+    # floor-violation shape (> 1.5 s AND > 2× its pair, on EITHER
+    # engine) is re-measured DIRECTLY after a full settle — if the
+    # in-race number was block-store distortion (Spark) or a
+    # hypervisor-steal burst (either engine) rather than real work,
     # the recheck shows it without a manual re-measure cycle.  The
-    # kept steady reading is the MIN of in-race and direct (both stay
-    # in the JSON): the distortion classes this protocol exists for —
-    # block-store stalls and hypervisor-steal bursts — are strictly
-    # ADDITIVE noise on a pure re-execution, so whichever reading is
-    # lower is closer to the query's true cost, and the recheck itself
-    # can land in a bad window just as the race can (measured r11:
-    # an end-of-race recheck read x85 at 8.35 s against a clean 2.12 s
-    # in-race reading).
+    # kept reading is the MIN of in-race and direct (both stay in the
+    # JSON): the distortion classes this protocol exists for are
+    # strictly ADDITIVE noise on a pure re-execution, so whichever
+    # reading is lower is closer to the query's true cost, and the
+    # recheck itself can land in a bad window just as the race can
+    # (measured r11: an end-of-race recheck read x85 at 8.35 s against
+    # a clean 2.12 s in-race reading).  The same policy now applies to
+    # BOTH engines — the additive-noise rationale never distinguished
+    # them — and the headline reports BOTH the raw in-race totals and
+    # the min-policy totals so the ratio band is visible under either
+    # policy.
+    spark_steady_inrace = dict(spark_steady)
+    duck_inrace = dict(duck_t)
     spark_recheck: dict[str, float] = {}
     suspects = sorted(
         (n for n in names
@@ -303,13 +318,11 @@ def main() -> int:
          and duck_t.get(n, -1) > 0
          and spark_steady[n] > 2.0 * duck_t[n]),
         key=lambda n: -spark_steady[n] / duck_t[n])[:16]
-    global SETTLE_BYTES
     for name in suspects:
         # force the full settle before a recheck regardless of held
         # bytes — a 0.1-0.3 s JIT re-warm is acceptable here, residual
         # distortion is not
-        SETTLE_BYTES = 0
-        _settle(spark)
+        _settle(spark, force=True)
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf1)
@@ -328,19 +341,50 @@ def main() -> int:
         except Exception as exc:
             print(f"RECHECK ERROR {name}: {str(exc)[:200]}",
                   file=sys.stderr)
-        _settle(spark)
+        _settle(spark, force=True)
+
+    # duck leg of the symmetric policy: same shape test with the
+    # engines swapped (duck > 1.5 s AND > 2× its spark pair), same
+    # min-of-two keep, same single-recheck budget
+    duck_recheck: dict[str, float] = {}
+    duck_suspects = sorted(
+        (n for n in names
+         if duck_t.get(n, -1) > 1.5
+         and spark_steady.get(n, -1) > 0
+         and duck_t[n] > 2.0 * spark_steady[n]),
+        key=lambda n: -duck_t[n] / spark_steady[n])[:16]
+    for name in duck_suspects:
+        timer = threading.Timer(duck_timeout, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(oracles[name]).arrow()
+            duck_recheck[name] = round(time.perf_counter() - t0, 3)
+            print(f"DUCK RECHECK {name}: in-race {duck_t[name]} -> "
+                  f"direct {duck_recheck[name]}", flush=True)
+            duck_t[name] = min(duck_t[name], duck_recheck[name])
+        except Exception as exc:
+            print(f"DUCK RECHECK ERROR {name}: {str(exc)[:140]}",
+                  file=sys.stderr)
+        finally:
+            timer.cancel()
 
     paired = [n for n in names
               if spark_steady.get(n, -1) > 0 and duck_t.get(n, -1) > 0]
     ts = round(sum(spark_steady[n] for n in paired), 2)
     tf = round(sum(spark_t[n] for n in paired), 2)
     td = round(sum(duck_t[n] for n in paired), 2)
+    ts_raw = round(sum(spark_steady_inrace[n] for n in paired), 2)
+    td_raw = round(sum(duck_inrace[n] for n in paired), 2)
     dnf = [n for n in names if duck_t.get(n, 0) < 0]
     err = [n for n in names if spark_steady.get(n, 0) < 0]
     print(f"\npaired total ({len(paired)} queries): duck {td}s, "
           f"spark first {tf}s / steady {ts}s "
           f"(build-in-steady {round(sum(spark_build.get(n, 0) for n in paired), 2)}s), "
           f"steady ratio {ts / td:.2f}x")
+    print(f"raw in-race (no recheck policy on either side): "
+          f"duck {td_raw}s, spark steady {ts_raw}s, "
+          f"ratio {ts_raw / td_raw:.2f}x")
     if dnf:
         print(f"duck DNF: {dnf}")
     if err:
@@ -351,12 +395,15 @@ def main() -> int:
                       "jvm_control": controls,
                       "spark_total_first": tf, "spark_total": ts,
                       "duck_total": td,
+                      "spark_total_inrace": ts_raw,
+                      "duck_total_inrace": td_raw,
                       "n_paired": len(paired), "duck_dnf": dnf,
                       "spark_err": err, "spark_first": spark_t,
                       "spark_steady": spark_steady,
                       "spark_build": spark_build,
                       "steady_rebuilt": rebuilt,
                       "spark_recheck": spark_recheck,
+                      "duck_recheck": duck_recheck,
                       "duck": duck_t}))
     return 0
 
