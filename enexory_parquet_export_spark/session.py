@@ -53,6 +53,21 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes":
         os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4MB"),
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Scan-split cap (r11 VERDICT #2, measured r12): the decon
+    # superlinearity at 40.5M docs was GC pressure from scan-task
+    # in-flight bytes — snappy text decompresses ~3.3×, so a 128MB
+    # disk split is ~420MB of live columnar batches per task; 32
+    # concurrent tasks hold ~13GB plus shingle-fold temporaries and
+    # the corpus-scan stage GC-thrashed (647s GC over the stage; the
+    # 13.5M-doc fixture sat at 72MB splits only because its file
+    # count over-split it — per-task bytes GREW with the corpus, the
+    # superlinear component).  At 32MB splits the same query read
+    # 89.6–97.3s vs 126.9–213.5s, same process, alternating A/B.
+    # sf0.1 fixture files are all under 32MB, so the bench envelope
+    # is unchanged; a cluster deployment tunes via env (keep
+    # disk-split × codec-ratio ≲ per-core memory budget).
+    "spark.sql.files.maxPartitionBytes":
+        os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
     # per-day idempotent overwrite == the reference's whole-partition
     # rewrite primitive (Parquet Export/db_extractor.py:247-248)
     "spark.sql.sources.partitionOverwriteMode": "dynamic",

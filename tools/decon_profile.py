@@ -1,0 +1,108 @@
+"""Per-stage attribution of the decon/containment superlinearity
+(r11 VERDICT #2): per-doc cost grew 1.79 → 1.97 µs from 13.5M → 40.5M
+docs while DuckDB went sublinear; the 1024-partition hypothesis was
+measured-and-rejected in r11.  This harness runs ONE decontaminate leg
+per fixture scale under a dedicated job group and reads the JVM
+AppStatusStore afterwards, printing each stage's task count, executor
+run/CPU time, input and shuffle volumes — the stage whose time grows
+faster than the fixture's BYTE growth is the superlinear component.
+
+Context (measured r12, recorded in BASELINE.md): the perturbed
+fixture's ``~{copy}`` token suffix is 1 char longer for every 10× in
+the copy index, so bytes/doc itself grows with N (545.6 → 560.4 B/doc
+from 2700 → 8100 copies, +2.7%) — per-DOC normalization overstates the
+superlinearity; per-BYTE cost is the honest metric and the residual
+after byte normalization is what this tool attributes.
+
+Usage::
+
+    python tools/decon_profile.py [--copies-list 2700,8100] [--op decon]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from decon_crossover import build_fixture, spark_decon, spark_cont  # noqa: E402
+
+
+def stage_metrics(spark) -> list[dict]:
+    """All completed stages from the AppStatusStore (py4j walk of the
+    v1 StageData seq — local mode, so 'executor' = the local JVM)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    gw = sc._gateway
+    # Spark 4.x signature: stageList(statuses, details, withSummaries,
+    # unsortedQuantiles, taskStatus)
+    seq = store.stageList(gw.jvm.java.util.ArrayList(), False, False,
+                          gw.new_array(gw.jvm.double, 0),
+                          gw.jvm.java.util.ArrayList())
+    out = []
+    it = seq.iterator()
+    while it.hasNext():
+        s = it.next()
+        out.append({
+            "stage": s.stageId(),
+            "name": str(s.name())[:80],
+            "tasks": s.numCompleteTasks(),
+            "run_ms": s.executorRunTime(),
+            "cpu_ms": s.executorCpuTime() // 1_000_000,
+            "input_mb": round(s.inputBytes() / 1e6, 1),
+            "sh_read_mb": round(s.shuffleReadBytes() / 1e6, 1),
+            "sh_write_mb": round(s.shuffleWriteBytes() / 1e6, 1),
+            "gc_ms": s.jvmGcTime() if hasattr(s, "jvmGcTime") else None,
+        })
+    return out
+
+
+def main() -> int:
+    copies_list = [2700, 8100]
+    if "--copies-list" in sys.argv:
+        copies_list = [int(c) for c in sys.argv[
+            sys.argv.index("--copies-list") + 1].split(",")]
+    op = "decon"
+    if "--op" in sys.argv:
+        op = sys.argv[sys.argv.index("--op") + 1]
+    build = spark_decon if op == "decon" else spark_cont
+
+    from enexory_parquet_export_spark.session import get_spark
+
+    spark = get_spark("decon-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for copies in copies_list:
+        fdir = build_fixture(spark, copies)
+        doc_path = os.path.join(fdir, "documents.parquet", "*.parquet")
+        seen = {s["stage"] for s in stage_metrics(spark)}
+        t0 = time.perf_counter()
+        rows = build(spark, doc_path).collect()
+        wall = round(time.perf_counter() - t0, 2)
+        stages = [s for s in stage_metrics(spark) if s["stage"] not in seen]
+        stages.sort(key=lambda s: -s["run_ms"])
+        print(f"\n=== {op} copies={copies}: wall {wall}s, "
+              f"{len(rows)} rows ===")
+        for s in stages:
+            print(f"  stage {s['stage']:>4} run {s['run_ms']/1000:7.1f}s "
+                  f"cpu {s['cpu_ms']/1000:7.1f}s gc {s['gc_ms']} "
+                  f"tasks {s['tasks']:>4} in {s['input_mb']:>9} MB "
+                  f"shR {s['sh_read_mb']:>7} shW {s['sh_write_mb']:>7} "
+                  f"| {s['name']}")
+        results[copies] = {"wall": wall, "rows": len(rows),
+                           "stages": stages}
+    if len(copies_list) == 2:
+        a, b = copies_list
+        print(f"\nwall growth {results[b]['wall'] / results[a]['wall']:.2f}x "
+              f"for {b / a:.2f}x copies")
+    print(json.dumps({"metric": "decon_profile", "op": op,
+                      "results": {str(k): v for k, v in results.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
