@@ -81,6 +81,19 @@ STATIC_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.shuffle.partitions": "32",
+    # Codegen-class cache (r11 VERDICT #7, measured r12): x32's
+    # largest-in-set variance band was attributed per-stage to its
+    # verification-join kernel flipping 4.1 → 46.6 s aggregate CPU on
+    # IDENTICAL input (same 149.2 MB shuffle read, 34 tasks, gc≈0,
+    # flat host controls) — a whole-stage-codegen cache miss: the
+    # 100-entry default LRU-evicts a busy session's hot kernels
+    # (~15-20 compiled stages per complex query), and an evicted
+    # kernel re-enters as a FRESH class that runs interpreted/C1
+    # until HotSpot re-tiers it.  1000 entries keeps a full bench
+    # sweep's kernels (and their JIT state) resident; worst-case
+    # footprint ~100 MB of classes on a 48g driver.
+    "spark.sql.codegen.cache.maxEntries":
+        os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "1000"),
 }
 
 
