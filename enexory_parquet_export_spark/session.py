@@ -89,11 +89,15 @@ STATIC_CONFS: dict[str, str] = {
     # 100-entry default LRU-evicts a busy session's hot kernels
     # (~15-20 compiled stages per complex query), and an evicted
     # kernel re-enters as a FRESH class that runs interpreted/C1
-    # until HotSpot re-tiers it.  1000 entries keeps a full bench
-    # sweep's kernels (and their JIT state) resident; worst-case
-    # footprint ~100 MB of classes on a 48g driver.
+    # until HotSpot re-tiers it.  Raising to 1000 collared x32's warm
+    # band to 1.40× in a single-query session BUT cost ~2-8 s on the
+    # 107-query whole-set steady total (58.7 s at 100 vs 61.1/66.8 s
+    # at 1000, same-day A/B — a thousand resident generated classes
+    # pressure the JVM code cache across a full sweep), so the
+    # DEFAULT stays stock; sessions dominated by one complex repeated
+    # query raise it via env.
     "spark.sql.codegen.cache.maxEntries":
-        os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "1000"),
+        os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "100"),
 }
 
 
