@@ -108,7 +108,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #                        *range(75, 88),
 #                        *range(104, 109))
 #          _PRIORITY = q16–q29 then _R12_XBAND  (14 + 36 = 50)
-#   r13 plan: x57/x58/x60/x62/x63 are MANDATORY (carried from r12;
+#   r13 (this round): executed exactly as the r12 ledger spelled —
+#        x57/x58/x60/x62/x63 are MANDATORY (carried from r12;
 #        last green r10 — two rounds out by r13) + the r11 band
 #        (q01–q15 + x30–x39 + x50–x52/x54–x56 + x59/x66/x72 +
 #        x88–x103 = 50 if taken whole) — 55 candidates for 50
@@ -121,23 +122,36 @@ def entry(spark: SparkSession) -> DataFrame:
 #                        59, 66, 72,
 #                        *range(88, 104))
 #          _PRIORITY = q01–q15 then _R13_XBAND  (15 + 35 = 50)
-#        r14 then owes x30–x34 plus whatever r13 rotates out (the
-#        r12 band).
+#   r14 plan: x30–x34 are MANDATORY (carried from r13; last green
+#        r11 — two rounds out by r14) + the r12 band (q16–q29 +
+#        x40–x49 + x64/x65/x67–x71/x73 + x75–x87 + x104–x108 = 50
+#        if taken whole) — 55 candidates for 50 slots, so five
+#        carry to r15.  Carry the five with the deepest
+#        driver-green history: x75–x79 (green r4/r6/r8/r10/r12 —
+#        five rows each) → r15.  Mechanically:
+#          _R14_XBAND = (30, 31, 32, 33, 34,        # mandatory
+#                        *range(40, 50),
+#                        64, 65, *range(67, 72), 73,
+#                        *range(80, 88),
+#                        *range(104, 109))
+#          _PRIORITY = q16–q29 then _R14_XBAND  (14 + 36 = 50)
+#        r15 then owes x75–x79 plus whatever r14 rotates out (the
+#        r13 band).
 #   INVARIANT: x53/x74 are rows-only sketches — they can never
 #        hash-match and must NEVER occupy a window slot; their error
 #        bounds are pytest'd (tests/test_functions.py) and their
 #        rows-only declaration pinned by tests/test_entry_contract.py
 #        (see README "Rotation rule").
-_R12_XBAND: tuple[int, ...] = (
-    *range(40, 45),                                # mandatory (last green r9)
-    45, 46, 47, 48, 49,
-    64, 65, *range(67, 72), 73,                    # x57/x58/x60/x62/x63 → r13
-    *range(75, 88),
-    *range(104, 109),
+_R13_XBAND: tuple[int, ...] = (
+    57, 58, 60, 62, 63,                            # mandatory (last green r10)
+    *range(35, 40),                                # x30–x34 → r14
+    50, 51, 52, 54, 55, 56,
+    59, 66, 72,
+    *range(88, 104),
 )
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(16, 30)),         # q16..q29
-    *(f"x{i}" for i in _R12_XBAND),
+    *(f"q{i:02d}" for i in range(1, 16)),          # q01..q15
+    *(f"x{i}" for i in _R13_XBAND),
 )
 
 

@@ -110,12 +110,12 @@ def test_driver_window_covers_contract_core():
     names = list(entrymod.queries())
     first50 = names[:50]
     window = set(first50)
-    # r12 window: q16–q29 + x40–x44 (MANDATORY — last driver-green
-    # r9) + the r10 band minus x57/x58/x60/x62/x63 (carried to r13)
-    # — exactly 50; the r11 band sits out after its green round —
+    # r13 window: q01–q15 + x57/x58/x60/x62/x63 (MANDATORY — last
+    # driver-green r10) + the r11 band minus x30–x34 (carried to r14)
+    # — exactly 50; the r12 band sits out after its green round —
     # see the rotation ledger in the module
-    must = {f"q{i:02d}" for i in range(16, 30)}
-    must |= {f"x{i}" for i in entrymod._R12_XBAND}
+    must = {f"q{i:02d}" for i in range(1, 16)}
+    must |= {f"x{i}" for i in entrymod._R13_XBAND}
     prefixes = {n.split("_")[0] for n in window}
     missing = must - prefixes
     assert not missing, f"driver window misses rotation set: {sorted(missing)}"
