@@ -1,4 +1,5 @@
-"""Bounded session-artifact registry (r11 VERDICT #3 / ADVICE).
+"""Bounded session-artifact registry (r11 VERDICT #3 / ADVICE; r12
+VERDICT #5 byte accounting + r12 ADVICE cascade/lock).
 
 Every trained-state family the engine keeps session-resident — BPE
 merge relations, IVF codebooks + materialized inverted-list index,
@@ -24,13 +25,33 @@ This registry adds the missing bound in the ``PROBE_CAP`` /
   an existing key but whose trailing VALUE components (codebook
   fingerprint, corpus plan hash) differ evicts the superseded entry
   — a retrained codebook under the same cache_key no longer leaves
-  the old pinned relation held forever (r11 ADVICE);
-* the TOTAL key count across all families is capped at
-  :data:`ARTIFACT_KEY_CAP`; over the cap the least-recently-USED
-  entry is evicted with a loud stderr line (eviction is always
-  correct — the artifact pattern's value-identity contract means an
-  evicted entry is simply rebuilt, bill-the-first-builder, on next
-  use; pinned in tests/test_dedup_similarity.py).
+  the old pinned relation held forever (r11 ADVICE).  Supersede
+  CASCADES to derived entries (r12 ADVICE): a LONGER key sharing the
+  identity prefix (the IVF ``"pre"`` inverted-list index, the
+  SemDeDup ``"asg"`` assignment relation) is evicted too when its
+  trailing corpus fingerprint differs from the new entry's — every
+  family keys the plan fingerprint LAST by convention, so
+  ``k[-1] != key[-1]`` is exactly "derived from a different corpus".
+  Longer keys carrying the SAME fingerprint are valid derived
+  siblings of the new entry and survive (a codebook LRU-evicted and
+  rebuilt over the unchanged corpus must not throw away its own
+  still-valid derived index);
+* the cap is KEYS + BYTES: total key count across all families is
+  capped at :data:`ARTIFACT_KEY_CAP`, and total APPROXIMATE held
+  bytes (see :func:`_approx_bytes`) at :data:`ARTIFACT_BYTE_CAP`
+  (r12 VERDICT #5 — one key can pin a multi-GB encoded corpus while
+  64 tiny codebooks also fit, so a key cap alone never bounded
+  memory).  Over either cap the least-recently-USED entry is evicted
+  with a loud stderr line carrying its held-byte figure (eviction is
+  always correct — the artifact pattern's value-identity contract
+  means an evicted entry is simply rebuilt, bill-the-first-builder,
+  on next use; pinned in tests/test_dedup_similarity.py).
+
+All registry state is guarded by one module-level lock (r12 ADVICE):
+concurrent driver threads are a supported Spark usage pattern, and
+the critical sections are short, driver-side dict bookkeeping — the
+one JVM call per pinned put (the storage-info byte probe) is
+milliseconds.  The ContextCleaner GC cycle runs OUTSIDE the lock.
 
 Eviction releases pinned relations the way the engine's own block
 lifecycle works (see ``_settle``'s docstring): the Python reference is
@@ -43,7 +64,9 @@ drop + cleaner cycle IS the release mechanism.
 
 from __future__ import annotations
 
+import os
 import sys
+import threading
 from collections import OrderedDict
 
 #: total session-artifact entries across ALL registered families.
@@ -52,13 +75,25 @@ from collections import OrderedDict
 #: eviction starts trading rebuild cost for bounded memory.
 ARTIFACT_KEY_CAP = 64
 
+#: total APPROXIMATE bytes across all entries (driver numpy/rows plus
+#: executor block-store bytes of pinned relations).  Default 16 GiB —
+#: a third of the session-default 48 GiB heap, leaving the other two
+#: thirds for shuffle/exec; a single entry larger than the whole cap
+#: is kept (it was just built and is about to be used) with a loud
+#: over-cap line rather than thrashing rebuild-per-use.
+ARTIFACT_BYTE_CAP = int(os.environ.get("SPARK_GRAFT_ARTIFACT_BYTE_CAP",
+                                       16 << 30))
+
 _FAMILIES: dict[int, tuple[str, dict]] = {}
 _LRU: OrderedDict[tuple[int, tuple], None] = OrderedDict()
+_BYTES: dict[tuple[int, tuple], int] = {}
+_LOCK = threading.RLock()
 
 
 def register(name: str, family: dict) -> dict:
     """Enroll a family dict in the global bound; returns it unchanged."""
-    _FAMILIES[id(family)] = (name, family)
+    with _LOCK:
+        _FAMILIES[id(family)] = (name, family)
     return family
 
 
@@ -67,14 +102,76 @@ def get(family: dict, key):
     crossover-harness contract) always misses."""
     if key is None:
         return None
-    hit = family.get(key)
-    if hit is not None:
-        _LRU.pop((id(family), key), None)
-        _LRU[(id(family), key)] = None
+    with _LOCK:
+        hit = family.get(key)
+        if hit is not None:
+            _LRU.pop((id(family), key), None)
+            _LRU[(id(family), key)] = None
     return hit
 
 
-def _release(family_name: str, key, value, why: str) -> bool:
+def held_bytes() -> int:
+    """Total approximate bytes currently held across all families."""
+    with _LOCK:
+        return sum(_BYTES.get((fid, k), 0)
+                   for fid, (_, f) in _FAMILIES.items() for k in f)
+
+
+def _approx_bytes(value) -> int:
+    """Approximate bytes an entry holds, driver- plus executor-side.
+
+    * a pinned DataFrame → the block-store footprint of the NEWEST
+      persisted RDD (``materialize(eager=True, pinned=True)`` runs
+      immediately before every pinned ``put``, so the max-id entry in
+      ``getRDDStorageInfo`` IS this entry's checkpoint relation);
+    * numpy arrays → ``nbytes``;
+    * collected rows / tuples / lists → recursive ``getsizeof``,
+      sampling long lists (entries are vocabulary-/codebook-bounded
+      by the collect contracts, so this is cheap).
+    Best-effort: any probe failure counts 0 — the figure feeds an
+    eviction HEURISTIC and the loud log line, never correctness.
+    """
+    def rec(o, depth=0):
+        if o is None or depth > 4:
+            return 0
+        nb = getattr(o, "nbytes", None)
+        if isinstance(nb, int):
+            return nb
+        if hasattr(o, "sparkSession"):          # pinned relation
+            try:
+                infos = (o.sparkSession.sparkContext._jsc.sc()
+                         .getRDDStorageInfo())
+                newest = max(infos, key=lambda i: i.id(), default=None)
+                return (newest.memSize() + newest.diskSize()
+                        if newest is not None else 0)
+            except Exception:
+                return 0
+        try:
+            n = sys.getsizeof(o)
+        except Exception:
+            n = 0
+        if isinstance(o, (list, tuple, set, frozenset)):
+            items = list(o)
+            if len(items) > 256:                # sample the tail
+                head = sum(rec(x, depth + 1) for x in items[:256])
+                return n + int(head * len(items) / 256)
+            return n + sum(rec(x, depth + 1) for x in items)
+        if isinstance(o, dict):
+            return n + sum(rec(k, depth + 1) + rec(v, depth + 1)
+                           for k, v in o.items())
+        if hasattr(o, "asDict"):                # pyspark Row
+            try:
+                return n + rec(list(o), depth + 1)
+            except Exception:
+                return n
+        return n
+    try:
+        return rec(value)
+    except Exception:
+        return 0
+
+
+def _release(family_name: str, key, value, nbytes: int, why: str) -> bool:
     """Drop an entry's pinned relations (if any).  Returns True when
     the value held a DataFrame — the caller cycles ContextCleaner once
     per put, not per entry."""
@@ -82,6 +179,7 @@ def _release(family_name: str, key, value, why: str) -> bool:
             if hasattr(v, "sparkSession")]
     print(f"session-artifact registry: evicting {family_name}"
           f"[{key[1] if len(key) > 1 else key}] ({why}; "
+          f"~{nbytes >> 20} MiB held; "
           f"{len(held)} pinned relation(s) released to ContextCleaner)",
           file=sys.stderr)
     return bool(held)
@@ -104,45 +202,81 @@ def put(family: dict, key, value, *, supersede_prefix: int | None = None):
     """Insert ``value`` under ``key``, evicting (a) entries this key
     SUPERSEDES — same first ``supersede_prefix`` identity components,
     different trailing value components (retrained codebook / changed
-    corpus under the same cache_key) — and (b) global-LRU entries past
-    :data:`ARTIFACT_KEY_CAP`."""
+    corpus under the same cache_key), INCLUDING longer derived keys
+    whose trailing fingerprint differs (r12 ADVICE cascade) — and
+    (b) global-LRU entries past :data:`ARTIFACT_KEY_CAP` keys or
+    :data:`ARTIFACT_BYTE_CAP` approximate bytes."""
     if key is None:
         return value
-    fname = _FAMILIES.get(id(family), ("<unregistered>", family))[0]
+    nbytes = _approx_bytes(value)
     dropped = []
-    if supersede_prefix is not None:
-        stale = [k for k in family
-                 if k != key and len(k) == len(key)
-                 and k[:supersede_prefix] == key[:supersede_prefix]]
-        for k in stale:
-            v = family.pop(k)
-            _LRU.pop((id(family), k), None)
-            if _release(fname, k, v, "superseded"):
-                dropped.append(v)
-    family[key] = value
-    _LRU.pop((id(family), key), None)
-    _LRU[(id(family), key)] = None
+    with _LOCK:
+        fname = _FAMILIES.get(id(family), ("<unregistered>", family))[0]
+        if supersede_prefix is not None:
+            # same-length: any trailing-component change supersedes.
+            # longer (derived) keys: stale iff the LAST component —
+            # the plan fingerprint, by family convention — differs;
+            # same-fingerprint derived siblings stay valid.
+            stale = [k for k in family
+                     if k != key and len(k) >= len(key)
+                     and k[:supersede_prefix] == key[:supersede_prefix]
+                     and (len(k) == len(key) or k[-1] != key[-1])]
+            for k in stale:
+                v = family.pop(k, None)
+                if v is None:
+                    continue
+                _LRU.pop((id(family), k), None)
+                b = _BYTES.pop((id(family), k), 0)
+                if _release(fname, k, v, b, "superseded"):
+                    dropped.append(v)
+        family[key] = value
+        _LRU.pop((id(family), key), None)
+        _LRU[(id(family), key)] = None
+        _BYTES[(id(family), key)] = nbytes
 
-    # lazily prune LRU entries removed out-of-band (tests .clear() the
-    # dicts directly), then enforce the global cap — never evicting
-    # the entry just inserted
-    total = sum(len(f) for _, f in _FAMILIES.values())
-    if total > ARTIFACT_KEY_CAP:
-        for fid, k in list(_LRU):
-            nm, f = _FAMILIES.get(fid, (None, None))
-            if f is None or k not in f:
-                _LRU.pop((fid, k), None)
-        while (sum(len(f) for _, f in _FAMILIES.values())
-               > ARTIFACT_KEY_CAP and len(_LRU) > 1):
-            (fid, k), _ = _LRU.popitem(last=False)
-            if fid == id(family) and k == key:
-                _LRU[(fid, k)] = None  # re-add the fresh entry at MRU
-                continue
-            nm, f = _FAMILIES[fid]
-            v = f.pop(k, None)
-            if v is not None and _release(nm, k, v, "LRU over "
-                                          f"ARTIFACT_KEY_CAP={ARTIFACT_KEY_CAP}"):
-                dropped.append(v)
+        # lazily prune sidecar entries removed out-of-band (tests
+        # .clear() the dicts directly), then enforce the global caps —
+        # never evicting the entry just inserted
+        total = sum(len(f) for _, f in _FAMILIES.values())
+        over_keys = total > ARTIFACT_KEY_CAP
+
+        def _held_total() -> int:
+            return sum(_BYTES.get((fid, k), 0)
+                       for fid, (_, f) in _FAMILIES.items() for k in f)
+
+        over_bytes = _held_total() > ARTIFACT_BYTE_CAP
+        if over_keys or over_bytes:
+            for fid, k in list(_LRU):
+                nm, f = _FAMILIES.get(fid, (None, None))
+                if f is None or k not in f:
+                    _LRU.pop((fid, k), None)
+                    _BYTES.pop((fid, k), None)
+            while ((sum(len(f) for _, f in _FAMILIES.values())
+                    > ARTIFACT_KEY_CAP
+                    or _held_total() > ARTIFACT_BYTE_CAP)
+                   and len(_LRU) > 1):
+                (fid, k), _ = _LRU.popitem(last=False)
+                if fid == id(family) and k == key:
+                    _LRU[(fid, k)] = None  # re-add the fresh entry at MRU
+                    continue
+                nm, f = _FAMILIES[fid]
+                v = f.pop(k, None)
+                b = _BYTES.pop((fid, k), 0)
+                if v is not None and _release(
+                        nm, k, v, b,
+                        f"LRU over ARTIFACT_KEY_CAP={ARTIFACT_KEY_CAP}"
+                        f"/BYTE_CAP={ARTIFACT_BYTE_CAP >> 30} GiB"):
+                    dropped.append(v)
+            if _held_total() > ARTIFACT_BYTE_CAP:
+                # a single fresh entry can exceed the whole byte cap:
+                # keep it (it was just built for immediate use) but
+                # say so — silence is how caps rot
+                print(f"session-artifact registry: {fname}"
+                      f"[{key[1] if len(key) > 1 else key}] alone holds "
+                      f"~{nbytes >> 20} MiB over "
+                      f"ARTIFACT_BYTE_CAP={ARTIFACT_BYTE_CAP >> 30} GiB "
+                      f"— kept (just built), consider a larger cap",
+                      file=sys.stderr)
     for v in dropped:
         _cleaner_cycle(v)
         break  # one cycle frees everything dropped this put
@@ -155,6 +289,21 @@ def plan_fingerprint(df) -> int:
     client-side analysis call, ~30 ms, no job).  Two callers deriving
     the same corpus through the same relational steps get the same
     hash (x97/x103 share one SemDeDup index: verified), while a
-    DIFFERENT corpus reusing a cache_key now keys a fresh entry
-    instead of silently serving a stale index."""
+    DIFFERENT corpus reusing a cache_key keys a fresh entry instead of
+    silently serving a stale index.
+
+    LIMITATION (r12 ADVICE, explicit): this is a LOGICAL-plan hash,
+    not a data fingerprint.  Overwriting the underlying files IN PLACE
+    at the same path yields the same hash, so trained state keyed
+    before the overwrite is still served.  That is the same staleness
+    contract Spark's own ``spark.catalog`` file-index caching has, and
+    the defended failure mode here is the one that occurs in practice
+    (a different fixture/corpus DIR reused under one cache_key, or a
+    re-derived plan with different columns).  Folding per-file
+    modification times into the hash was considered and rejected: it
+    requires a full file listing per fingerprint call, which at the
+    100 TB design point is a driver-side metadata scan per query.  A
+    caller that mutates files in place must cycle its ``cache_key``
+    (or call ``spark.catalog.clearCache()``-style hygiene: clear the
+    family dict), exactly as it must for Spark's own caches."""
     return int(df.semanticHash())

@@ -3627,13 +3627,26 @@ def bpe_merges(wc: DataFrame, *, iters: int = _BPE_ITERS,
     return tiny_sort(out, "step")
 
 
+def _bpe_word_counts(docs: DataFrame) -> DataFrame:
+    """THE word-count derivation for the whole BPE family (r12 VERDICT
+    #1): x95, x96 and x99 must all derive ``wc`` through this ONE
+    helper so their ``plan_fingerprint(wc)`` agrees and they share a
+    single trained artifact.  In r12 x99 derived its word counts from
+    a projection that still carried ``doc_id`` before the explode — a
+    logically identical aggregate but a DIFFERENT canonicalized plan,
+    so its ``return_symbols`` build superseded (evicted) x96's pinned
+    relation mid-sweep and the shared-artifact economy silently
+    degraded to rebuild-per-consumer.  The share is pinned by
+    tests/test_artifacts.py::test_bpe_family_shares_one_artifact."""
+    return (docs.select(F.explode(D.tokens(F.col("text"))).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
+                                     .alias("cnt")))
+
+
 @declared("x95_bpe_merges", _bpe_oracle(_BPE_ITERS))
 def x95(spark, sf_dir):
-    wc = (_t(spark, sf_dir, "documents")
-          .select(F.explode(D.tokens(F.col("text"))).alias("word"))
-          .filter(F.col("word") != "")
-          .groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
-                               .alias("cnt")))
+    wc = _bpe_word_counts(_t(spark, sf_dir, "documents"))
     return bpe_merges(wc, cache_key=sf_dir)
 
 
@@ -3652,11 +3665,7 @@ SELECT s AS token, CAST(sum(cnt) AS BIGINT) AS occurrences
 FROM sym{_BPE_ITERS} JOIN wc USING (word)
 GROUP BY s ORDER BY occurrences DESC, token"""))
 def x96(spark, sf_dir):
-    wc = (_t(spark, sf_dir, "documents")
-          .select(F.explode(D.tokens(F.col("text"))).alias("word"))
-          .filter(F.col("word") != "")
-          .groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
-                               .alias("cnt")))
+    wc = _bpe_word_counts(_t(spark, sf_dir, "documents"))
     sym = bpe_merges(wc, return_symbols=True, cache_key=sf_dir)
     return (sym.groupBy(F.col("s").alias("token"))
                .agg(F.sum("cnt").cast("bigint").alias("occurrences"))
@@ -3882,8 +3891,10 @@ def x99(spark, sf_dir):
     words = (docs.select("doc_id",
                          F.explode(D.tokens(F.col("text"))).alias("word"))
                  .filter(F.col("word") != ""))
-    wc = (words.groupBy("word")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    # wc comes from the SHARED derivation, not from `words`: deriving
+    # it through the doc_id-carrying projection gave a different
+    # plan_fingerprint and evicted x96's artifact (r12 VERDICT #1)
+    wc = _bpe_word_counts(docs)
     wsym = (bpe_merges(wc, return_symbols=True, cache_key=sf_dir)
             .groupBy("word")
             .agg(F.count(F.lit(1)).cast("bigint").alias("nsym")))

@@ -153,3 +153,108 @@ def test_registry_tolerates_out_of_band_clear(spark, clean_registry):
         q, k_clusters=3, thresh_micro=0).collect())
     assert out == plain
     assert len(S._SEM_ARTIFACTS) == 1
+
+
+def test_bpe_family_shares_one_artifact(spark, sf_dir, clean_registry,
+                                        capfd):
+    """x95→x96→x99 must share ONE trained relation per
+    (mode, return_symbols): zero supersede evictions across the sweep
+    and x99 consumes the very object x96 pinned (r12 VERDICT #1 — x99
+    derived its word counts through a doc_id-carrying projection,
+    keyed a different plan fingerprint, and evicted x96's pinned
+    relation mid-sweep)."""
+    from enexory_parquet_export_spark import queries_ext as QX
+
+    capfd.readouterr()  # drain earlier output
+    QX.x95(spark, sf_dir).collect()
+    QX.x96(spark, sf_dir).collect()
+    sym = {k: v for k, v in QX._BPE_ARTIFACTS.items() if k[4] is True}
+    assert len(sym) == 1, f"expected one symbol artifact, got {list(sym)}"
+    pinned = next(iter(sym.values()))
+    QX.x99(spark, sf_dir).collect()
+    sym2 = {k: v for k, v in QX._BPE_ARTIFACTS.items() if k[4] is True}
+    assert len(sym2) == 1 and next(iter(sym2.values())) is pinned, \
+        "x99 must HIT x96's pinned symbol relation, not rebuild it"
+    err = capfd.readouterr().err
+    assert "evicting bpe_artifacts" not in err, \
+        f"supersede eviction fired inside the x95→x96→x99 sweep:\n{err}"
+
+
+def test_supersede_cascades_to_derived_keys(clean_registry):
+    """A fingerprint change must evict LONGER derived keys sharing the
+    identity prefix (the IVF 'pre' index / SemDeDup 'asg' class — r12
+    ADVICE), while same-fingerprint derived siblings survive a parent
+    re-put (a codebook LRU-evicted and rebuilt over the unchanged
+    corpus must not discard its own still-valid derived index)."""
+    fam = A.register("t-cascade", {})
+    try:
+        A.put(fam, ("app", "ck", 1, 100), "codebook-v1",
+              supersede_prefix=3)
+        A.put(fam, ("app", "ck", 1, 5, "pre", 100), "index-v1",
+              supersede_prefix=5)
+        # parent re-put, SAME fingerprint: derived sibling survives
+        A.put(fam, ("app", "ck", 1, 100), "codebook-v1b",
+              supersede_prefix=3)
+        assert ("app", "ck", 1, 5, "pre", 100) in fam
+        # fingerprint change: parent AND derived index evicted
+        A.put(fam, ("app", "ck", 1, 200), "codebook-v2",
+              supersede_prefix=3)
+        assert ("app", "ck", 1, 100) not in fam
+        assert ("app", "ck", 1, 5, "pre", 100) not in fam
+        assert ("app", "ck", 1, 200) in fam
+    finally:
+        A._FAMILIES.pop(id(fam), None)
+
+
+def test_byte_cap_evicts_lru_and_keeps_fresh_oversize(clean_registry,
+                                                      monkeypatch,
+                                                      capfd):
+    """ARTIFACT_BYTE_CAP bounds approximate held BYTES, not just keys
+    (r12 VERDICT #5): over the cap the LRU entry goes; a single fresh
+    entry larger than the whole cap is kept with a loud line."""
+    import numpy as np
+
+    fam = A.register("t-bytes", {})
+    try:
+        monkeypatch.setattr(A, "ARTIFACT_BYTE_CAP", 1 << 20)  # 1 MiB
+        A.put(fam, ("a", "k1"), np.zeros(50_000))   # ~400 KiB each
+        A.put(fam, ("a", "k2"), np.zeros(50_000))
+        A.put(fam, ("a", "k3"), np.zeros(50_000))
+        assert ("a", "k1") not in fam, "LRU entry must go over byte cap"
+        assert ("a", "k2") in fam and ("a", "k3") in fam
+        assert A.held_bytes() <= 1 << 20
+        capfd.readouterr()
+        A.put(fam, ("a", "k4"), np.zeros(200_000))  # ~1.6 MiB alone
+        assert ("a", "k4") in fam, "fresh oversize entry must be kept"
+        assert "over" in capfd.readouterr().err
+    finally:
+        A._FAMILIES.pop(id(fam), None)
+
+
+def test_registry_thread_safety(clean_registry):
+    """Concurrent driver threads (a supported Spark pattern) must not
+    race the registry's put/supersede/LRU bookkeeping (r12 ADVICE)."""
+    import threading
+
+    fam = A.register("t-threads", {})
+    errs: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            for j in range(300):
+                A.put(fam, ("a", i, j % 5, j), j, supersede_prefix=3)
+                A.get(fam, ("a", i, j % 5, j))
+        except Exception as exc:  # pragma: no cover - failure path
+            errs.append(exc)
+
+    try:
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        total = sum(len(f) for _, f in A._FAMILIES.values())
+        assert total <= A.ARTIFACT_KEY_CAP
+    finally:
+        A._FAMILIES.pop(id(fam), None)
