@@ -74,6 +74,21 @@ def main() -> int:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def jvm_control() -> float:
+        # pure-CPU JVM-mode probe (tools/paired_sf1.py's idiom — the
+        # host has slow/fast modes from hypervisor steal): sum over a
+        # fixed range, no IO, no shuffle.  Stamped into the bench JSON
+        # (r12 VERDICT #3) so the recorded artifact itself can
+        # distinguish a slow host window from a real regression —
+        # reference band: fast host ≈ 0.3–0.5 s on the first
+        # (JIT-cold) probe, 0.09–0.35 s post-warm; slow host ≥ 1 s.
+        t0 = time.perf_counter()
+        spark.range(400_000_000).selectExpr("sum(id)").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    controls = [jvm_control(), jvm_control()]
+    print(f"jvm control (cold/warm): {controls}", file=sys.stderr)
     qs = entrymod.queries()
 
     # warmup: touch every table + JIT the whole pipeline once
@@ -163,6 +178,8 @@ def main() -> int:
         # ContextCleaner then frees blocks asynchronously.
         del df, df2
         gc.collect()
+    controls.append(jvm_control())
+    print(f"jvm control (end): {controls[-1]}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_steady = round(sum(t for t in steady.values() if t >= 0), 3)
     total_build = round(sum(t for t in build.values() if t >= 0), 3)
@@ -171,6 +188,7 @@ def main() -> int:
                 "unit": "sec", "sf": sf, "n_queries": len(timings),
                 "value_steady": total_steady,
                 "value_build": total_build,
+                "jvm_control": controls,
                 "n_errors": n_errors, "detail": "BENCH_DETAIL.json"}
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

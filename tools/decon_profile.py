@@ -31,17 +31,60 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from decon_crossover import build_fixture, spark_decon, spark_cont  # noqa: E402
 
 
+def _stage_seq(store, gw):
+    """``AppStatusStore.stageList`` across Spark minor versions (r12
+    ADVICE: hardcoding the private 5-arg 4.x arity makes both
+    attribution tools fail opaquely on a minor upgrade).  Tries the
+    known signatures newest-first; the caller handles total failure
+    with a statusTracker fallback."""
+    attempts = (
+        # 4.x: stageList(statuses, details, withSummaries,
+        #               unsortedQuantiles, taskStatus)
+        lambda: store.stageList(gw.jvm.java.util.ArrayList(), False, False,
+                                gw.new_array(gw.jvm.double, 0),
+                                gw.jvm.java.util.ArrayList()),
+        # 3.x-era: no details flag
+        lambda: store.stageList(gw.jvm.java.util.ArrayList(), False,
+                                gw.new_array(gw.jvm.double, 0),
+                                gw.jvm.java.util.ArrayList()),
+        lambda: store.stageList(gw.jvm.java.util.ArrayList()),
+    )
+    last: Exception | None = None
+    for a in attempts:
+        try:
+            return a()
+        except Exception as exc:
+            last = exc
+    raise last  # type: ignore[misc]
+
+
 def stage_metrics(spark) -> list[dict]:
     """All completed stages from the AppStatusStore (py4j walk of the
-    v1 StageData seq — local mode, so 'executor' = the local JVM)."""
+    v1 StageData seq — local mode, so 'executor' = the local JVM).
+    Falls back to the public ``sc.statusTracker()`` stage info (ids +
+    task counts only, zero byte/time columns) when no known
+    ``stageList`` arity matches — degraded attribution beats an opaque
+    crash at attribution time."""
     sc = spark.sparkContext
-    store = sc._jsc.sc().statusStore()
-    gw = sc._gateway
-    # Spark 4.x signature: stageList(statuses, details, withSummaries,
-    # unsortedQuantiles, taskStatus)
-    seq = store.stageList(gw.jvm.java.util.ArrayList(), False, False,
-                          gw.new_array(gw.jvm.double, 0),
-                          gw.jvm.java.util.ArrayList())
+    try:
+        store = sc._jsc.sc().statusStore()
+        gw = sc._gateway
+        seq = _stage_seq(store, gw)
+    except Exception as exc:
+        print(f"decon_profile: AppStatusStore.stageList arity mismatch "
+              f"on Spark {spark.version} ({exc!r}); falling back to "
+              f"statusTracker (no time/byte columns)", file=sys.stderr)
+        tracker = sc.statusTracker()
+        out = []
+        for sid in tracker.getActiveStageIds():
+            info = tracker.getStageInfo(sid)
+            if info is None:
+                continue
+            out.append({"stage": sid, "name": str(info.name)[:80],
+                        "tasks": info.numCompletedTasks, "run_ms": 0,
+                        "cpu_ms": 0, "input_mb": 0.0, "sh_read_mb": 0.0,
+                        "sh_write_mb": 0.0, "gc_ms": None})
+        return out
     out = []
     it = seq.iterator()
     while it.hasNext():

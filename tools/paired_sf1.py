@@ -312,12 +312,17 @@ def main() -> int:
     spark_steady_inrace = dict(spark_steady)
     duck_inrace = dict(duck_t)
     spark_recheck: dict[str, float] = {}
+    # BOTH suspect sets select against the IN-RACE snapshots (r12
+    # ADVICE): selecting the duck leg against spark_steady values
+    # already lowered by the spark rechecks made the two legs read
+    # different state — the policy is symmetric only if both legs
+    # judge the same snapshot
     suspects = sorted(
         (n for n in names
-         if spark_steady.get(n, -1) > 1.5
-         and duck_t.get(n, -1) > 0
-         and spark_steady[n] > 2.0 * duck_t[n]),
-        key=lambda n: -spark_steady[n] / duck_t[n])[:16]
+         if spark_steady_inrace.get(n, -1) > 1.5
+         and duck_inrace.get(n, -1) > 0
+         and spark_steady_inrace[n] > 2.0 * duck_inrace[n]),
+        key=lambda n: -spark_steady_inrace[n] / duck_inrace[n])[:16]
     for name in suspects:
         # force the full settle before a recheck regardless of held
         # bytes — a 0.1-0.3 s JIT re-warm is acceptable here, residual
@@ -349,10 +354,10 @@ def main() -> int:
     duck_recheck: dict[str, float] = {}
     duck_suspects = sorted(
         (n for n in names
-         if duck_t.get(n, -1) > 1.5
-         and spark_steady.get(n, -1) > 0
-         and duck_t[n] > 2.0 * spark_steady[n]),
-        key=lambda n: -duck_t[n] / spark_steady[n])[:16]
+         if duck_inrace.get(n, -1) > 1.5
+         and spark_steady_inrace.get(n, -1) > 0
+         and duck_inrace[n] > 2.0 * spark_steady_inrace[n]),
+        key=lambda n: -duck_inrace[n] / spark_steady_inrace[n])[:16]
     for name in duck_suspects:
         timer = threading.Timer(duck_timeout, con.interrupt)
         timer.start()
