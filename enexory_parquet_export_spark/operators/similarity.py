@@ -332,6 +332,95 @@ _IVF_CODEBOOKS: dict[tuple, tuple] = _artifacts.register(
     "ivf_codebooks", {})
 
 
+def _ivf_train(base: DataFrame, *, centroid_stride: int,
+               codebook_cap: int, vec_col: str,
+               cache_key: str | None):
+    """Strided coarse quantizer over ``base(vec_id, v)`` with the
+    session-artifact caching :func:`ivf_flat_topk` documents — shared
+    by the all-N and probe-suite entry points so both serve ONE index.
+    The codebook lives driver/worker-side, exactly as IVF codebooks do
+    in practice (faiss keeps the coarse quantizer in memory) —
+    HARD-bounded at codebook_cap rows: the stride widens with the
+    corpus (one count job) so the collect is O(cap), never O(N/stride).
+    Corpus plan fingerprint LAST (r11 ADVICE): a different corpus
+    reusing a cache_key keys fresh state and SUPERSEDES (evicts) the
+    stale entry instead of silently serving it."""
+    import numpy as np
+
+    ck = (None if cache_key is None else
+          (base.sparkSession.sparkContext.applicationId, cache_key,
+           centroid_stride, codebook_cap, vec_col,
+           plan_fingerprint(base)))
+    hit = _artifacts.get(_IVF_CODEBOOKS, ck)
+    if hit is None:
+        n_rows = base.count()
+        stride = effective_stride(n_rows, centroid_stride, codebook_cap)
+        cent_rows = sorted(
+            base.filter(F.col("vec_id") % stride == 0).collect(),
+            key=lambda r: r["vec_id"])
+        cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+        C = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+        cn = np.zeros(len(C))
+        for i in range(C.shape[1]):          # ordered fold, = list_dot_product
+            cn += C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        hit = (n_rows, stride, cids, C, cn)
+        if ck is not None:
+            _artifacts.put(_IVF_CODEBOOKS, ck, hit,
+                           supersede_prefix=len(ck) - 1)
+    return ck, hit
+
+
+def _ivf_assign(base: DataFrame, ck, hit, *, nprobe: int, max_block: int,
+                chunking: bool) -> DataFrame:
+    """ONE fused Python pass (r8): probe assignment inside a single
+    mapInPandas over the corpus scan, PASSING THE VECTOR THROUGH
+    UNTOUCHED (the column object is reused as-is — no per-row
+    tolist/rebuild; a first r8 attempt that duplicated v (1+nprobe)×
+    through Python object lists regressed the 1M-vector crossover
+    238 s → 354 s on output serialization alone).  On the chunking
+    path the materialized assignment relation IS the inverted-list
+    index — faiss's add() phase, built once and queried for the
+    index's lifetime — cached under the session-artifact registry
+    (r9 VERDICT #5).  Shared by the all-N and probe-suite entry
+    points: both serve the SAME cached index entry."""
+    import numpy as np
+    import pandas as pd
+
+    n_rows, stride, cids, C, cn = hit
+    assign_schema = "vec_id bigint, v array<double>, _probes array<bigint>"
+
+    def _assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            dots = _ordered_pair_dots(A, C, np)  # cache-tiled, fold-exact
+            na = np.zeros(len(A))
+            for i in range(A.shape[1]):          # ordered fold per element
+                na += A[:, i] * A[:, i]
+            cs = dots / (np.sqrt(na)[:, None] * cn[None, :])
+            probes = [[int(cids[j]) for j in
+                       np.lexsort((cids, -cs[r]))[:nprobe]]
+                      for r in range(len(A))]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],                   # pass-through, no copy
+                "_probes": pd.Series(probes, dtype="object")})
+
+    pre_key = (None if ck is None or not chunking else
+               ck[:-1] + (nprobe, max_block, "pre", ck[-1]))
+    pre0 = _artifacts.get(_IVF_CODEBOOKS, pre_key)
+    if pre0 is None:
+        pre0 = base.mapInPandas(_assign_batches, assign_schema)
+        if chunking:
+            pre0 = pre0.transform(materialize, eager=True, pinned=True)
+            if pre_key is not None:
+                _artifacts.put(_IVF_CODEBOOKS, pre_key, pre0,
+                               supersede_prefix=len(pre_key) - 1)
+    return pre0
+
+
 def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
                   nprobe: int = 2, vec_col: str = "embedding",
                   codebook_cap: int = 4096,
@@ -372,34 +461,9 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
 
     base = emb.select("vec_id",
                       F.col(vec_col).cast("array<double>").alias("v"))
-    # the codebook lives driver/worker-side, exactly as IVF codebooks
-    # do in practice (faiss keeps the coarse quantizer in memory) —
-    # HARD-bounded at codebook_cap rows: the stride widens with the
-    # corpus (one count job) so the collect is O(cap), never O(N/stride)
-    # corpus plan fingerprint LAST (r11 ADVICE): a different corpus
-    # reusing a cache_key keys fresh state and SUPERSEDES (evicts) the
-    # stale entry instead of silently serving it
-    ck = (None if cache_key is None else
-          (emb.sparkSession.sparkContext.applicationId, cache_key,
-           centroid_stride, codebook_cap, vec_col,
-           plan_fingerprint(base)))
-    hit = _artifacts.get(_IVF_CODEBOOKS, ck)
-    if hit is None:
-        n_rows = base.count()
-        stride = effective_stride(n_rows, centroid_stride, codebook_cap)
-        cent_rows = sorted(
-            base.filter(F.col("vec_id") % stride == 0).collect(),
-            key=lambda r: r["vec_id"])
-        cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-        C = np.array([r["v"] for r in cent_rows], dtype=np.float64)
-        cn = np.zeros(len(C))
-        for i in range(C.shape[1]):          # ordered fold, = list_dot_product
-            cn += C[:, i] * C[:, i]
-        cn = np.sqrt(cn)
-        hit = (n_rows, stride, cids, C, cn)
-        if ck is not None:
-            _artifacts.put(_IVF_CODEBOOKS, ck, hit,
-                           supersede_prefix=len(ck) - 1)
+    ck, hit = _ivf_train(base, centroid_stride=centroid_stride,
+                         codebook_cap=codebook_cap, vec_col=vec_col,
+                         cache_key=cache_key)
     n_rows, stride, cids, C, cn = hit
     if require_stride is not None and stride != require_stride:
         # A fixed-stride oracle (x44 hardcodes vec_id % 17) silently
@@ -424,26 +488,6 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # Python stage has a SINGLE consumer when unchunked — no
     # checkpoint, no two-branch union, none of the ~0.9 s dispatch
     # pair that kept x44 at the 1.6 s sf0.1 floor (VERDICT r7 #3).
-    assign_schema = "vec_id bigint, v array<double>, _probes array<bigint>"
-
-    def _assign_batches(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            dots = _ordered_pair_dots(A, C, np)  # cache-tiled, fold-exact
-            na = np.zeros(len(A))
-            for i in range(A.shape[1]):          # ordered fold per element
-                na += A[:, i] * A[:, i]
-            cs = dots / (np.sqrt(na)[:, None] * cn[None, :])
-            probes = [[int(cids[j]) for j in
-                       np.lexsort((cids, -cs[r]))[:nprobe]]
-                      for r in range(len(A))]
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"],
-                "v": pdf["v"],                   # pass-through, no copy
-                "_probes": pd.Series(probes, dtype="object")})
-
     # Chunking only matters when SOME list could exceed max_block; for
     # a corpus at or under it (every sf fixture) the whole machinery
     # compiles away and the assignment pipelines straight into the
@@ -465,16 +509,8 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # measured and rejected (r10): sf0.1 steady read 1.64 s either
     # way — the rerank stage dominates there, not the assignment —
     # so the one-shot plan keeps its zero-extra-jobs pipelined shape.
-    pre_key = (None if ck is None or not chunking else
-               ck[:-1] + (nprobe, max_block, "pre", ck[-1]))
-    pre0 = _artifacts.get(_IVF_CODEBOOKS, pre_key)
-    if pre0 is None:
-        pre0 = base.mapInPandas(_assign_batches, assign_schema)
-        if chunking:
-            pre0 = pre0.transform(materialize, eager=True, pinned=True)
-            if pre_key is not None:
-                _artifacts.put(_IVF_CODEBOOKS, pre_key, pre0,
-                               supersede_prefix=len(pre_key) - 1)
+    pre0 = _ivf_assign(base, ck, hit, nprobe=nprobe, max_block=max_block,
+                       chunking=chunking)
     # single-arg lambda only (the F.transform second-slot trap)
     fan = F.concat(
         F.array(F.struct(F.lit(0).alias("_role"),
@@ -511,6 +547,18 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
     # over chunks² tasks instead of one straggler.  (The real 100 TB
     # fix is balanced trained centroids; this bounds the damage for
     # any quantizer.)
+    return _grouped_rerank(pre, k=k, max_block=max_block,
+                           chunking=chunking, spark=emb.sparkSession)
+
+
+def _grouped_rerank(pre: DataFrame, *, k: int, max_block: int,
+                    chunking: bool, spark) -> DataFrame:
+    """Exact-cosine grouped rerank over ``pre(_role, vec_id, v, cid)``
+    (role 0 = list member, role 1 = probe) — shared by the all-N and
+    probe-suite IVF entry points."""
+    import numpy as np
+    import pandas as pd
+
     is_m = F.col("_role") == 0
     if chunking:
         sizes = (pre.groupBy("cid").agg(
@@ -540,7 +588,7 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
         # A user repartition with an explicit count is preserved by
         # AQE and the groupBy reuses the partitioning (no second
         # exchange).
-        n_parts = max(4 * int(emb.sparkSession.conf.get(
+        n_parts = max(4 * int(spark.conf.get(
             "spark.sql.shuffle.partitions", "200")), 128)
         chunked = chunked.repartition(n_parts, "cid", "_qch", "_mch")
     else:
@@ -584,6 +632,95 @@ def ivf_flat_topk(emb: DataFrame, *, k: int = 3, centroid_stride: int = 17,
                             F.floor(F.col("cos") * F.lit(1000000.0))
                              .cast("bigint").alias("cos_micro"),
                             F.col("rnk").cast("bigint").alias("rnk")))
+
+
+def ivf_flat_probe_topk(emb: DataFrame, probes, *, k: int = 3,
+                        centroid_stride: int = 17, nprobe: int = 2,
+                        vec_col: str = "embedding",
+                        codebook_cap: int = 4096,
+                        max_block: int = 4096,
+                        probe_cap: int | None = None,
+                        cache_key: str | None = None) -> DataFrame:
+    """Probe-suite IVF-flat ANN — the PRODUCTION query shape (r12
+    crossover watch item): a BOUNDED suite of probe vectors served
+    against the session-cached inverted-list index, instead of the
+    all-N self-join :func:`ivf_flat_topk` runs.
+
+    ``probes`` is a bounded ``[(probe_id, vector)]`` list or a
+    ``(vec_id/probe_id, vector)`` DataFrame, capped at
+    :data:`PROBE_CAP` via :func:`_bounded_probe_rows` (a probe suite
+    is a bounded QUERY workload by contract; an unbounded probe set is
+    the all-N operator and must use ``ivf_flat_topk``).  Probe→list
+    routing runs driver-side against the O(cap) codebook — numpy over
+    ≤ PROBE_CAP × codebook_cap scores — and ONLY the probed lists'
+    members shuffle into the grouped rerank (a broadcast semi-join on
+    the ≤ nprobe·|probes| probed list ids), so candidate volume is
+    O(Σ probed-list sizes), not O((1+nprobe)·N): at 5M vectors the
+    all-N path is rerank-bound at ~118 µs/vector while this shape
+    touches only the lists the suite probes.
+
+    Trained state (codebook + chunking-path inverted-list index) is
+    SHARED with ``ivf_flat_topk`` under the same ``cache_key`` — one
+    index serves both workloads, faiss's add-once/query-many posture.
+
+    Parity contract (pytest-pinned): for probes drawn from the corpus,
+    results equal ``ivf_flat_topk`` restricted to the probe ids — same
+    index, same scoring folds, same tie-breaks, same self-exclusion.
+
+    Returns ``vec_id`` (the probe id), ``nbr_id, cos_micro, rnk``.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    base = emb.select("vec_id",
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    ck, hit = _ivf_train(base, centroid_stride=centroid_stride,
+                         codebook_cap=codebook_cap, vec_col=vec_col,
+                         cache_key=cache_key)
+    n_rows, stride, cids, C, cn = hit
+    if len(cids) < nprobe:
+        raise ValueError("centroid_stride leaves fewer centroids than nprobe")
+    rows = _bounded_probe_rows(probes,
+                               cap=probe_cap if probe_cap is not None
+                               else PROBE_CAP)
+    pids = np.array([r[0] for r in rows], dtype=np.int64)
+    P = np.array([[float(x) for x in r[1]] for r in rows],
+                 dtype=np.float64)
+    # driver-side routing: same cache-tiled fold-exact scoring as the
+    # distributed assignment pass, so a probe drawn from the corpus
+    # routes to exactly the lists its corpus row probes
+    dots = _ordered_pair_dots(P, C, np)
+    na = np.zeros(len(P))
+    for i in range(P.shape[1]):              # ordered fold per element
+        na += P[:, i] * P[:, i]
+    cs = dots / (np.sqrt(na)[:, None] * cn[None, :])
+    probe_rows = []
+    for r in range(len(P)):
+        for j in np.lexsort((cids, -cs[r]))[:nprobe]:
+            probe_rows.append((1, int(pids[r]),
+                               [float(x) for x in rows[r][1]],
+                               int(cids[j])))
+    probed = sorted({pr[3] for pr in probe_rows})
+
+    chunking = n_rows > max_block
+    pre0 = _ivf_assign(base, ck, hit, nprobe=nprobe, max_block=max_block,
+                       chunking=chunking)
+    # members: role-0 rows of the shared index, semi-joined (broadcast,
+    # ≤ nprobe·|probes| ids) to the probed lists — the only corpus rows
+    # that shuffle
+    probed_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(c,) for c in probed], 1),
+        "cid bigint")
+    members = (pre0.select(F.lit(0).alias("_role"), "vec_id", "v",
+                           F.element_at("_probes", 1).alias("cid"))
+               .join(F.broadcast(probed_df), "cid")
+               .select("_role", "vec_id", "v", "cid"))
+    qdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(probe_rows, 1),
+        "_role int, vec_id bigint, v array<double>, cid bigint")
+    pre = members.unionByName(qdf)
+    return _grouped_rerank(pre, k=k, max_block=max_block,
+                           chunking=chunking, spark=spark)
 
 
 def lsh_bucket_udf(planes: list[list[float]]):

@@ -353,6 +353,48 @@ def test_ivf_flat_chunked_path_identical(spark, sf_dir):
     assert plain == chunked
 
 
+def test_ivf_probe_suite_matches_all_n_restricted(spark, sf_dir):
+    """The probe-suite entry point (the production ANN query shape —
+    r12 crossover watch item) must equal the all-N operator restricted
+    to the probe ids: same shared index, same scoring folds, same
+    tie-breaks — on BOTH the unchunked and the hot-list-chunked path,
+    and with the cached index serving both workloads."""
+    from enexory_parquet_export_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_ids = [r["vec_id"] for r in
+                 emb.select("vec_id").orderBy("vec_id").collect()][::7]
+    probes = [(r["vec_id"], list(r["embedding"]))
+              for r in emb.filter(F.col("vec_id").isin(probe_ids))
+                          .select("vec_id", "embedding").collect()]
+    for mb in (4096, 5):          # unchunked + chunked
+        full = sorted(map(tuple, S.ivf_flat_topk(
+            emb, k=3, centroid_stride=7, nprobe=2,
+            max_block=mb).collect()))
+        want = [t for t in full if t[0] in set(probe_ids)]
+        got = sorted(map(tuple, S.ivf_flat_probe_topk(
+            emb, probes, k=3, centroid_stride=7, nprobe=2,
+            max_block=mb).collect()))
+        assert got == want, f"probe-suite mismatch at max_block={mb}"
+    # shared-index contract: one cache_key serves both entry points
+    S._IVF_CODEBOOKS.clear()
+    try:
+        S.ivf_flat_topk(emb, k=3, centroid_stride=7, nprobe=2,
+                        max_block=5, cache_key="t-probe").collect()
+        n_keys = len(S._IVF_CODEBOOKS)
+        got = sorted(map(tuple, S.ivf_flat_probe_topk(
+            emb, probes, k=3, centroid_stride=7, nprobe=2,
+            max_block=5, cache_key="t-probe").collect()))
+        assert len(S._IVF_CODEBOOKS) == n_keys, \
+            "probe suite must HIT the all-N index, not key new state"
+        full = sorted(map(tuple, S.ivf_flat_topk(
+            emb, k=3, centroid_stride=7, nprobe=2,
+            max_block=5).collect()))
+        assert got == [t for t in full if t[0] in set(probe_ids)]
+    finally:
+        S._IVF_CODEBOOKS.clear()
+
+
 # ---------------------------------------------------------------------------
 # Property-based: the PPJoin prefix/length/positional pruning must be
 # LOSSLESS — on ANY corpus, ngram_jaccard_pairs returns exactly the
