@@ -343,6 +343,54 @@ def duck_ivf_sql(stride: int, nprobe: int, k: int) -> str:
         FROM top WHERE rnk <= {k}"""
 
 
+def duck_ivf_probe_sql(stride: int, nprobe: int, k: int,
+                       probe_step: int, cap: int) -> str:
+    """Probe-bounded twin of :func:`duck_ivf_sql`: only decimated
+    probes are scored as queries, but list assignment (pr=1 over the
+    WHOLE corpus) remains — exact IVF semantics need every member's
+    list, which is precisely the work a resident index amortizes and
+    an in-query formulation cannot."""
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM emb_sf1),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e
+                 WHERE vec_id % {stride} = 0),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+          FROM e CROSS JOIN cent c),
+        ranked AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, cid ASC) AS pr
+          FROM scored),
+        pset AS (SELECT vec_id FROM e WHERE vec_id % {probe_step} = 0
+                 ORDER BY vec_id LIMIT {cap}),
+        probes AS (SELECT r.vec_id AS qid, r.cid FROM ranked r
+                   JOIN pset p ON p.vec_id = r.vec_id
+                   WHERE r.pr <= {nprobe}),
+        idx AS (SELECT vec_id AS nbr_id, cid FROM ranked WHERE pr = 1),
+        cand AS (SELECT DISTINCT qid, nbr_id
+                 FROM probes JOIN idx USING (cid) WHERE qid <> nbr_id),
+        rer AS (
+          SELECT c.qid, c.nbr_id,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM cand c JOIN e a ON a.vec_id = c.qid
+                      JOIN e b ON b.vec_id = c.nbr_id),
+        top AS (SELECT qid, nbr_id, cos,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, nbr_id ASC)
+                         AS rnk
+                FROM rer)
+        SELECT qid AS vec_id, nbr_id,
+               CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micro, rnk
+        FROM top WHERE rnk <= {k}"""
+
+
 def build_scaled_docs(spark, copies: int) -> str:
     path = os.path.join(SCRATCH, f"docs_x{copies}.parquet")
     if os.path.exists(path):
@@ -493,6 +541,58 @@ def main() -> int:
                 cache_key=ckey)))
             print(f"ivf_cached: spark first {t_first:.2f}s / "
                   f"steady {t_steady:.2f}s", flush=True)
+        if "--ivf-probe-suite" in sys.argv and "ivf_probe" in vec_shapes:
+            # r12 crossover watch item / r13 VERDICT #7: the all-N
+            # self-join is rerank-bound (~118 µs/vector at 5M); the
+            # CONTRACT workload is a bounded probe suite (≤ PROBE_CAP)
+            # against the session-cached index — ANN-as-a-service
+            # shape.  Probes = corpus decimation (the x44 idiom).
+            # The duck pair keeps its in-query index build (that IS
+            # its steady state — no resident index to amortize), with
+            # only the probe side bounded; at large N the corpus×cent
+            # scoring for list assignment still dominates it.
+            from enexory_parquet_export_spark.operators.similarity import (
+                ivf_flat_probe_topk,
+            )
+            n_probes = 1024
+            if "--n-probes" in sys.argv:
+                n_probes = int(sys.argv[sys.argv.index("--n-probes") + 1])
+            pstep = max(1, nv // n_probes)
+            probe_rows = (sedf.filter(F.col("vec_id") % pstep == 0)
+                          .select("vec_id", "embedding")
+                          .orderBy("vec_id").limit(n_probes).collect())
+            probes = [(r["vec_id"], list(r["embedding"]))
+                      for r in probe_rows]
+            ckey = f"ann-crossover-{nv}"
+            t_first = _timed(lambda: _noop(ivf_flat_probe_topk(
+                sedf, probes, k=3, centroid_stride=stride, nprobe=2,
+                cache_key=ckey)))
+            t_steady = _timed(lambda: _noop(ivf_flat_probe_topk(
+                sedf, probes, k=3, centroid_stride=stride, nprobe=2,
+                cache_key=ckey)))
+            print(f"ivf_probe_suite: {len(probes)} probes (step "
+                  f"{pstep}), spark first {t_first:.2f}s / steady "
+                  f"{t_steady:.2f}s "
+                  f"({t_steady / max(len(probes), 1) * 1e3:.1f} "
+                  f"ms/probe steady)", flush=True)
+            dsql = duck_ivf_probe_sql(stride, 2, 3, pstep, n_probes)
+            duck_to = 1200.0
+            if "--duck-timeout" in sys.argv:
+                duck_to = float(
+                    sys.argv[sys.argv.index("--duck-timeout") + 1])
+            import threading as _th
+            timer = _th.Timer(duck_to, con.interrupt)
+            timer.start()
+            try:
+                td = _timed(lambda: con.execute(dsql).arrow())
+                print(f"| ivf_probe_suite | {td:.2f} | {t_steady:.2f} "
+                      f"| {t_steady/td:.2f}× |", flush=True)
+            except Exception as exc:
+                print(f"| ivf_probe_suite | DNF(>{duck_to:.0f}s or "
+                      f"spill) | {t_steady:.2f} | — |  "
+                      f"(duckdb: {str(exc)[:140]})", flush=True)
+            finally:
+                timer.cancel()
         # best-of-1 at vector scale: runs are minutes long, so JIT /
         # page-cache amortize within the run and a second rep only
         # doubles the experiment's wall clock.  DuckDB may legitimately

@@ -228,8 +228,15 @@ def main() -> int:
           flush=True)
     fdir = build_fixture(spark, copies)
     doc_path = os.path.join(fdir, "documents.parquet", "*.parquet")
-    ndocs = spark.read.parquet(os.path.join(fdir, "documents.parquet")).count()
-    print(f"fixture: {fdir} ({ndocs} docs)", flush=True)
+    # per-BYTE normalization (r12 finding: the ~{copy} suffix grows
+    # bytes/doc with N, so per-doc µs overstates the scaling; the
+    # honest cross-scale metric is µs per corpus text byte)
+    stats = (spark.read.parquet(os.path.join(fdir, "documents.parquet"))
+             .selectExpr("count(*) AS n",
+                         "sum(octet_length(text)) AS b").collect()[0])
+    ndocs, nbytes = stats["n"], stats["b"]
+    print(f"fixture: {fdir} ({ndocs} docs, {nbytes/1e9:.2f} GB text, "
+          f"{nbytes/ndocs:.1f} B/doc)", flush=True)
 
     results = {}
     for name, build, duck_sql in (
@@ -276,6 +283,9 @@ def main() -> int:
         results[name] = {
             "spark_first": round(sp_first, 2),
             "spark_steady": round(sp_steady, 2),
+            "spark_us_per_byte": round(sp_steady / nbytes * 1e6, 4),
+            "duck_us_per_byte": (round(duck_t / nbytes * 1e6, 4)
+                                 if duck_t is not None else None),
             "duck": round(duck_t, 2) if duck_t is not None else None,
             "duck_dnf": dnf[0] or duck_rows is None,
             "rows": len(spark_rows),
@@ -288,7 +298,7 @@ def main() -> int:
               flush=True)
 
     print(json.dumps({"metric": "decon_crossover", "copies": copies,
-                      "ndocs": ndocs, **results}))
+                      "ndocs": ndocs, "text_bytes": nbytes, **results}))
     return 0
 
 
