@@ -551,6 +551,7 @@ def main() -> int:
             # its steady state — no resident index to amortize), with
             # only the probe side bounded; at large N the corpus×cent
             # scoring for list assignment still dominates it.
+            from pyspark.sql import functions as F
             from enexory_parquet_export_spark.operators.similarity import (
                 ivf_flat_probe_topk,
             )
@@ -607,6 +608,12 @@ def main() -> int:
             duck_timeout = float(
                 sys.argv[sys.argv.index("--duck-timeout") + 1])
         import threading
+        # --ivf-skip-plain: when the cached-index / probe-suite
+        # experiments are the subject, skip the uncached all-N race
+        # (at 5M vectors it is ~10 min of spark + a duck DNF timeout
+        # that measure nothing new)
+        if "--ivf-skip-plain" in sys.argv:
+            vec_shapes = set()
         for name in sorted(vec_shapes):
             sfn, dsql = runs[name]
             ts = _timed(sfn)
