@@ -426,6 +426,73 @@ def x44(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# X109 probe-suite IVF ANN — the PRODUCTION query shape of the x44
+# index (r12 crossover watch item, r13): a bounded decimated probe
+# suite served against the SAME session-cached inverted-list index
+# x44 builds (identical codebook key: same stride/cap/corpus
+# fingerprint under cache_key=sf_dir).  Probe→list routing runs
+# driver-side against the O(cap) codebook; only the probed lists'
+# members shuffle (broadcast semi-join on ≤ nprobe·|probes| list
+# ids), so candidate volume is O(Σ probed-list sizes), not
+# O((1+nprobe)·N) — measured at 5M vectors: 7.9 s steady (7.7
+# ms/probe) where the all-N workload is rerank-bound at 592 s and
+# DuckDB DNFs on temp disk (BASELINE.md r13).  The oracle is x44's
+# pair-row CTE chain with the probe side decimated — same scoring,
+# same tie-breaks.  Born r13 AFTER the spelled 50-slot window: the
+# local gate value-verifies it until it joins the rotation in r14+.
+# --------------------------------------------------------------------------
+_IVF_PROBE_STEP = 11
+
+
+@declared("x109_ivf_probe", f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         WHERE vec_id % {_IVF_STRIDE} = 0),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+  FROM e CROSS JOIN cent c),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cs DESC, cid ASC) AS pr
+  FROM scored),
+probes AS (SELECT vec_id AS qid, cid FROM ranked
+           WHERE pr <= {_IVF_NPROBE}
+             AND vec_id % {_IVF_PROBE_STEP} = 0),
+idx AS (SELECT vec_id AS nbr_id, cid FROM ranked WHERE pr = 1),
+cand AS (SELECT DISTINCT qid, nbr_id
+         FROM probes JOIN idx USING (cid) WHERE qid <> nbr_id),
+rer AS (
+  SELECT c.qid, c.nbr_id,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nbr_id),
+top AS (SELECT qid, nbr_id, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nbr_id ASC) AS rnk
+        FROM rer)
+SELECT qid AS vec_id, nbr_id,
+       CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM top WHERE rnk <= {_IVF_K} ORDER BY vec_id, rnk""")
+def x109(spark, sf_dir):
+    from .operators.similarity import ivf_flat_probe_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    suite = (emb.filter(F.col("vec_id") % _IVF_PROBE_STEP == 0)
+                .select("vec_id", "embedding"))
+    return bounded_sort(
+        ivf_flat_probe_topk(emb, suite, k=_IVF_K,
+                            centroid_stride=_IVF_STRIDE,
+                            nprobe=_IVF_NPROBE, cache_key=sf_dir),
+        "vec_id", "rnk")
+
+
+# --------------------------------------------------------------------------
 # X45 sessionization (gaps-and-islands): split each user's event stream
 # into sessions at >30 min silence — the event-time analog of the
 # reference's "resume after the last seen timestamp" walk (O5) and the
