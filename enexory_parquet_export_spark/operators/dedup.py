@@ -557,12 +557,22 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.6,
     where duplicates exist.
     """
     t = threshold
-    # hash BEFORE distinct so the dedup shuffle moves 8-byte longs,
-    # not shingle strings
-    ex = (_exploded_shingles(docs, id_col="doc_id", text_col="text",
-                             shingle_n=shingle_n)
-          .select("doc_id", F.xxhash64("s").alias("h"))
-          .distinct()
+    # r13: the (doc_id, h) distinct builds IN-ROW — array_distinct
+    # over the per-doc shingle-hash array, then explode — so the
+    # former corpus-sized distinct Exchange (one row per (doc,
+    # shingle) pair) and the window-build sort are both gone from the
+    # plan; the x55/x85 zero-shuffle build (r9 VERDICT #2), applied
+    # to the PPJoin entry.  Shingle identity moves from
+    # xxhash64(concat_ws(' ', t..)) to the multi-arg xxhash64 of the
+    # token triple (tokens cannot contain whitespace, so the two
+    # identities coincide); hash VALUES change, but PPJoin's filters
+    # are lossless under any global shingle order and h never leaves
+    # the engine, so the emitted pairs are identical (A/B'd
+    # value-equal at sf0.1; plan: Exchange hash(doc_id,h) + Sort
+    # removed).
+    ex = (_exploded_shingle_hashes(docs, id_col="doc_id", text_col="text",
+                                   shingle_n=shingle_n,
+                                   distinct_in_row=True)
           .transform(materialize, eager=True))   # read twice below: freq + rank
     df_freq = ex.groupBy("h").agg(F.count("*").alias("_df"))
     # one row per doc: shingle hashes ordered rarest-first.  df counts

@@ -1945,29 +1945,31 @@ SELECT doc_id,
                   / len(grams) * 1e6) AS BIGINT) AS rep_micro
 FROM g ORDER BY doc_id""")
 def x72(spark, sf_dir):
-    from pyspark.sql.window import Window
-
+    # r13 optimization: the trigram statistic is a pure PER-ROW set
+    # function, so it builds entirely inside the document row (the
+    # x93 ``size(array_distinct(...))`` trick): one in-row shingle
+    # transform, then n_dup = n − |distinct| — the former
+    # posexplode → Exchange(doc_id) → Sort → Window(lead×2) →
+    # 4-layer HashAggregate(count distinct) chain shuffled one row
+    # per TOKEN for numbers the row already knows.  Plan: 2
+    # exchanges → 1 (only the output range sort remains); A/B at
+    # sf0.1 interleaved ×5: old 1.61–3.11 s, new 1.25–1.85 s,
+    # value-identical.  At 100 TB the removed exchange+sort is
+    # corpus-sized (every token crosses the network); the in-row
+    # form moves nothing.
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
                      lambda w: w != F.lit(""))
-    tok = docs.select("doc_id", F.posexplode(words).alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (tok.select("doc_id",
-                        F.concat_ws(" ", "w",
-                                    F.lead("w", 1).over(win),
-                                    F.lead("w", 2).over(win)).alias("gram"),
-                        F.lead("w", 2).over(win).alias("_w3"))
-                .filter(F.col("_w3").isNotNull()))
-    n = F.count("*").cast("bigint")
-    nd = F.countDistinct("gram").cast("bigint")
-    return (grams.groupBy("doc_id")
-                 .agg(n.alias("n_grams"),
-                      (n - nd).alias("n_dup"))
-                 .select("doc_id", "n_grams", "n_dup",
-                         F.floor(F.col("n_dup").cast("double")
-                                 / F.col("n_grams") * F.lit(1e6))
-                          .cast("bigint").alias("rep_micro"))
-                 .transform(stable_sort, "doc_id"))
+    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= 3)
+    g = base.select("doc_id", D.shingles(F.col("w"), 3).alias("g"))
+    n = F.size("g").cast("bigint")
+    nd = F.size(F.array_distinct("g")).cast("bigint")
+    return (g.select("doc_id", n.alias("n_grams"), (n - nd).alias("n_dup"))
+             .select("doc_id", "n_grams", "n_dup",
+                     F.floor(F.col("n_dup").cast("double")
+                             / F.col("n_grams") * F.lit(1e6))
+                      .cast("bigint").alias("rep_micro"))
+             .transform(stable_sort, "doc_id"))
 
 
 # --------------------------------------------------------------------------
@@ -3263,8 +3265,6 @@ def kmeans_assign(emb: DataFrame, *, k: int = _KMEANS_K,
                   cache_key: str | None = None) -> DataFrame:
     """x94 core on any ``(vec_id, embedding)`` relation (the
     crossover harness runs it on scaled corpora)."""
-    from pyspark.sql import Window
-
     spark = emb.sparkSession
     ck = (None if cache_key is None else
           (spark.sparkContext.applicationId, cache_key, k, iters,
@@ -3300,63 +3300,67 @@ def kmeans_assign(emb: DataFrame, *, k: int = _KMEANS_K,
                            .alias("m")))
 
     def _cents_1row(rows: list):
+        # LOCAL relation, not parallelize(rows, 1): a LocalRelation
+        # is a plan literal — broadcasting it runs no scan job and
+        # the hit-path build skips the RDD round trip (r13)
         one = spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1),
+            [(int(cid), list(c)) for cid, c in rows],
             "cid bigint, c array<bigint>")
         return one.agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
 
-    if hit is not None:
-        sc = scored(_cents_1row(hit))
+    def _finish(sc):
+        # stable_sort, not plain orderBy (r13): the range exchange's
+        # sampling job re-executes its child, and the child here is
+        # the full K×dim interpreted argmin over every vector — on
+        # the artifact-hit path it re-ran the scan+quantize+assign
+        # twice per action.  One lazy materialization of the
+        # 3-long-per-row output is strictly cheaper at any scale
+        # (A/B at sf0.1, interleaved ×4: orderBy 1.08–1.65 s total,
+        # stable_sort 0.37–0.54 s run after an 0.8 s planning build —
+        # net 1.33 → 1.15 s steady, and one assignment pass instead
+        # of two).
         return (sc.select("vec_id",
                           F.col("m.cid").cast("bigint").alias("cluster"),
                           F.col("m.dd").alias("dist_q"))
-                  .orderBy("vec_id"))
+                  .transform(stable_sort, "vec_id"))
 
-    seed_w = Window.orderBy("vec_id")
-    cent = (qv.orderBy("vec_id").limit(k)
-              .select((guarded_window(F.row_number().over(seed_w),
-                                      seed_w, k, "x94 centroid seed") - 1)
-                       .alias("cid"),
-                      F.col("qv").alias("c")))
-    sc = None
-    for i in range(iters):
-        # NO per-round checkpoint or collect: with 3 fixed rounds the
-        # whole loop stays ONE lazy job graph and Spark's exchange
-        # reuse dedups the shared per-round subtrees.  A/B at sf0.1
-        # (interleaved, median of 3): lazy DAG 1.6 s / eager ckpt per
-        # round 2.1 s / per-round centroid collect 2.2 s — every extra
-        # action pays the AQE-stage dispatch floor, and nothing here
-        # needs lineage truncation (contrast x59's UNBOUNDED loop,
-        # where depth grows with the data and checkpoints win)
-        cents = cent.agg(F.collect_list(F.struct("cid", "c"))
-                          .alias("cs"))
-        sc = scored(cents)
-        if i < iters - 1:
-            s, n = F.sum("x"), F.count(F.lit(1))
-            upd = (sc.select(F.col("m.cid").alias("cid"),
-                             F.posexplode("qv").alias("pos", "x"))
-                     .groupBy("cid", "pos")
-                     .agg(((s - F.pmod(s, n)) / n).cast("bigint")
-                          .alias("c")))
-            cent = (upd.groupBy("cid")
-                       .agg(F.transform(
-                           F.array_sort(F.collect_list(
-                               F.struct("pos", "c"))),
-                           lambda t: t["c"]).alias("c")))
+    if hit is not None:
+        return _finish(scored(_cents_1row(hit)))
+
+    # Train by PER-ROUND centroid collect (r13; replaces the unrolled
+    # 3-round lazy DAG).  Each round is one flat job over the
+    # checkpointed qv — assignment-projection → posexplode → two
+    # bounded hash aggs — and the K×dim integer centroids (a few KB)
+    # come back to the driver to seed the next round as a local
+    # literal.  The former single lazy job graph embedded round i's
+    # whole plan inside round i+1's, so its one action JIT-compiled a
+    # ~3×-deep novel plan: measured JIT-cold at sf0.1 the DAG form
+    # ran 14.2 s vs 6.6 s for this form (values identical, both
+    # checked against the oracle); warm they tie (3.0–3.7 s vs
+    # 3.3–4.1 s).  At 100 TB the collect is K·dim rows per round —
+    # the canonical Lloyd's shape — while the per-round scan of the
+    # materialized qv is the same work the lazy DAG's exchange-reuse
+    # execution did anyway.
+    seed = qv.orderBy("vec_id").limit(k).collect()
+    rows = [(i, list(r["qv"])) for i, r in enumerate(seed)]
+    for _ in range(iters - 1):
+        sc = scored(_cents_1row(rows))
+        s, n = F.sum("x"), F.count(F.lit(1))
+        upd = (sc.select(F.col("m.cid").alias("cid"),
+                         F.posexplode("qv").alias("pos", "x"))
+                 .groupBy("cid", "pos")
+                 .agg(((s - F.pmod(s, n)) / n).cast("bigint")
+                      .alias("c")))
+        cent = (upd.groupBy("cid")
+                   .agg(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "c"))),
+                       lambda t: t["c"]).alias("c")))
+        rows = [(r["cid"], list(r["c"])) for r in cent.collect()]
     if ck is not None:
-        # one training job materializes the model; the returned plan
-        # then assigns against the COLLECTED centroids instead of
-        # lazily re-running the whole Lloyd DAG at action time
-        rows = [(r["cid"], r["c"]) for r in cent.collect()]
         _artifacts.put(_KMEANS_CENTROIDS, ck, rows,
                        supersede_prefix=len(ck) - 1)
-        sc = scored(_cents_1row(rows))
-    # plain orderBy, not stable_sort: the upstream is a checkpointed
-    # scan + projection, so the range-sampling pass is cheap to re-run
-    return (sc.select("vec_id",
-                      F.col("m.cid").cast("bigint").alias("cluster"),
-                      F.col("m.dd").alias("dist_q"))
-              .orderBy("vec_id"))
+    return _finish(scored(_cents_1row(rows)))
 
 
 @declared("x94_kmeans", _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS))
