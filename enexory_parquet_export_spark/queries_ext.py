@@ -3300,9 +3300,11 @@ def kmeans_assign(emb: DataFrame, *, k: int = _KMEANS_K,
                            .alias("m")))
 
     def _cents_1row(rows: list):
-        # LOCAL relation, not parallelize(rows, 1): a LocalRelation
-        # is a plan literal — broadcasting it runs no scan job and
-        # the hit-path build skips the RDD round trip (r13)
+        # createDataFrame(list) rather than an explicit
+        # parallelize(rows, 1) hop (r13).  NOTE: PySpark still
+        # materializes local data through an internal parallelize —
+        # the K-row relation remains a Scan ExistingRDD leaf, so this
+        # is a code simplification, not a job-count change.
         one = spark.createDataFrame(
             [(int(cid), list(c)) for cid, c in rows],
             "cid bigint, c array<bigint>")

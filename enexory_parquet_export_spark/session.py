@@ -101,17 +101,43 @@ STATIC_CONFS: dict[str, str] = {
 }
 
 
+#: applicationIds already pinned by :func:`configure` — every entry
+#: point calls configure defensively (wrapper + each load_table), so
+#: one query construction repeated the ~20 conf.set py4j round trips
+#: 3-4×; at ~5 ms per call that billed ~3-4 s of pure driver chatter
+#: across a 108-query bench sweep (r13 measurement: 100 configure
+#: calls = 0.49 s).  Keyed by applicationId (the _TABLE_MEMO idiom):
+#: a fresh session is always pinned once; stale entries are dropped
+#: so the set cannot grow across session restarts.
+_CONFIGURED: set[str] = set()
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Pin runtime confs on an existing session (idempotent, cheap).
 
     Called at the top of every public entry point so the engine works
     inside a session it did not create (e.g. the verify driver's).
+    Applied once per applicationId; pass through
+    :func:`configure_force` (or clear ``_CONFIGURED``) after mutating
+    any RUNTIME_CONFS key mid-session.
     """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CONFIGURED:
+        return spark
+    return configure_force(spark)
+
+
+def configure_force(spark: SparkSession) -> SparkSession:
+    """Unconditionally (re)apply RUNTIME_CONFS to the session."""
+    app_id = spark.sparkContext.applicationId
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             pass  # non-settable on this build — best effort
+    _CONFIGURED.difference_update(
+        {a for a in _CONFIGURED if a != app_id})
+    _CONFIGURED.add(app_id)
     return spark
 
 
