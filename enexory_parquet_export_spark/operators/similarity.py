@@ -708,20 +708,24 @@ def ivf_flat_probe_topk(emb: DataFrame, probes, *, k: int = 3,
     # members: role-0 rows of the shared index, semi-joined (broadcast,
     # ≤ nprobe·|probes| ids) to the probed lists — the only corpus rows
     # that shuffle
-    # createDataFrame(list) rather than an explicit parallelize hop
-    # (r13).  NOTE: PySpark still materializes local data through an
-    # internal parallelize, so the plan keeps its Scan ExistingRDD
-    # leaves and the job count is UNCHANGED (measured: 5 run jobs
-    # before and after) — this is a code simplification, not a
-    # dispatch win; both relations are bounded driver-side lists.
+    # ONE-slice parallelize, deliberately (r13): createDataFrame(list)
+    # routes through parallelize(data, defaultParallelism), so these
+    # bounded lists became 32 near-empty partitions whose tasks each
+    # pay dispatch in the broadcast build and the union scan —
+    # interleaved A/B ×4 at sf0.1: list form 3.2–4.2 s, 1-slice form
+    # 2.7–3.9 s (median 3.46 vs 3.02).  Job COUNT is identical either
+    # way (the relations stay Scan ExistingRDD leaves); only the
+    # per-job task fan changes.
     probed_df = spark.createDataFrame(
-        [(int(c),) for c in probed], "cid bigint")
+        spark.sparkContext.parallelize([(int(c),) for c in probed], 1),
+        "cid bigint")
     members = (pre0.select(F.lit(0).alias("_role"), "vec_id", "v",
                            F.element_at("_probes", 1).alias("cid"))
                .join(F.broadcast(probed_df), "cid")
                .select("_role", "vec_id", "v", "cid"))
     qdf = spark.createDataFrame(
-        probe_rows, "_role int, vec_id bigint, v array<double>, cid bigint")
+        spark.sparkContext.parallelize(probe_rows, 1),
+        "_role int, vec_id bigint, v array<double>, cid bigint")
     pre = members.unionByName(qdf)
     return _grouped_rerank(pre, k=k, max_block=max_block,
                            chunking=chunking, spark=spark)

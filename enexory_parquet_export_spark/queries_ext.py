@@ -3300,13 +3300,14 @@ def kmeans_assign(emb: DataFrame, *, k: int = _KMEANS_K,
                            .alias("m")))
 
     def _cents_1row(rows: list):
-        # createDataFrame(list) rather than an explicit
-        # parallelize(rows, 1) hop (r13).  NOTE: PySpark still
-        # materializes local data through an internal parallelize —
-        # the K-row relation remains a Scan ExistingRDD leaf, so this
-        # is a code simplification, not a job-count change.
+        # ONE-slice parallelize, deliberately: createDataFrame(list)
+        # slices local data into defaultParallelism near-empty
+        # partitions, each a dispatched task in the broadcast build
+        # (the x109 probe-relation A/B measured the fan-out cost);
+        # the K-row centroid relation belongs in one slice.
         one = spark.createDataFrame(
-            [(int(cid), list(c)) for cid, c in rows],
+            spark.sparkContext.parallelize(
+                [(int(cid), list(c)) for cid, c in rows], 1),
             "cid bigint, c array<bigint>")
         return one.agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
 
