@@ -122,36 +122,44 @@ def entry(spark: SparkSession) -> DataFrame:
 #                        59, 66, 72,
 #                        *range(88, 104))
 #          _PRIORITY = q01–q15 then _R13_XBAND  (15 + 35 = 50)
-#   r14 plan: x30–x34 are MANDATORY (carried from r13; last green
-#        r11 — two rounds out by r14) + the r12 band (q16–q29 +
-#        x40–x49 + x64/x65/x67–x71/x73 + x75–x87 + x104–x108 = 50
-#        if taken whole) — 55 candidates for 50 slots, so five
-#        carry to r15.  Carry the five with the deepest
-#        driver-green history: x75–x79 (green r4/r6/r8/r10/r12 —
-#        five rows each) → r15.  Mechanically:
+#   r14 (this round): executed as the r13 ledger spelled, with ONE
+#        amendment the r13 verdict ordered (What's wrong #3): x109
+#        was born in the r13 build round but the plan's band ended
+#        at range(104,109), so x109 had NO driver slot in any
+#        window — it now takes its FIRST driver row (the
+#        x97/x98/x104–x108 precedent: new queries enter in their
+#        first available window).  To keep exactly 50 slots, one
+#        more query carries by the ledger's own rule (deepest
+#        driver-green history): x80 (green r4/r6/r8/r10/r12 — five
+#        rows, same depth as the x75–x79 carries) → r15.
+#        x30–x34 are MANDATORY (carried from r13; last green r11 —
+#        two rounds out by r14; this also driver-verifies the r13
+#        x32 PPJoin-entry change) + the r12 band (q16–q29 + x40–x49
+#        + x64/x65/x67–x71/x73 + x81–x87 + x104–x108).
+#        Mechanically:
 #          _R14_XBAND = (30, 31, 32, 33, 34,        # mandatory
 #                        *range(40, 50),
 #                        64, 65, *range(67, 72), 73,
-#                        *range(80, 88),
-#                        *range(104, 109))
+#                        *range(81, 88),            # x75–x80 → r15
+#                        *range(104, 110))          # x109 first row
 #          _PRIORITY = q16–q29 then _R14_XBAND  (14 + 36 = 50)
-#        r15 then owes x75–x79 plus whatever r14 rotates out (the
+#        r15 then owes x75–x80 plus whatever r14 rotates out (the
 #        r13 band).
 #   INVARIANT: x53/x74 are rows-only sketches — they can never
 #        hash-match and must NEVER occupy a window slot; their error
 #        bounds are pytest'd (tests/test_functions.py) and their
 #        rows-only declaration pinned by tests/test_entry_contract.py
 #        (see README "Rotation rule").
-_R13_XBAND: tuple[int, ...] = (
-    57, 58, 60, 62, 63,                            # mandatory (last green r10)
-    *range(35, 40),                                # x30–x34 → r14
-    50, 51, 52, 54, 55, 56,
-    59, 66, 72,
-    *range(88, 104),
+_R14_XBAND: tuple[int, ...] = (
+    30, 31, 32, 33, 34,                            # mandatory (last green r11)
+    *range(40, 50),
+    64, 65, *range(67, 72), 73,
+    *range(81, 88),                                # x75–x80 → r15
+    *range(104, 110),                              # x109: first driver row
 )
 _PRIORITY: tuple[str, ...] = (
-    *(f"q{i:02d}" for i in range(1, 16)),          # q01..q15
-    *(f"x{i}" for i in _R13_XBAND),
+    *(f"q{i:02d}" for i in range(16, 30)),         # q16..q29
+    *(f"x{i}" for i in _R14_XBAND),
 )
 
 

@@ -48,6 +48,32 @@ def test_queries_return_lazy_dataframes(spark, sf_dir):
     assert df.columns  # analysis succeeded without execution
 
 
+def test_configure_force_repins_mutated_runtime_conf(spark):
+    """configure() is memoized per applicationId (r13: ~20 conf.set
+    py4j round trips x 3-4 calls per query construction), so a
+    mid-session RUNTIME_CONFS mutation is NOT re-pinned by configure()
+    — only configure_force() re-applies it.  Pins the documented
+    semantics (r13 VERDICT item 8)."""
+    from enexory_parquet_export_spark import session as sess
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    pinned = sess.RUNTIME_CONFS[key]
+    try:
+        sess.configure(spark)  # ensure memoized
+        spark.conf.set(key, "7m")
+        sess.configure(spark)  # memo hit: must NOT silently re-pin
+        assert spark.conf.get(key) == "7m"
+        sess.configure_force(spark)  # force: must re-pin
+        assert spark.conf.get(key) == pinned
+        # and a force re-arms nothing extra: plain configure stays memoized
+        spark.conf.set(key, "7m")
+        sess.configure(spark)
+        assert spark.conf.get(key) == "7m"
+    finally:
+        sess.configure_force(spark)
+        assert spark.conf.get(key) == pinned
+
+
 def test_day_partitioned_roundtrip(spark, tmp_path):
     from enexory_parquet_export_spark.sources.writer import (
         list_days,
@@ -110,12 +136,13 @@ def test_driver_window_covers_contract_core():
     names = list(entrymod.queries())
     first50 = names[:50]
     window = set(first50)
-    # r13 window: q01–q15 + x57/x58/x60/x62/x63 (MANDATORY — last
-    # driver-green r10) + the r11 band minus x30–x34 (carried to r14)
-    # — exactly 50; the r12 band sits out after its green round —
-    # see the rotation ledger in the module
-    must = {f"q{i:02d}" for i in range(1, 16)}
-    must |= {f"x{i}" for i in entrymod._R13_XBAND}
+    # r14 window: q16–q29 + x30–x34 (MANDATORY — last driver-green
+    # r11; driver-verifies the r13 x32 PPJoin change) + the r12 band
+    # minus x75–x80 (carried to r15) + x109 (first driver row, per
+    # the r13 verdict) — exactly 50; the r13 band sits out after its
+    # green round — see the rotation ledger in the module
+    must = {f"q{i:02d}" for i in range(16, 30)}
+    must |= {f"x{i}" for i in entrymod._R14_XBAND}
     prefixes = {n.split("_")[0] for n in window}
     missing = must - prefixes
     assert not missing, f"driver window misses rotation set: {sorted(missing)}"
