@@ -126,6 +126,92 @@ def parse_binlog_text(lines: DataFrame, *, file_col: str = "file",
                .filter(F.col("pk") != 0))
 
 
+def roundtrip_changelog_identity(changelog: DataFrame) -> DataFrame:
+    """Algebraic collapse of ``parse_binlog_text ∘ render_binlog_text``
+    over a one-block-per-row changelog — a pure per-row projection.
+
+    The r13 verdict asked for x43's render→parse re-materialization to
+    go (its plan was Exchange(file) → posexplode(8–15× rows) →
+    Window(sum over file,_ln) → two SortAggregates → range sort, all
+    to reconstruct rows the renderer started from).  Equivalence
+    argument, term by term against ``parse_binlog_text``'s definition
+    (every claim is pinned by
+    ``tests/test_binlog.py::test_roundtrip_identity_matches_composition``
+    on adversarial inputs):
+
+    - **Block recovery is the identity.**  ``render_binlog_text`` emits
+      one header per changelog row at array position 0, so the parser's
+      per-file running header count assigns exactly one ``_blk`` per
+      input row; blocks cannot interleave because ``line_no =
+      seq*1000 + idx`` with idx ≤ 14 and distinct rows have distinct
+      ``seq`` (event_id, the fixture PK — the ORACLE's round trip
+      makes the identical assumption).  Hence groupBy(file, _blk)
+      re-yields the original rows 1:1.
+    - **seq' = seq*1000**: min(_ln) over the block is the header's
+      line_no (position 0 always survives the junk filter — a header
+      is never ''), i.e. seq*1000.
+    - **op' = I|U|D round trip**: the rendered header string maps back
+      through the exact header table; render's ``otherwise(DELETE)``
+      means op ∉ {'I','U'} (including NULL) parses back as 'D'.
+    - **@k last-wins**: an UPDATE's stale WHERE image precedes its SET
+      image, so max_by(_ln) picks the SET values; @1 is the same pk in
+      both images; @4/@6 are always present in the SET image (their
+      renders coalesce NULLs to 'NULL'/'0'), so the stale '-999999.0'
+      and '0' can never win.  @3 is the ONE slot whose SET line can
+      vanish (``concat`` with a NULL date_time nulls the whole line,
+      which posexplode emits as NULL and ``trim() <> ''`` drops):
+      for 'U' the stale ``'0001-01-01 00:00:00'`` then wins; for
+      'I'/'D' the slot is NULL.  Reproduced below by constructing the
+      same slot strings in-row and applying the parser's own
+      quote-strip / NULL-token / digits-guard expressions verbatim —
+      including the corners (empty date_time renders as ``@3=''``
+      whose value ``''`` fails the >2-length quote test and parses as
+      the literal two-quote string; negative pk fails ``^\\d+$`` and
+      drops the block exactly like the parser's pk≠0 flush guard;
+      negative ts_epoch parses as 0).
+    - ``trim`` is a no-op on every surviving slot: @3 values are
+      edge-quoted, @1/@4/@6 render from casts that cannot produce
+      edge whitespace.
+
+    Scale: the collapsed form shuffles nothing and scans the
+    changelog once; the composition it replaces exchanges and sorts
+    an 8–15× exploded token stream (A/B and plan diff in
+    OPTIMIZATION_r14.md).
+    """
+    hdr_op = (F.when(F.col("op") == "I", F.lit("I"))
+               .when(F.col("op") == "U", F.lit("U"))
+               .otherwise(F.lit("D")))
+    pk_str = F.col("pk").cast("string")
+    pk = F.when(pk_str.rlike(r"^\d+$"), F.col("pk")).otherwise(F.lit(0))
+    # _v3: the parser's last-@3 slot (SET image if its line survived,
+    # else the UPDATE's stale WHERE image, else NULL), then the
+    # parser's verbatim quote-strip
+    v3_img = F.concat(F.lit("'"), F.col("date_time"), F.lit("'"))
+    v3 = F.when(v3_img.isNotNull(), v3_img).otherwise(
+        F.when(hdr_op == "U", F.lit("'0001-01-01 00:00:00'")))
+    quoted = (F.length(v3) > 2) & v3.startswith("'") & v3.endswith("'")
+    dt = F.when(quoted, F.substring(v3, F.lit(2), F.length(v3) - 2)) \
+          .otherwise(v3)
+    # _v4: always the SET image (never NULL as a LINE; NULL value
+    # renders as the 'NULL' token)
+    v4 = F.when(F.col("value").isNull(), F.lit("NULL")) \
+          .otherwise(F.col("value").cast("string"))
+    value = F.when((hdr_op == "D") | (v4 == "NULL"),
+                   F.lit(None).cast("double")) \
+             .otherwise(v4.cast("double"))
+    # _v6: always the SET image, NULL ts coalesced to '0' at render
+    v6 = F.coalesce(F.col("ts_epoch").cast("string"), F.lit("0"))
+    ts = F.when(hdr_op == "D", F.lit(None).cast("bigint")).otherwise(
+        F.when(v6.rlike(r"^\d+$"), v6.cast("bigint")).otherwise(F.lit(0)))
+    return (changelog.select(
+                (F.col("seq") * 1000).alias("seq"),
+                pk.alias("pk"), hdr_op.alias("op"),
+                dt.alias("date_time"), value.alias("value"),
+                ts.alias("ts_epoch"),
+                F.substring(dt, 1, 10).alias("day"))
+            .filter(F.col("pk") != 0))
+
+
 def assign_global_seq(changelog: DataFrame, *,
                       stride: int = 1 << 40) -> DataFrame:
     """Rebase per-file ``seq`` onto ONE global order across rotated

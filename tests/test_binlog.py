@@ -164,6 +164,47 @@ def test_roundtrip_property(spark, rows):
         assert r["day"] == dt[:10]
 
 
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(st.lists(_row, min_size=1, max_size=25))
+def test_roundtrip_identity_matches_composition(spark, rows):
+    """r14 x43 collapse: ``roundtrip_changelog_identity`` must equal
+    ``parse_binlog_text ∘ render_binlog_text`` row-for-row — on the
+    contract domain AND on the adversarial corners the equivalence
+    argument names (NULL/empty date_time, NULL value, NULL/negative
+    ts_epoch, NULL/negative/zero pk: pk corners drop the block in both
+    forms; a NULL date_time's @3 SET line vanishes so UPDATE falls
+    back to the stale WHERE image while INSERT/DELETE parse NULL)."""
+    from enexory_parquet_export_spark.operators.binlog import (
+        roundtrip_changelog_identity,
+    )
+
+    edge = [
+        ("U", 7, None, 1.5, 10),      # null dt: stale image wins for U
+        ("I", 8, None, None, None),   # null dt: slot NULL for I
+        ("D", 9, None, 2.0, 11),      # null dt + D
+        ("U", 10, "", 3.0, 12),       # empty dt: parses as literal ''
+        ("I", -5, "2024-01-01 00:00:00", 1.0, 1),   # negative pk drops
+        ("U", None, "2024-01-01 00:00:00", 1.0, 1),  # null pk drops
+        ("I", 11, "2024-01-01 00:00:00", 1.0, -7),  # negative ts -> 0
+        ("D", 0, "2024-01-01 00:00:00", 1.0, 1),    # pk=0 drops
+    ]
+    allrows = list(rows) + edge
+    log = spark.createDataFrame(
+        [(i, op, pk, dt, v, ts) for i, (op, pk, dt, v, ts)
+         in enumerate(allrows)],
+        "seq bigint, op string, pk bigint, date_time string, "
+        "value double, ts_epoch bigint")
+    cols = ["seq", "pk", "op", "date_time", "value", "ts_epoch", "day"]
+    via_text = sorted(
+        tuple(r[c] for c in cols) for r in
+        parse_binlog_text(render_binlog_text(
+            log, seqs_per_file=10)).select(*cols).collect())
+    collapsed = sorted(
+        tuple(r[c] for c in cols) for r in
+        roundtrip_changelog_identity(log).select(*cols).collect())
+    assert collapsed == via_text
+
+
 def test_assign_global_seq_numeric_suffix_rank(spark):
     """Segment rank must use the NUMERIC index (mysql-bin.999999 <
     mysql-bin.1000000), where lexical order breaks at the widening."""

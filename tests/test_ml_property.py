@@ -50,7 +50,11 @@ def test_bpe_merges_match_reference(spark, word_counts):
     assert got == _bpe_reference(dict(word_counts), _BPE_ITERS)
 
 
-@settings(max_examples=10, deadline=None, derandomize=True)
+# 5 derandomized examples: each example runs FOUR full Spark BPE
+# trainings (68 s at 10 examples was the suite's slowest test; the
+# deep-merge pin test below covers the long-horizon behavior) —
+# r13 VERDICT item 3 (suite wall must fit the driver budget)
+@settings(max_examples=5, deadline=None, derandomize=True)
 @given(_corpus)
 def test_bpe_local_mode_matches_spark_and_reference(spark, word_counts):
     """The r6 hybrid (mode="local": Spark word-count agg + driver-side
@@ -178,7 +182,7 @@ _vecs = st.dictionaries(st.integers(0, 50), _vec, min_size=1,
     lambda d: len({len(v) for v in d.values()}) == 1)
 
 
-@settings(max_examples=10, deadline=None, derandomize=True)
+@settings(max_examples=6, deadline=None, derandomize=True)  # r13 V#3: suite wall
 @given(_vecs)
 def test_kmeans_matches_integer_reference(spark, vecs):
     emb = spark.createDataFrame(
@@ -256,7 +260,7 @@ def _dsir_reference(docs):
     return out
 
 
-@settings(max_examples=6, deadline=None, derandomize=True)
+@settings(max_examples=3, deadline=None, derandomize=True)  # r13 V#3: suite wall
 @given(_x105_corpus)
 def test_x105_matches_pure_python_reference(spark, tmp_path_factory, docs):
     from enexory_parquet_export_spark.queries_ext import SPARK_QUERIES
@@ -290,7 +294,7 @@ def _mixing_reference(source_of_doc):
     return {s: base[s] + (1 if order.index(s) < bonus else 0) for s in ns}
 
 
-@settings(max_examples=6, deadline=None, derandomize=True)
+@settings(max_examples=3, deadline=None, derandomize=True)  # r13 V#3: suite wall
 @given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12))
 def test_x106_quotas_match_pure_python_reference(spark, tmp_path_factory,
                                                  sources):
