@@ -217,10 +217,17 @@ SELECT seq, dt_raw,
                 '{SENTINEL_DT}') AS dt_norm
 FROM corrupted ORDER BY seq""")
 def q04(spark, sf_dir):
+    # r14 sort-first: a range ORDER BY's sampling job re-executes its
+    # child, so the try_to_timestamp battery ran twice per action.
+    # Sorting the (seq, dt_raw) rows FIRST and normalizing ABOVE the
+    # sort runs the battery once AND ships fewer bytes through the
+    # range exchange (key+raw is narrower than the output — guide
+    # §2.3).  Project-above-Sort preserves the declared order.  A/B
+    # at sf0.1: steady 0.81 → see OPTIMIZATION_r14.md.
     df = _corrupt_dt_spark(_log(spark, sf_dir))
-    return (df.select("seq", "dt_raw",
-                      normalize_datetime(F.col("dt_raw")).alias("dt_norm"))
-              .orderBy("seq"))
+    return (df.select("seq", "dt_raw").orderBy("seq")
+              .select("seq", "dt_raw",
+                      normalize_datetime(F.col("dt_raw")).alias("dt_norm")))
 
 
 # --------------------------------------------------------------------------
@@ -233,10 +240,12 @@ SELECT seq, ts_epoch,
                 '%Y-%m-%d %H:%M:%S') AS ts_utc2
 FROM changelog ORDER BY seq""")
 def q05(spark, sf_dir):
+    # r14 sort-first (see q04): render once, above the sort; the range
+    # exchange carries (seq, ts_epoch) instead of the rendered string
     return (_log(spark, sf_dir)
+            .select("seq", "ts_epoch").orderBy("seq")
             .select("seq", "ts_epoch",
-                    utc2_render(F.col("ts_epoch")).alias("ts_utc2"))
-            .orderBy("seq"))
+                    utc2_render(F.col("ts_epoch")).alias("ts_utc2")))
 
 
 # --------------------------------------------------------------------------
@@ -253,8 +262,13 @@ SELECT seq,
        concat(substr(date_time, 1, 10), 'T', substr(date_time, 12, 8)) AS iso_ish
 FROM changelog ORDER BY seq""")
 def q06(spark, sf_dir):
+    # r14 sort-first (see q04): the six derived strings build once,
+    # above the sort; the range exchange carries (seq, date_time, op)
+    # instead of ~2× those bytes in derivatives.  JIT-cold first run
+    # 4.2 → 0.9 s, steady 0.51-0.69 → 0.45-0.60 at sf0.1 (A/B ×4).
     log = _log(spark, sf_dir)
-    return (log.select(
+    return (log.select("seq", "date_time", "op").orderBy("seq")
+               .select(
                 "seq",
                 F.substring("date_time", 1, 10).alias("day_key"),
                 F.length("date_time").cast("bigint").alias("dt_len"),
@@ -262,8 +276,7 @@ def q06(spark, sf_dir):
                 F.reverse(F.substring("date_time", 1, 10)).alias("day_rev"),
                 F.upper("op").alias("op_up"),
                 F.concat(F.substring("date_time", 1, 10), F.lit("T"),
-                         F.substring("date_time", 12, 8)).alias("iso_ish"))
-            .orderBy("seq"))
+                         F.substring("date_time", 12, 8)).alias("iso_ish")))
 
 
 # --------------------------------------------------------------------------
@@ -288,7 +301,10 @@ def q07(spark, sf_dir):
     def micro(c):  # identical IEEE multiply-then-floor on both engines
         return F.floor(c * F.lit(1000000.0)).cast("bigint")
 
+    # r14 sort-first (see q04): nine derived columns build once above
+    # the sort; the range exchange carries only (seq, value)
     return (_log(spark, sf_dir)
+            .select("seq", "value").orderBy("seq")
             .select("seq",
                     v.isNull().alias("v_null"),
                     micro(F.coalesce(v, F.lit(0.0))).alias("v0_micro"),
@@ -299,8 +315,7 @@ def q07(spark, sf_dir):
                     F.ceil(v).cast("bigint").alias("v_ceil"),
                     micro(F.sqrt(F.abs(v))).alias("v_sqrt_micro"),
                     micro(F.greatest(v, F.lit(50.0))).alias("v_hi_micro"),
-                    micro(F.least(v, F.lit(50.0))).alias("v_lo_micro"))
-            .orderBy("seq"))
+                    micro(F.least(v, F.lit(50.0))).alias("v_lo_micro")))
 
 
 # --------------------------------------------------------------------------
@@ -834,13 +849,16 @@ FROM toks ORDER BY doc_id""")
 def q28(spark, sf_dir):
     toks = (_t(spark, sf_dir, "documents")
             .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t")))
+    # r14: stable_sort (the x36/x37 precedent) — the range sampler
+    # re-ran tokenize+distinct+max over every doc; narrow rows through
+    # the sort (A/B ×4 at sf0.1: 0.31-0.32 → 0.18-0.21 s)
     return (toks.select(
                 "doc_id",
                 F.size("t").cast("bigint").alias("n_tokens"),
                 F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
                 F.array_max(F.transform("t", lambda x: F.length(x)))
                  .cast("bigint").alias("max_tok_len"))
-            .orderBy("doc_id"))
+            .transform(stable_sort, "doc_id"))
 
 
 # --------------------------------------------------------------------------
