@@ -646,19 +646,34 @@ UNION ALL
 SELECT 'only97' AS tag, k FROM (SELECT k FROM w97 EXCEPT SELECT k FROM w96)
 ORDER BY tag, k""")
 def q23(spark, sf_dir):
+    # r14 (guide §2.4): INTERSECT/EXCEPT over two distinct key sets is
+    # one membership aggregation, not three joins — the branch form
+    # scanned orders 6× (each of the 3 branches re-derived both year
+    # windows) and shuffled 6 distinct aggs + 3 join exchanges; the
+    # flag form scans ONCE (the pushed filter covers both years),
+    # shuffles ONE map-side-combined agg keyed on custkey, and tags
+    # each key from its two membership flags.  Same rows: the three
+    # branches partition the key union, and every branch key appears
+    # exactly once (both inputs were distinct).  Plan: 13 ops → 6,
+    # Exchange 7 → 2 (agg + declared range sort); the sampler re-reads
+    # the agg's shuffle files, not the scan.
     o = _t(spark, sf_dir, "orders")
 
-    def window(year):
-        lo = F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz")
-        hi = F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp_ntz")
-        return (o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
-                 .select(F.col("o_custkey").alias("k")).distinct())
+    def bound(year):
+        return F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz")
 
-    w96, w97 = window(1996), window(1997)
-    both = w96.intersect(w97).select(F.lit("both").alias("tag"), "k")
-    only96 = w96.exceptAll(w97.distinct()).select(F.lit("only96").alias("tag"), "k")
-    only97 = w97.exceptAll(w96.distinct()).select(F.lit("only97").alias("tag"), "k")
-    return both.unionByName(only96).unionByName(only97).orderBy("tag", "k")
+    d = F.col("o_orderdate")
+    in96 = (d >= bound(1996)) & (d < bound(1997))
+    in97 = (d >= bound(1997)) & (d < bound(1998))
+    tags = (o.filter(in96 | in97)
+             .select(F.col("o_custkey").alias("k"),
+                     in96.alias("_a"), in97.alias("_b"))
+             .groupBy("k")
+             .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
+             .select(F.when(F.col("_a") & F.col("_b"), F.lit("both"))
+                      .when(F.col("_a"), F.lit("only96"))
+                      .otherwise(F.lit("only97")).alias("tag"), "k"))
+    return tags.orderBy("tag", "k")
 
 
 # --------------------------------------------------------------------------

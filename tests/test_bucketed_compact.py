@@ -25,7 +25,14 @@ def _events_with_day(spark, sf_dir, n=5000):
 
 def test_compact_days_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     path = str(tmp_path / "mirror")
+    # compact_days issues one overwrite job per fragmented day, so the
+    # test's wall is O(distinct days) × the host's job-dispatch floor
+    # (the sf0.001 slice spans 30 days ≈ 90 dispatch-bound jobs — the
+    # r13 driver pytest-gate timeout).  Five days exercise the same
+    # contract: >1 file per day before, exactly 1 after, rows equal.
     ev = _events_with_day(spark, sf_dir)
+    five = [r["day"] for r in ev.select("day").distinct().limit(5).collect()]
+    ev = ev.filter(F.col("day").isin(five))
     # fragment the way CDC merges do: one small file per day per batch
     for i in range(3):
         write_day_partitioned(ev.filter(F.col("event_id") % 3 == i),
