@@ -75,12 +75,24 @@ def asof_join_literal_probes(events: DataFrame, *, key: str,
 
 def asof_join(probes: DataFrame, events: DataFrame, *, key: str,
               probe_time: str, event_time: str, seq: str,
-              payload_cols: Sequence[str]) -> DataFrame:
+              payload_cols: Sequence[str],
+              range_cluster: bool = False) -> DataFrame:
     """For each probe row, attach the latest event (by time, then
     ``seq``) of the same ``key`` with event_time <= probe_time.
 
     Probes with no matching event keep null payloads (left semantics).
     Returns probe columns + payload_cols.
+
+    ``range_cluster=True`` clusters the union with a RANGE exchange on
+    ``key`` instead of the window's default hash exchange.  The window
+    result is partitioning-invariant (RangePartitioning keeps equal
+    keys in one partition, satisfying the window's
+    ClusteredDistribution), but a caller whose declared output order
+    STARTS with ``key`` then gets its global sort for free: the range
+    partitioning satisfies OrderedDistribution(key, ...) by prefix, so
+    the final ``orderBy`` plans as a local in-partition sort — no
+    second exchange, and no range-sampling job re-executing the whole
+    union+window chain (guide §2.4; measured on x62).
     """
     payload = F.struct(*[F.col(c) for c in payload_cols])
     ev = events.select(
@@ -101,6 +113,8 @@ def asof_join(probes: DataFrame, events: DataFrame, *, key: str,
         F.col(probe_time).alias("_probe"),
     )
     unioned = ev.unionByName(pr)
+    if range_cluster:
+        unioned = unioned.repartitionByRange(key)
     w = (Window.partitionBy(key)
                .orderBy(F.col("_t").asc(), F.col("_kind").asc(),
                         F.col("_seq").asc_nulls_first())

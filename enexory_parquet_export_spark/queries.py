@@ -568,6 +568,15 @@ SELECT day, pk, seq, op FROM (
   FROM changelog) t
 WHERE rn = 1 ORDER BY day, pk""")
 def q19(spark, sf_dir):
+    # r14: the q20-style single-range-exchange form was TRIED and
+    # measured WORSE here (interleaved ×5 at sf0.1: min 0.86 → 1.51 s)
+    # — the changelog projection (CASE + date_format + substring per
+    # row) is expensive enough that the range sampler's extra full
+    # scan+project pass costs more than the current plan's second
+    # exchange, which carries only the rn=1 SURVIVORS and whose
+    # sampler re-reads the first exchange's shuffle files instead of
+    # the parquet scan.  Kept as-is; q20 (trivial projection, output
+    # ≈ input) is where the rewrite wins.
     w = Window.partitionBy("day", "pk").orderBy(F.col("seq").desc())
     return (_log(spark, sf_dir)
             .withColumn("rn", F.row_number().over(w))
@@ -588,8 +597,16 @@ SELECT user_id, event_id, prev_type, event_type FROM (
 WHERE prev_type IS NOT NULL AND prev_type <> event_type
 ORDER BY user_id, event_id""")
 def q20(spark, sf_dir):
+    # r14: same single-range-exchange shape as q19 — the window's lag
+    # order (user_id, event_id) IS the declared output order, so one
+    # range exchange + one sort serve both and the final sort is
+    # elided (RangePartitioning(user_id) satisfies
+    # OrderedDistribution(user_id, event_id) via its prefix).
     w = Window.partitionBy("user_id").orderBy("event_id")
     return (_t(spark, sf_dir, "events")
+            .select("user_id", "event_id", "event_type")
+            .repartitionByRange("user_id")
+            .sortWithinPartitions("user_id", "event_id")
             .withColumn("prev_type", F.lag("event_type").over(w))
             .filter(F.col("prev_type").isNotNull()
                     & (F.col("prev_type") != F.col("event_type")))

@@ -1260,9 +1260,15 @@ def x62(spark, sf_dir):
                         F.col("event_id").alias("click_id"),
                         F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
                          .alias("value_micro")))
+    # r14: range_cluster — the declared order starts with the window
+    # key, so the asof union's one exchange becomes a RANGE exchange
+    # and the final orderBy plans as a LOCAL sort: the second (range)
+    # exchange and its sampling job, which re-executed the whole
+    # union+window chain per action, are both gone (guide §2.4).
     out = asof_join(probes, clicks, key="user_id", probe_time="probe_ts",
                     event_time="ts", seq="click_id",
-                    payload_cols=["click_id", "value_micro"])
+                    payload_cols=["click_id", "value_micro"],
+                    range_cluster=True)
     return (out.select("user_id",
                        F.date_format("probe_ts", "yyyy-MM-dd HH:mm:ss")
                         .alias("probe_s"),

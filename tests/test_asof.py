@@ -73,6 +73,31 @@ def test_union_sort_path_matches_literal_path(spark):
     assert got == _literal(spark)
 
 
+def test_range_cluster_path_value_identical_and_exchange_free_sort(spark):
+    """range_cluster=True (r14, the x62 shape) must produce the same
+    rows as the default hash-exchange path, and a final orderBy
+    starting with the key must plan WITHOUT a second exchange (the
+    range partitioning satisfies the sort's required distribution)."""
+    ev = events_df(spark)
+    probes = (ev.select("user_id").distinct()
+                .crossJoin(spark.createDataFrame(
+                    [(p,) for p in PROBES], "p string")
+                    .select(F.to_timestamp("p").alias("probe"))))
+    kw = dict(key="user_id", probe_time="probe", event_time="ts",
+              seq="event_id", payload_cols=("event_id", "value"))
+    base = asof_join(probes, ev, **kw)
+    rc = asof_join(probes, ev, range_cluster=True, **kw)
+    assert sorted(map(tuple, base.collect())) \
+        == sorted(map(tuple, rc.collect()))
+    plan = (rc.orderBy("user_id", "probe")
+              ._jdf.queryExecution().executedPlan().toString())
+    # exactly ONE range exchange: the union's cluster.  A non-elided
+    # final orderBy would plan a SECOND rangepartitioning exchange
+    # (the probes fixture's own distinct adds a hash exchange, which
+    # is probe construction, not the asof shape).
+    assert plan.count("rangepartitioning") == 1, plan
+
+
 # ---------------------------------------------------------------------------
 # Property-based: BOTH physical strategies must agree with a naive
 # per-probe argmax oracle on ANY event/probe set the contract allows —
