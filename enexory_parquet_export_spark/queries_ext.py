@@ -1924,7 +1924,15 @@ SELECT user_id,
 FROM s GROUP BY user_id, snum
 ORDER BY user_id, sess_start_us""")
 def x71(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    # r14 (the q20/x62 range-cluster shape): one RANGE exchange on
+    # user_id serves the session aggregation's clustering AND the
+    # declared (user_id, sess_start_us) order — the second (range)
+    # exchange and its sampling job, which re-executed the whole
+    # MergingSessions chain per action, are gone.  Interleaved A/B ×5
+    # at sf0.1: min 0.66 → 0.46 s, ordered-value-identical (95465
+    # rows).
+    ev = (_t(spark, sf_dir, "events").select("user_id", "ts")
+          .repartitionByRange("user_id"))
     return (ev.groupBy("user_id",
                        F.session_window("ts", _SESSION_WINDOW_GAP)
                         .alias("w"))
@@ -2109,13 +2117,18 @@ ORDER BY user_id, event_id""")
 def x75(spark, sf_dir):
     from pyspark.sql.window import Window
 
+    # r14 range-cluster (the q20/x62 shape): the declared order starts
+    # with the window key, so one range exchange serves both and the
+    # final orderBy plans as a LOCAL sort — no second exchange, no
+    # sampling job re-running the range-frame window per action.
     ev = (_t(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull())
           .select("user_id", "event_id",
                   (F.unix_micros("ts") / F.lit(1_000_000))
                    .cast("bigint").alias("te"),
                   F.floor(F.col("value") * F.lit(1e6))
-                   .cast("bigint").alias("vm")))
+                   .cast("bigint").alias("vm"))
+          .repartitionByRange("user_id"))
     w = (Window.partitionBy("user_id").orderBy("te")
                .rangeBetween(-3600, Window.currentRow))
     return (ev.select("user_id", "event_id",
