@@ -532,8 +532,18 @@ ORDER BY user_id, session_id""")
 def x45(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("te"))
+    # r14 range-cluster (the q20/x62 shape): RangePartitioning(user_id)
+    # satisfies the window's clustering, the session agg's
+    # ClusteredDistribution(user_id, snum) (subset rule — the agg runs
+    # partition-local, no second exchange), AND the declared
+    # (user_id, session_id) order by prefix — so the final orderBy is
+    # a local sort and the former stable_sort checkpoint of the
+    # session rows is gone entirely.  One exchange, one execution;
+    # ordered-value-identical at sf0.1 (A/B wash locally, strictly
+    # fewer plan pieces at scale).
+    ev = (_t(spark, sf_dir, "events").select(
+              "user_id", "event_id", F.unix_timestamp("ts").alias("te"))
+          .repartitionByRange("user_id"))
     w = Window.partitionBy("user_id").orderBy("te", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     is_new = F.when(F.lag("te").over(w).isNull()
@@ -545,8 +555,7 @@ def x45(spark, sf_dir):
                    F.count("*").cast("bigint").alias("n_events"),
                    (F.max("te") - F.min("te")).cast("bigint").alias("span_sec"))
               .select("user_id", "session_id", "n_events", "span_sec")
-              # sampling re-ran the window+agg: 1.72 → 1.07 s at sf1×10
-              .transform(stable_sort, "user_id", "session_id"))
+              .orderBy("user_id", "session_id"))
 
 
 # --------------------------------------------------------------------------
