@@ -32,7 +32,7 @@ from enexory_parquet_export_spark.streaming.packing import (
     with_shard,
 )
 
-SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = "/root/testdata/sf0.01"
 _MIX_RATE = {"web": 80, "books": 100}  # keep-% per source, default 60
 
 
